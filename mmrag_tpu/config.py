@@ -1,0 +1,177 @@
+"""Frozen default configuration for the TPU-native multimodal RAG framework.
+
+Behavioral contract mirrors the reference's two-file config design
+(``/root/reference/config.py:6-115``): a tree of frozen dataclasses holding
+every default, consumed by the typed env loader in :mod:`mmrag_tpu.settings`.
+New TPU-specific knobs live in :class:`TpuDefaults` (compute dtype, mesh axes,
+top-k kernel backend, index shard geometry) — these have no reference
+equivalent because the reference runs single-device torch
+(``app/ml/embeddings.py:19-20``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class ModelDefaults:
+    """Model identifiers (reference ``config.py:7-12``).
+
+    Identifiers name architectures + converted-weight directories under
+    ``WEIGHTS_DIR``; when no converted weights exist the encoders run with
+    deterministic seeded init (offline mode), which keeps every pipeline
+    testable without network access.
+    """
+
+    text: str = "sentence-transformers/all-MiniLM-L6-v2"
+    clip: str = "openai/clip-vit-base-patch32"
+    reranker: str = "cross-encoder/ms-marco-MiniLM-L-6-v2"
+
+
+@dataclass(frozen=True)
+class GeminiDefaults:
+    """Grounded-generation backend (reference ``config.py:16-19``)."""
+
+    model: str = "gemini-pro-vision"
+
+
+@dataclass(frozen=True)
+class PathDefaults:
+    """Artifact locations (reference ``config.py:23-31``)."""
+
+    index_dir: str = "output/tpu_index"  # vector-shard persistence root (replaces lancedb_dir)
+    lancedb_dir: str = "output/lance_db"  # kept for env compat; aliases index_dir when set
+    media_dir: str = "output/media"
+    thumbs_dir: str = "output/thumbs"
+    ingest_cache_dir: str = "output/cache"
+    notes_db_path: str = "output/notes.db"
+    checkpoint_dir: str = "output/checkpoints"  # orbax params + index snapshots
+    weights_dir: str = "output/weights"  # converted HF->JAX weight dirs keyed by model id
+
+
+@dataclass(frozen=True)
+class RateLimitDefaults:
+    """HTTP rate limit (reference ``config.py:35-38``)."""
+
+    per_minute: int = 60
+
+
+@dataclass(frozen=True)
+class RetrievalDefaults:
+    """Retrieval hyperparameters (reference ``config.py:42-50``)."""
+
+    use_rerank: bool = True
+    index_topk_text: int = 50
+    index_topk_image: int = 12
+    rerank_topk: int = 8
+    final_n: int = 4
+    confidence_tau: float = 0.25
+
+
+@dataclass(frozen=True)
+class YouTubeDefaults:
+    """YouTube ingestion tuning (reference ``config.py:54-67``)."""
+
+    prefer_transcript: bool = True
+    frame_scene_threshold: float = 0.4
+    max_frames: int = 120
+    frame_dedup_delta: int = 6
+    frame_stride_sec: int = 5
+    lazy_frames: bool = True
+    frame_extractor: str = "auto"  # auto|ffmpeg|opencv — this env has cv2, not ffmpeg
+    max_duration_min: int = 40
+    download_format: str = "bv*[height<=360]+ba/b[height<=360]"
+    retries: int = 2
+    timeout_sec: int = 120
+
+
+@dataclass(frozen=True)
+class ApiDefaults:
+    """API/auth defaults (reference ``config.py:71-75``)."""
+
+    api_keys: str = '{"test-key": "test-user"}'
+    redis_url: str = "redis://localhost:6379/0"
+
+
+@dataclass(frozen=True)
+class UploadDefaults:
+    """Upload constraints (reference ``config.py:79-82``)."""
+
+    allowed_exts: str = ".pdf"
+
+
+@dataclass(frozen=True)
+class ChunkDefaults:
+    """Character chunking (reference ``config.py:86-90``)."""
+
+    size_chars: int = 1200
+    overlap_chars: int = 200
+    # second-stage token-ish splitter (reference app/ml/index_build.py:14)
+    split_tokens: int = 512
+    split_overlap_tokens: int = 64
+
+
+@dataclass(frozen=True)
+class NotesDefaults:
+    """Study notes/quiz generation (reference ``config.py:94-98``)."""
+
+    context_chars: int = 4000
+    quiz_questions: int = 5
+
+
+@dataclass(frozen=True)
+class CacheDefaults:
+    """TTL caches (reference ``app/cache/__init__.py:17-19``)."""
+
+    embed_ttl_sec: float = 300.0
+    retrieval_ttl_sec: float = 120.0
+    chat_ttl_sec: float = 60.0
+    job_result_ttl_sec: float = 3600.0
+    dedup_ttl_sec: float = 86400.0
+
+
+@dataclass(frozen=True)
+class TpuDefaults:
+    """TPU execution knobs — new in this framework (no reference equivalent).
+
+    The reference's only batching is torch minibatch bs=32/8
+    (``app/ml/embeddings.py:53,74``); here batching is bucketed to static
+    shapes so XLA compiles once per bucket, and the index is a set of
+    HBM-resident shards scored by a fused Pallas matmul+top-k kernel.
+    """
+
+    compute_dtype: str = "bfloat16"  # MXU-native; params kept f32, matmuls bf16
+    param_dtype: str = "float32"
+    text_batch_buckets: str = "8,32,128,512"  # static batch sizes for text encoder
+    image_batch_buckets: str = "8,32,128"  # static batch sizes for CLIP vision
+    text_seq_buckets: str = "64,128,256,512"  # padded sequence-length buckets
+    rerank_seq_len: int = 256  # cross-encoder pair length (fixed bucket)
+    topk_backend: str = "auto"  # auto|pallas|xla
+    index_shard_rows: int = 131072  # rows per device shard slab (static shape)
+    index_growth_factor: int = 2  # append-buffer geometric growth
+    mesh_data_axis: str = "data"  # batch DP axis name
+    mesh_model_axis: str = "model"  # corpus-shard / TP axis name
+    profile_dir: str = ""  # jax.profiler trace dir ("" = disabled)
+
+
+@dataclass(frozen=True)
+class AppDefaults:
+    """Aggregate of all defaults (reference ``config.py:101-115``)."""
+
+    models: ModelDefaults = field(default_factory=ModelDefaults)
+    gemini: GeminiDefaults = field(default_factory=GeminiDefaults)
+    paths: PathDefaults = field(default_factory=PathDefaults)
+    rate_limit: RateLimitDefaults = field(default_factory=RateLimitDefaults)
+    retrieval: RetrievalDefaults = field(default_factory=RetrievalDefaults)
+    youtube: YouTubeDefaults = field(default_factory=YouTubeDefaults)
+    api: ApiDefaults = field(default_factory=ApiDefaults)
+    uploads: UploadDefaults = field(default_factory=UploadDefaults)
+    chunks: ChunkDefaults = field(default_factory=ChunkDefaults)
+    notes: NotesDefaults = field(default_factory=NotesDefaults)
+    cache: CacheDefaults = field(default_factory=CacheDefaults)
+    tpu: TpuDefaults = field(default_factory=TpuDefaults)
+    app_name: str = "Multimodal RAG SaaS (TPU)"
+
+
+DEFAULTS = AppDefaults()
