@@ -1,0 +1,229 @@
+"""Pure-JAX BERT encoder family: MiniLM-L6 sentence embedder + cross-encoder.
+
+TPU-native replacement for the reference's torch encoders:
+  * ``sentence-transformers/all-MiniLM-L6-v2`` text embedding
+    (``/root/reference/app/ml/embeddings.py:52-70``): BERT-6L/384 ->
+    masked mean pooling -> L2 normalize, 384-d output.
+  * ``cross-encoder/ms-marco-MiniLM-L-6-v2`` rerank scorer
+    (``/root/reference/app/ml/retrieve.py:29-38,148``): same trunk + tanh
+    pooler + 1-logit classifier head.
+
+Everything is functional: params are nested dicts of ``jnp`` arrays produced
+by :func:`init_bert_params` (seeded, offline-friendly) or converted from HF
+torch checkpoints via :mod:`mmrag_tpu.models.convert`. Forward passes are
+jit-compatible with static shapes; matmuls run in the configured compute
+dtype (bf16 on TPU) with f32 LayerNorm/softmax for numerical parity.
+
+HF BERT numerics preserved exactly: post-LN residual blocks, additive
+attention mask, gelu (erf form), LayerNorm eps 1e-12.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+
+@dataclass(frozen=True)
+class BertConfig:
+    vocab_size: int = 30522
+    hidden_size: int = 384
+    num_layers: int = 6
+    num_heads: int = 12
+    intermediate_size: int = 1536
+    max_position: int = 512
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-12
+    pad_token_id: int = 0
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+MINILM_L6 = BertConfig()
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def _dense_init(key, fan_in: int, fan_out: int, stddev: float = 0.02) -> Params:
+    return {
+        "kernel": jax.random.normal(key, (fan_in, fan_out), jnp.float32) * stddev,
+        "bias": jnp.zeros((fan_out,), jnp.float32),
+    }
+
+
+def _ln_init(dim: int) -> Params:
+    return {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def init_bert_params(rng: jax.Array, cfg: BertConfig = MINILM_L6) -> Params:
+    """Deterministic seeded init with HF-BERT's parameter tree shape."""
+
+    keys = iter(jax.random.split(rng, 16 + cfg.num_layers * 8))
+    h, inter = cfg.hidden_size, cfg.intermediate_size
+    params: Params = {
+        "embeddings": {
+            "word": jax.random.normal(next(keys), (cfg.vocab_size, h), jnp.float32) * 0.02,
+            "position": jax.random.normal(next(keys), (cfg.max_position, h), jnp.float32)
+            * 0.02,
+            "token_type": jax.random.normal(
+                next(keys), (cfg.type_vocab_size, h), jnp.float32
+            )
+            * 0.02,
+            "ln": _ln_init(h),
+        },
+        "layers": [],
+    }
+    for _ in range(cfg.num_layers):
+        params["layers"].append(
+            {
+                "q": _dense_init(next(keys), h, h),
+                "k": _dense_init(next(keys), h, h),
+                "v": _dense_init(next(keys), h, h),
+                "attn_out": _dense_init(next(keys), h, h),
+                "attn_ln": _ln_init(h),
+                "ffn_in": _dense_init(next(keys), h, inter),
+                "ffn_out": _dense_init(next(keys), inter, h),
+                "ffn_ln": _ln_init(h),
+            }
+        )
+    return params
+
+
+def init_cross_encoder_params(rng: jax.Array, cfg: BertConfig = MINILM_L6) -> Params:
+    k1, k2, k3 = jax.random.split(rng, 3)
+    return {
+        "bert": init_bert_params(k1, cfg),
+        "pooler": _dense_init(k2, cfg.hidden_size, cfg.hidden_size),
+        "classifier": _dense_init(k3, cfg.hidden_size, 1),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _dense(p: Params, x: jnp.ndarray, dtype) -> jnp.ndarray:
+    return (
+        jnp.dot(x.astype(dtype), p["kernel"].astype(dtype), preferred_element_type=jnp.float32)
+        + p["bias"]
+    )
+
+
+def _layer_norm(p: Params, x: jnp.ndarray, eps: float) -> jnp.ndarray:
+    x = x.astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def _self_attention(
+    layer: Params, x: jnp.ndarray, mask_bias: jnp.ndarray, cfg: BertConfig, dtype
+) -> jnp.ndarray:
+    b, s, h = x.shape
+    nh, hd = cfg.num_heads, cfg.head_dim
+
+    def heads(t):
+        return t.reshape(b, s, nh, hd)
+
+    q = heads(_dense(layer["q"], x, dtype))
+    k = heads(_dense(layer["k"], x, dtype))
+    v = heads(_dense(layer["v"], x, dtype))
+    scores = jnp.einsum("bqnd,bknd->bnqk", q.astype(dtype), k.astype(dtype),
+                        preferred_element_type=jnp.float32)
+    scores = scores / np.sqrt(hd) + mask_bias
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    ctx = jnp.einsum("bnqk,bknd->bqnd", probs.astype(dtype), v.astype(dtype),
+                     preferred_element_type=jnp.float32)
+    return _dense(layer["attn_out"], ctx.reshape(b, s, h), dtype)
+
+
+def bert_encode(
+    params: Params,
+    input_ids: jnp.ndarray,  # (b, s) int32
+    attention_mask: jnp.ndarray,  # (b, s) {0,1}
+    cfg: BertConfig = MINILM_L6,
+    token_type_ids: jnp.ndarray | None = None,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Returns last hidden states (b, s, hidden) in f32."""
+
+    b, s = input_ids.shape
+    emb = params["embeddings"]
+    x = (
+        emb["word"][input_ids]
+        + emb["position"][jnp.arange(s)][None, :, :]
+        + emb["token_type"][
+            token_type_ids if token_type_ids is not None else jnp.zeros_like(input_ids)
+        ]
+    )
+    x = _layer_norm(emb["ln"], x, cfg.layer_norm_eps)
+    # HF additive mask: 0 where attended, large negative where padded.
+    mask_bias = (1.0 - attention_mask.astype(jnp.float32))[:, None, None, :] * -1e9
+    for layer in params["layers"]:
+        attn = _self_attention(layer, x, mask_bias, cfg, compute_dtype)
+        x = _layer_norm(layer["attn_ln"], x + attn, cfg.layer_norm_eps)
+        inner = jax.nn.gelu(_dense(layer["ffn_in"], x, compute_dtype), approximate=False)
+        out = _dense(layer["ffn_out"], inner, compute_dtype)
+        x = _layer_norm(layer["ffn_ln"], x + out, cfg.layer_norm_eps)
+    return x
+
+
+def mean_pool(hidden: jnp.ndarray, attention_mask: jnp.ndarray) -> jnp.ndarray:
+    """Masked mean pooling (sentence-transformers pooling layer)."""
+
+    mask = attention_mask.astype(jnp.float32)[:, :, None]
+    summed = jnp.sum(hidden * mask, axis=1)
+    counts = jnp.clip(jnp.sum(mask, axis=1), 1e-9, None)
+    return summed / counts
+
+
+def l2_normalize(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
+
+
+def minilm_embed(
+    params: Params,
+    input_ids: jnp.ndarray,
+    attention_mask: jnp.ndarray,
+    cfg: BertConfig = MINILM_L6,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Sentence embeddings: encode -> masked mean pool -> L2 normalize."""
+
+    hidden = bert_encode(params, input_ids, attention_mask, cfg, compute_dtype=compute_dtype)
+    return l2_normalize(mean_pool(hidden, attention_mask))
+
+
+def cross_encoder_score(
+    params: Params,
+    input_ids: jnp.ndarray,
+    attention_mask: jnp.ndarray,
+    token_type_ids: jnp.ndarray,
+    cfg: BertConfig = MINILM_L6,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """(query, passage) pair relevance logits, shape (b,).
+
+    BertForSequenceClassification head: CLS -> pooler dense -> tanh ->
+    classifier dense(1). Raw logits (no sigmoid) — matches CrossEncoder
+    ms-marco output that the reference z-normalizes downstream.
+    """
+
+    hidden = bert_encode(
+        params["bert"], input_ids, attention_mask, cfg,
+        token_type_ids=token_type_ids, compute_dtype=compute_dtype,
+    )
+    pooled = jnp.tanh(_dense(params["pooler"], hidden[:, 0], compute_dtype))
+    return _dense(params["classifier"], pooled, compute_dtype)[:, 0]

@@ -1,0 +1,114 @@
+"""Masked cosine similarity top-k over device-resident embedding slabs.
+
+This replaces the reference's LanceDB ANN search
+(``/root/reference/app/storage/lancedb_store.py:103-123``) with exact,
+device-resident scoring: corpus shards live in HBM as static-shape slabs,
+queries hit a single fused ``matmul -> mask -> top_k`` dispatch. Tenant and
+``video_id`` predicates are pushed *into* the scoring mask (additive -inf)
+rather than applied post-fusion — fixing the reference's post-filter bug
+(``api/routes.py:272-279``, SURVEY §3.3).
+
+Two backends behind one API:
+  * ``xla``   — ``jnp.dot`` + ``jax.lax.top_k``; works on CPU and TPU.
+  * ``pallas``— fused tiled matmul + running top-k kernel (TPU only), see
+                :mod:`mmrag_tpu.ops.pallas_topk`.
+
+Scores are cosine similarities assuming L2-normalized rows/queries, matching
+the reference's ``score = 1 - distance`` resort (``lancedb_store.py:125-139``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = jnp.float32(-1e30)
+
+
+def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
+    """Zero-safe L2 normalization (reference ``app/ml/embeddings.py:46-49``)."""
+
+    norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    return x / jnp.maximum(norm, eps)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _cosine_topk_xla(
+    queries: jnp.ndarray,  # (q, d) f32/bf16, L2-normalized
+    corpus: jnp.ndarray,  # (n, d) bf16 slab (padded rows are masked out)
+    valid_mask: jnp.ndarray,  # (n,) bool — row is live AND passes predicates
+    k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    # Matmul precision: storage dtype decides speed (bf16 corpus -> MXU bf16
+    # path); HIGHEST stops backends from silently downcasting f32 inputs
+    # (XLA-CPU/oneDNN does under DEFAULT), which would break <=1e-3 parity.
+    scores = jnp.dot(
+        queries.astype(corpus.dtype),
+        corpus.T,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    scores = jnp.where(valid_mask[None, :], scores, NEG_INF)
+    return jax.lax.top_k(scores, k)
+
+
+def cosine_topk(
+    queries: jnp.ndarray,
+    corpus: jnp.ndarray,
+    valid_mask: jnp.ndarray,
+    k: int,
+    backend: str = "auto",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k cosine scores + row indices per query.
+
+    Returns ``(scores (q, k) f32, indices (q, k) i32)``. Indices of masked-out
+    / padded rows never appear unless fewer than ``k`` rows are valid, in
+    which case the filler entries carry scores <= -1e30 (callers drop them).
+    """
+
+    if queries.ndim != 2 or corpus.ndim != 2:
+        raise ValueError("queries and corpus must be rank-2")
+    if queries.shape[1] != corpus.shape[1]:
+        raise ValueError(
+            f"dim mismatch: queries {queries.shape} vs corpus {corpus.shape}"
+        )
+    n = corpus.shape[0]
+    k_eff = min(k, n)
+    if backend in ("auto", "xla"):
+        use_pallas = False
+    elif backend == "pallas":
+        use_pallas = True
+    else:
+        raise ValueError(f"unknown topk backend {backend!r}")
+    if backend == "auto" and jax.default_backend() not in ("cpu",):
+        # Pallas kernel is opt-in until it beats XLA on the bench; auto keeps XLA.
+        use_pallas = False
+    if use_pallas:
+        from .pallas_topk import fused_cosine_topk
+
+        scores, idx = fused_cosine_topk(queries, corpus, valid_mask, k_eff)
+    else:
+        scores, idx = _cosine_topk_xla(queries, corpus, valid_mask, k_eff)
+    if k_eff < k:
+        pad = k - k_eff
+        scores = jnp.pad(scores, ((0, 0), (0, pad)), constant_values=float(NEG_INF))
+        idx = jnp.pad(idx, ((0, 0), (0, pad)), constant_values=0)
+    return scores, idx
+
+
+def merge_topk(
+    scores_a: jnp.ndarray,
+    idx_a: jnp.ndarray,
+    scores_b: jnp.ndarray,
+    idx_b: jnp.ndarray,
+    k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Merge two per-query top-k lists into one (used for shard merges)."""
+
+    scores = jnp.concatenate([scores_a, scores_b], axis=-1)
+    idx = jnp.concatenate([idx_a, idx_b], axis=-1)
+    top_scores, sel = jax.lax.top_k(scores, min(k, scores.shape[-1]))
+    return top_scores, jnp.take_along_axis(idx, sel, axis=-1)

@@ -1,0 +1,79 @@
+"""cosine_topk / merge_topk: exactness vs numpy, masking, padding, dtype."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmrag_tpu.ops.topk import cosine_topk, l2_normalize, merge_topk
+
+
+def _np_topk(q, c, mask, k):
+    scores = q @ c.T
+    scores[:, ~mask] = -np.inf
+    idx = np.argsort(-scores, axis=1)[:, :k]
+    return np.take_along_axis(scores, idx, axis=1), idx
+
+
+@pytest.mark.parametrize("n,d,k", [(64, 16, 5), (257, 32, 10)])
+def test_matches_numpy(rng, n, d, k):
+    q = rng.standard_normal((3, d)).astype(np.float32)
+    c = rng.standard_normal((n, d)).astype(np.float32)
+    q = np.asarray(l2_normalize(q))
+    c = np.asarray(l2_normalize(c))
+    mask = rng.random(n) > 0.3
+    got_s, got_i = cosine_topk(jnp.asarray(q), jnp.asarray(c), jnp.asarray(mask), k)
+    want_s, want_i = _np_topk(q.copy(), c, mask, k)
+    np.testing.assert_array_equal(np.asarray(got_i), want_i)
+    np.testing.assert_allclose(np.asarray(got_s), want_s, atol=1e-5)
+
+
+def test_masked_rows_never_surface(rng):
+    c = rng.standard_normal((20, 8)).astype(np.float32)
+    q = c[3:4]  # exact match would win without mask
+    mask = np.ones(20, dtype=bool)
+    mask[3] = False
+    _, idx = cosine_topk(jnp.asarray(q), jnp.asarray(c), jnp.asarray(mask), 5)
+    assert 3 not in np.asarray(idx)
+
+
+def test_k_larger_than_corpus_pads(rng):
+    c = l2_normalize(jnp.asarray(rng.standard_normal((4, 8)), dtype=jnp.float32))
+    q = c[:1]
+    s, i = cosine_topk(q, c, jnp.ones(4, dtype=bool), k=10)
+    assert s.shape == (1, 10) and i.shape == (1, 10)
+    assert np.asarray(s)[0, 4:].max() <= -1e29  # filler entries sink
+
+
+def test_all_masked_gives_sunk_scores(rng):
+    c = jnp.asarray(rng.standard_normal((8, 4)), dtype=jnp.float32)
+    s, _ = cosine_topk(c[:1], c, jnp.zeros(8, dtype=bool), 3)
+    assert np.asarray(s).max() <= -1e29
+
+
+def test_bf16_corpus_accumulates_f32(rng):
+    c = l2_normalize(jnp.asarray(rng.standard_normal((128, 64)), dtype=jnp.float32))
+    cb = c.astype(jnp.bfloat16)
+    q = c[:2]
+    s32, i32 = cosine_topk(q, c, jnp.ones(128, dtype=bool), 4)
+    s16, i16 = cosine_topk(q, cb, jnp.ones(128, dtype=bool), 4)
+    assert s16.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(s16), np.asarray(s32), atol=2e-2)
+
+
+def test_merge_topk_equals_global(rng):
+    q = rng.standard_normal((2, 8)).astype(np.float32)
+    c = rng.standard_normal((40, 8)).astype(np.float32)
+    mask = np.ones(40, dtype=bool)
+    sa, ia = cosine_topk(jnp.asarray(q), jnp.asarray(c[:20]), jnp.asarray(mask[:20]), 6)
+    sb, ib = cosine_topk(jnp.asarray(q), jnp.asarray(c[20:]), jnp.asarray(mask[20:]), 6)
+    ms, mi = merge_topk(sa, ia, sb, ib + 20, 6)
+    gs, gi = cosine_topk(jnp.asarray(q), jnp.asarray(c), jnp.asarray(mask), 6)
+    np.testing.assert_allclose(np.asarray(ms), np.asarray(gs), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(mi), np.asarray(gi))
+
+
+def test_shape_validation():
+    with pytest.raises(ValueError):
+        cosine_topk(jnp.zeros((2, 3)), jnp.zeros((4, 5)), jnp.ones(4, bool), 2)
+    with pytest.raises(ValueError):
+        cosine_topk(jnp.zeros((2, 3)), jnp.zeros((4, 3)), jnp.ones(4, bool), 2, backend="bogus")
