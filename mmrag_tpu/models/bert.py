@@ -116,7 +116,7 @@ def init_cross_encoder_params(rng: jax.Array, cfg: BertConfig = MINILM_L6) -> Pa
 
 def _dense(p: Params, x: jnp.ndarray, dtype) -> jnp.ndarray:
     return (
-        jnp.dot(x.astype(dtype), p["kernel"].astype(dtype), preferred_element_type=jnp.float32)
+        jnp.dot(x.astype(dtype), p["kernel"].astype(dtype), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
         + p["bias"]
     )
 
@@ -141,11 +141,11 @@ def _self_attention(
     k = heads(_dense(layer["k"], x, dtype))
     v = heads(_dense(layer["v"], x, dtype))
     scores = jnp.einsum("bqnd,bknd->bnqk", q.astype(dtype), k.astype(dtype),
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
     scores = scores / np.sqrt(hd) + mask_bias
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
     ctx = jnp.einsum("bnqk,bknd->bqnd", probs.astype(dtype), v.astype(dtype),
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
     return _dense(layer["attn_out"], ctx.reshape(b, s, h), dtype)
 
 

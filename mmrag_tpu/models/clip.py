@@ -1,0 +1,280 @@
+"""Pure-JAX CLIP ViT-B/32 dual tower (vision + text), HF-numerics-exact.
+
+TPU-native replacement for the reference's ``CLIPModel.get_image_features`` /
+CLIP text tower (``/root/reference/app/ml/embeddings.py:73-105``). Both towers
+are functional, jit-compatible, static-shape, with bf16 matmuls + f32
+LayerNorm/softmax. The patch conv is expressed as an unfold+matmul so it maps
+straight onto the MXU, and the 224x224 preprocess
+(:mod:`mmrag_tpu.ops.images`) fuses into the same jitted call.
+
+Architecture facts mirrored from HF ``openai/clip-vit-base-patch32``:
+pre-LN transformer blocks, quick_gelu activation, LayerNorm eps 1e-5,
+vision pooling = post-LN CLS token, text pooling = hidden state at the
+argmax(token id) position (EOT has the largest id), bias-free projections to
+the shared 512-d space. Outputs are *unnormalized* like HF's
+``get_image_features``; callers L2-normalize (reference ``embeddings.py:90-91``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+
+@dataclass(frozen=True)
+class CLIPVisionConfig:
+    image_size: int = 224
+    patch_size: int = 32
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    layer_norm_eps: float = 1e-5
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+@dataclass(frozen=True)
+class CLIPTextConfig:
+    vocab_size: int = 49408
+    hidden_size: int = 512
+    num_layers: int = 12
+    num_heads: int = 8
+    intermediate_size: int = 2048
+    max_position: int = 77
+    layer_norm_eps: float = 1e-5
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+@dataclass(frozen=True)
+class CLIPConfig:
+    vision: CLIPVisionConfig = CLIPVisionConfig()
+    text: CLIPTextConfig = CLIPTextConfig()
+    projection_dim: int = 512
+
+
+CLIP_VIT_B32 = CLIPConfig()
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def _dense_init(key, fan_in: int, fan_out: int, bias: bool = True) -> Params:
+    p = {"kernel": jax.random.normal(key, (fan_in, fan_out), jnp.float32) * 0.02}
+    if bias:
+        p["bias"] = jnp.zeros((fan_out,), jnp.float32)
+    return p
+
+
+def _ln_init(dim: int) -> Params:
+    return {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def _encoder_layer_init(key, hidden: int, intermediate: int) -> Params:
+    ks = jax.random.split(key, 6)
+    return {
+        "ln1": _ln_init(hidden),
+        "q": _dense_init(ks[0], hidden, hidden),
+        "k": _dense_init(ks[1], hidden, hidden),
+        "v": _dense_init(ks[2], hidden, hidden),
+        "attn_out": _dense_init(ks[3], hidden, hidden),
+        "ln2": _ln_init(hidden),
+        "fc1": _dense_init(ks[4], hidden, intermediate),
+        "fc2": _dense_init(ks[5], intermediate, hidden),
+    }
+
+
+def init_clip_params(rng: jax.Array, cfg: CLIPConfig = CLIP_VIT_B32) -> Params:
+    kv, kt, kp1, kp2, kc, kpe, kte, ktp = jax.random.split(rng, 8)
+    v, t = cfg.vision, cfg.text
+    patch_dim = 3 * v.patch_size * v.patch_size
+    vision: Params = {
+        "class_embedding": jax.random.normal(kc, (v.hidden_size,), jnp.float32) * 0.02,
+        "patch_kernel": jax.random.normal(kp1, (patch_dim, v.hidden_size), jnp.float32)
+        * 0.02,
+        "position_embedding": jax.random.normal(
+            kpe, (v.num_patches + 1, v.hidden_size), jnp.float32
+        )
+        * 0.02,
+        "pre_ln": _ln_init(v.hidden_size),
+        "layers": [
+            _encoder_layer_init(k, v.hidden_size, v.intermediate_size)
+            for k in jax.random.split(kv, v.num_layers)
+        ],
+        "post_ln": _ln_init(v.hidden_size),
+    }
+    text: Params = {
+        "token_embedding": jax.random.normal(
+            kte, (t.vocab_size, t.hidden_size), jnp.float32
+        )
+        * 0.02,
+        "position_embedding": jax.random.normal(
+            ktp, (t.max_position, t.hidden_size), jnp.float32
+        )
+        * 0.02,
+        "layers": [
+            _encoder_layer_init(k, t.hidden_size, t.intermediate_size)
+            for k in jax.random.split(kt, t.num_layers)
+        ],
+        "final_ln": _ln_init(t.hidden_size),
+    }
+    return {
+        "vision": vision,
+        "text": text,
+        "visual_projection": _dense_init(kp2, v.hidden_size, cfg.projection_dim, bias=False),
+        "text_projection": _dense_init(kp1, t.hidden_size, cfg.projection_dim, bias=False),
+        "logit_scale": jnp.asarray(np.log(1 / 0.07), jnp.float32),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def _dense(p: Params, x: jnp.ndarray, dtype) -> jnp.ndarray:
+    y = jnp.dot(
+        x.astype(dtype), p["kernel"].astype(dtype),
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )
+    if "bias" in p:
+        y = y + p["bias"]
+    return y
+
+
+def _layer_norm(p: Params, x: jnp.ndarray, eps: float) -> jnp.ndarray:
+    x = x.astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def _attention(
+    layer: Params,
+    x: jnp.ndarray,
+    bias: jnp.ndarray | None,
+    num_heads: int,
+    head_dim: int,
+    dtype,
+) -> jnp.ndarray:
+    b, s, h = x.shape
+
+    def heads(t):
+        return t.reshape(b, s, num_heads, head_dim)
+
+    q = heads(_dense(layer["q"], x, dtype)) * (head_dim**-0.5)
+    k = heads(_dense(layer["k"], x, dtype))
+    v = heads(_dense(layer["v"], x, dtype))
+    scores = jnp.einsum(
+        "bqnd,bknd->bnqk", q.astype(dtype), k.astype(dtype),
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )
+    if bias is not None:
+        scores = scores + bias
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    ctx = jnp.einsum(
+        "bnqk,bknd->bqnd", probs.astype(dtype), v.astype(dtype),
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )
+    return _dense(layer["attn_out"], ctx.reshape(b, s, h), dtype)
+
+
+def _encoder_layer(
+    layer: Params,
+    x: jnp.ndarray,
+    bias: jnp.ndarray | None,
+    num_heads: int,
+    head_dim: int,
+    eps: float,
+    dtype,
+) -> jnp.ndarray:
+    x = x + _attention(layer, _layer_norm(layer["ln1"], x, eps), bias, num_heads, head_dim, dtype)
+    y = _layer_norm(layer["ln2"], x, eps)
+    y = _dense(layer["fc2"], quick_gelu(_dense(layer["fc1"], y, dtype)), dtype)
+    return x + y
+
+
+def patchify(pixels: jnp.ndarray, patch: int) -> jnp.ndarray:
+    """(b, H, W, 3) -> (b, n_patches, 3*patch*patch) matching torch conv
+    weight flattening order [in_channels, kh, kw]."""
+
+    b, hgt, wid, c = pixels.shape
+    gh, gw = hgt // patch, wid // patch
+    x = pixels.reshape(b, gh, patch, gw, patch, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4)  # (b, gh, gw, c, ph, pw)
+    return x.reshape(b, gh * gw, c * patch * patch)
+
+
+def clip_image_features(
+    params: Params,
+    pixels: jnp.ndarray,  # (b, 224, 224, 3) f32, already normalized
+    cfg: CLIPConfig = CLIP_VIT_B32,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Unnormalized 512-d image features (HF ``get_image_features``)."""
+
+    v = cfg.vision
+    vp = params["vision"]
+    patches = patchify(pixels, v.patch_size)
+    x = jnp.dot(
+        patches.astype(compute_dtype),
+        vp["patch_kernel"].astype(compute_dtype),
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )
+    cls = jnp.broadcast_to(vp["class_embedding"], (x.shape[0], 1, v.hidden_size))
+    x = jnp.concatenate([cls, x], axis=1) + vp["position_embedding"][None]
+    x = _layer_norm(vp["pre_ln"], x, v.layer_norm_eps)
+    for layer in vp["layers"]:
+        x = _encoder_layer(
+            layer, x, None, v.num_heads, v.head_dim, v.layer_norm_eps, compute_dtype
+        )
+    pooled = _layer_norm(vp["post_ln"], x[:, 0], v.layer_norm_eps)
+    return _dense(params["visual_projection"], pooled, compute_dtype)
+
+
+def clip_text_features(
+    params: Params,
+    input_ids: jnp.ndarray,  # (b, 77) int32, padded with zeros after EOT
+    attention_mask: jnp.ndarray,  # (b, 77) {0,1}
+    cfg: CLIPConfig = CLIP_VIT_B32,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Unnormalized 512-d text features (HF CLIP text tower)."""
+
+    t = cfg.text
+    tp = params["text"]
+    b, s = input_ids.shape
+    x = tp["token_embedding"][input_ids] + tp["position_embedding"][:s][None]
+    causal = jnp.triu(jnp.full((s, s), -1e9, jnp.float32), k=1)[None, None]
+    pad = (1.0 - attention_mask.astype(jnp.float32))[:, None, None, :] * -1e9
+    bias = causal + pad
+    for layer in tp["layers"]:
+        x = _encoder_layer(
+            layer, x, bias, t.num_heads, t.head_dim, t.layer_norm_eps, compute_dtype
+        )
+    x = _layer_norm(tp["final_ln"], x, t.layer_norm_eps)
+    # EOT pooling: the EOT token has the largest id in the CLIP vocab.
+    eot_pos = jnp.argmax(input_ids, axis=-1)
+    pooled = x[jnp.arange(b), eot_pos]
+    return _dense(params["text_projection"], pooled, compute_dtype)

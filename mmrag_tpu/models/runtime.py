@@ -1,0 +1,284 @@
+"""Encoder runtime: lazy params, bucketed static-shape batching, jitted calls.
+
+The TPU-native successor of the reference's lazy model singletons
+(``/root/reference/app/ml/embeddings.py:23-43``, ``app/ml/retrieve.py:29-38``).
+Instead of torch minibatch loops, every public call pads its batch to a
+configured bucket (``TPU_TEXT_BATCH_BUCKETS`` etc.) and its sequence length to
+a bucket, so XLA compiles one executable per (batch, seq) bucket and reuses it
+forever — no recompile storms, no dynamic shapes (SURVEY §7 hard part (e)).
+
+Weights resolve in order: converted ``.npz`` under ``WEIGHTS_DIR/<model>/`` ->
+deterministic seeded init (offline mode). Either way the same jitted code
+runs, so offline tests exercise the production path.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import threading
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..settings import Settings, settings as _default_settings
+from . import bert, clip, convert, tokenizer as tok
+
+logger = logging.getLogger(__name__)
+
+TEXT_EMBED_DIM = 384
+CLIP_EMBED_DIM = 512
+
+
+def _sanitize(model_id: str) -> str:
+    return model_id.replace("/", "__")
+
+
+def _bucket(value: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if value <= b:
+            return b
+    return buckets[-1]
+
+
+def _pad_rows(arr: np.ndarray, rows: int) -> np.ndarray:
+    if arr.shape[0] == rows:
+        return arr
+    pad = np.zeros((rows - arr.shape[0], *arr.shape[1:]), dtype=arr.dtype)
+    return np.concatenate([arr, pad], axis=0)
+
+
+class EncoderRuntime:
+    """Holds MiniLM + CLIP + cross-encoder params and their jitted forwards."""
+
+    def __init__(
+        self,
+        cfg: Optional[Settings] = None,
+        bert_cfg: bert.BertConfig = bert.MINILM_L6,
+        clip_cfg: clip.CLIPConfig = clip.CLIP_VIT_B32,
+    ) -> None:
+        self.cfg = cfg or _default_settings
+        self.bert_cfg = bert_cfg
+        self.clip_cfg = clip_cfg
+        self.text_dim = bert_cfg.hidden_size
+        self.clip_dim = clip_cfg.projection_dim
+        # RLock: _ensure_cross reuses _ensure_minilm's tokenizer under the lock
+        self._lock = threading.RLock()
+        self._minilm = None
+        self._clip = None
+        self._cross = None
+        self._bert_tok = None
+        self._clip_tok = None
+        tpu = self.cfg.tpu
+        # bf16 matmuls are the TPU fast path; on CPU backends bf16 is emulated
+        # and slower, so fall back to f32 there unless explicitly forced.
+        requested = jnp.bfloat16 if tpu.compute_dtype == "bfloat16" else jnp.float32
+        if requested == jnp.bfloat16 and jax.default_backend() == "cpu":
+            requested = jnp.float32
+        self.compute_dtype = requested
+
+    # -- lazy loading -------------------------------------------------------
+
+    def _weights_dir(self, model_id: str) -> str:
+        import os
+
+        return os.path.join(self.cfg.paths.weights_dir, _sanitize(model_id))
+
+    def _ensure_minilm(self):
+        with self._lock:
+            if self._minilm is None:
+                wdir = self._weights_dir(self.cfg.models.text)
+                if convert.params_available(wdir, "model"):
+                    logger.info("loading MiniLM weights from %s", wdir)
+                    self._minilm = convert.load_params(wdir, "model")
+                else:
+                    logger.warning(
+                        "no converted weights for %s — using seeded init",
+                        self.cfg.models.text,
+                    )
+                    self._minilm = bert.init_bert_params(jax.random.PRNGKey(0), self.bert_cfg)
+                self._bert_tok = tok.load_bert_tokenizer(wdir)
+        return self._minilm
+
+    def _ensure_clip(self):
+        with self._lock:
+            if self._clip is None:
+                wdir = self._weights_dir(self.cfg.models.clip)
+                if convert.params_available(wdir, "model"):
+                    logger.info("loading CLIP weights from %s", wdir)
+                    self._clip = convert.load_params(wdir, "model")
+                else:
+                    logger.warning(
+                        "no converted weights for %s — using seeded init",
+                        self.cfg.models.clip,
+                    )
+                    self._clip = clip.init_clip_params(jax.random.PRNGKey(1), self.clip_cfg)
+                self._clip_tok = tok.load_clip_tokenizer(wdir)
+        return self._clip
+
+    def _ensure_cross(self):
+        with self._lock:
+            if self._cross is None:
+                wdir = self._weights_dir(self.cfg.models.reranker)
+                if convert.params_available(wdir, "model"):
+                    logger.info("loading cross-encoder weights from %s", wdir)
+                    self._cross = convert.load_params(wdir, "model")
+                else:
+                    logger.warning(
+                        "no converted weights for %s — using seeded init",
+                        self.cfg.models.reranker,
+                    )
+                    self._cross = bert.init_cross_encoder_params(jax.random.PRNGKey(2), self.bert_cfg)
+                if self._bert_tok is None:
+                    self._ensure_minilm()
+        return self._cross
+
+    # -- jitted kernels (cached per shape by jax.jit) -----------------------
+
+    @functools.cached_property
+    def _minilm_fn(self):
+        return jax.jit(
+            lambda p, ids, mask: bert.minilm_embed(
+                p, ids, mask, self.bert_cfg, compute_dtype=self.compute_dtype
+            )
+        )
+
+    @functools.cached_property
+    def _clip_image_fn(self):
+        from ..ops.images import preprocess_batch
+
+        def fn(p, images_u8):
+            pixels = preprocess_batch(images_u8)  # fused into the same XLA program
+            feats = clip.clip_image_features(p, pixels, self.clip_cfg, compute_dtype=self.compute_dtype)
+            return bert.l2_normalize(feats)
+
+        return jax.jit(fn)
+
+    @functools.cached_property
+    def _clip_text_fn(self):
+        def fn(p, ids, mask):
+            feats = clip.clip_text_features(p, ids, mask, self.clip_cfg, compute_dtype=self.compute_dtype)
+            return bert.l2_normalize(feats)
+
+        return jax.jit(fn)
+
+    @functools.cached_property
+    def _cross_fn(self):
+        return jax.jit(
+            lambda p, ids, mask, tt: bert.cross_encoder_score(
+                p, ids, mask, tt, self.bert_cfg, compute_dtype=self.compute_dtype
+            )
+        )
+
+    # -- public API (reference embed_* signatures) --------------------------
+
+    def embed_text_batch(self, texts: Sequence[str]) -> np.ndarray:
+        """(n, 384) L2-normalized MiniLM sentence embeddings
+        (reference ``embed_text_batch``, ``app/ml/embeddings.py:52-70``)."""
+
+        if not texts:
+            return np.zeros((0, self.text_dim), dtype=np.float32)
+        params = self._ensure_minilm()
+        tpu = self.cfg.tpu
+        out = []
+        max_batch = tpu.text_batch_buckets[-1]
+        for start in range(0, len(texts), max_batch):
+            chunk = list(texts[start : start + max_batch])
+            n = len(chunk)
+            tokenized = [self._bert_tok.tokenize_ids(t) for t in chunk]
+            longest = max((len(t) for t in tokenized), default=1) + 2
+            seq = _bucket(longest, tpu.text_seq_buckets)
+            ids, mask = self._bert_tok.encode(chunk, seq)
+            bsz = _bucket(n, tpu.text_batch_buckets)
+            ids, mask = _pad_rows(ids, bsz), _pad_rows(mask, bsz)
+            # padded rows are all-pad-token; mean_pool guards div-by-zero
+            emb = self._minilm_fn(params, jnp.asarray(ids), jnp.asarray(mask))
+            out.append(np.asarray(emb[:n], dtype=np.float32))
+        return np.concatenate(out, axis=0)
+
+    def embed_images_batch(self, images: Sequence[np.ndarray]) -> np.ndarray:
+        """(n, 512) L2-normalized CLIP image embeddings from uint8 RGB arrays
+        (reference ``embed_images_batch``, ``app/ml/embeddings.py:73-91``).
+
+        Accepts mixed sizes; host does centered-square crop + canvas resize,
+        device does fused preprocess + ViT forward.
+        """
+
+        if not images:
+            return np.zeros((0, self.clip_dim), dtype=np.float32)
+        from ..ops.images import stack_square_crops
+
+        params = self._ensure_clip()
+        tpu = self.cfg.tpu
+        out = []
+        max_batch = tpu.image_batch_buckets[-1]
+        for start in range(0, len(images), max_batch):
+            chunk = images[start : start + max_batch]
+            n = len(chunk)
+            batch = stack_square_crops(chunk, canvas=224)
+            bsz = _bucket(n, tpu.image_batch_buckets)
+            batch = _pad_rows(batch, bsz)
+            emb = self._clip_image_fn(params, jnp.asarray(batch))
+            out.append(np.asarray(emb[:n], dtype=np.float32))
+        return np.concatenate(out, axis=0)
+
+    def embed_image_files(self, paths: Sequence[str]) -> np.ndarray:
+        """Decode image files on host and embed (reference passes paths)."""
+
+        from PIL import Image
+
+        images = []
+        for path in paths:
+            with Image.open(path) as img:
+                images.append(np.asarray(img.convert("RGB")))
+        return self.embed_images_batch(images)
+
+    def embed_query_for_images(self, query: str) -> np.ndarray:
+        """(512,) L2-normalized CLIP text embedding
+        (reference ``embed_query_for_images``, ``app/ml/embeddings.py:94-105``)."""
+
+        params = self._ensure_clip()
+        ids, mask = self._clip_tok.encode([query], max_len=77)
+        emb = self._clip_text_fn(params, jnp.asarray(ids), jnp.asarray(mask))
+        return np.asarray(emb[0], dtype=np.float32)
+
+    def rerank_scores(self, query: str, passages: Sequence[str]) -> np.ndarray:
+        """(n,) cross-encoder relevance logits for (query, passage) pairs
+        (reference CrossEncoder.predict, ``app/ml/retrieve.py:148``)."""
+
+        if not passages:
+            return np.zeros((0,), dtype=np.float32)
+        params = self._ensure_cross()
+        tpu = self.cfg.tpu
+        seq = tpu.rerank_seq_len
+        ids, mask, tt = self._bert_tok.encode_pairs(
+            [query] * len(passages), list(passages), seq
+        )
+        bsz = _bucket(len(passages), tpu.text_batch_buckets)
+        ids, mask, tt = _pad_rows(ids, bsz), _pad_rows(mask, bsz), _pad_rows(tt, bsz)
+        scores = self._cross_fn(params, jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(tt))
+        return np.asarray(scores[: len(passages)], dtype=np.float32)
+
+
+_runtime: Optional[EncoderRuntime] = None
+_runtime_lock = threading.Lock()
+
+
+def get_runtime(cfg: Optional[Settings] = None) -> EncoderRuntime:
+    """Process-wide lazy singleton (reference lazy-global pattern)."""
+
+    global _runtime
+    with _runtime_lock:
+        if _runtime is None or (cfg is not None and _runtime.cfg is not cfg):
+            _runtime = EncoderRuntime(cfg)
+    return _runtime
+
+
+def reset_runtime() -> None:
+    """Test hook."""
+
+    global _runtime
+    with _runtime_lock:
+        _runtime = None

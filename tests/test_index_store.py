@@ -1,0 +1,132 @@
+"""VectorIndex: upsert/tombstone semantics, tenant+doc masking, growth,
+compaction, persistence, batch search."""
+
+import numpy as np
+import pytest
+
+from mmrag_tpu.index.store import VectorIndex
+from mmrag_tpu.storage import VectorRow
+
+
+def _row(cid, user="u1", doc="d1", vec=None, dim=8):
+    if vec is None:
+        vec = np.random.default_rng(abs(hash(cid)) % 2**31).standard_normal(dim)
+    return VectorRow(
+        chunk_id=cid, user_id=user, document_id=doc, modality="text",
+        embedding=np.asarray(vec, dtype=np.float32),
+    )
+
+
+def _basis(i, dim=8):
+    v = np.zeros(dim, dtype=np.float32)
+    v[i] = 1.0
+    return v
+
+
+@pytest.fixture()
+def index():
+    return VectorIndex(dim=8, dtype="float32")
+
+
+def test_upsert_and_search(index):
+    index.upsert([_row(f"c{i}", vec=_basis(i)) for i in range(4)])
+    assert len(index) == 4
+    hits = index.search(_basis(2), "u1", k=2)
+    assert hits[0][0] == "c2"
+    assert hits[0][1] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_normalize_on_write(index):
+    index.upsert([_row("c0", vec=_basis(0) * 50.0)])
+    hits = index.search(_basis(0), "u1", k=1)
+    assert hits[0][1] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_tenant_isolation(index):
+    index.upsert([_row("a", user="u1", vec=_basis(0))])
+    index.upsert([_row("b", user="u2", vec=_basis(0))])
+    hits = index.search(_basis(0), "u1", k=10)
+    assert [h[0] for h in hits] == ["a"]
+    assert index.search(_basis(0), "unknown-user", k=5) == []
+
+
+def test_document_filter_pre_topk(index):
+    # Fill doc d1 with perfect matches; the d2 row is a weaker match. A
+    # post-top-k filter (reference bug) would return nothing for d2 at k=1.
+    index.upsert([_row(f"c{i}", doc="d1", vec=_basis(0)) for i in range(3)])
+    index.upsert([_row("target", doc="d2", vec=_basis(0) * 0.5 + _basis(1))])
+    hits = index.search(_basis(0), "u1", k=1, document_id="d2")
+    assert [h[0] for h in hits] == ["target"]
+    assert index.search(_basis(0), "u1", k=1, document_id="nope") == []
+
+
+def test_upsert_replaces_chunk(index):
+    index.upsert([_row("c0", vec=_basis(0))])
+    index.upsert([_row("c0", vec=_basis(1))])  # delete-then-add
+    assert len(index) == 1
+    hits = index.search(_basis(1), "u1", k=5)
+    assert hits[0][0] == "c0"
+    assert index.search(_basis(0), "u1", k=5)[0][1] < 0.5
+
+
+def test_delete_document(index):
+    index.upsert([_row("c0", doc="d1"), _row("c1", doc="d2")])
+    assert index.delete_document("d1") == 1
+    assert len(index) == 1
+    assert [h[0] for h in index.search(_basis(0), "u1", k=10)] != ["c0"]
+
+
+def test_capacity_growth_preserves_rows(index):
+    from mmrag_tpu.index import store as store_mod
+
+    old_min = store_mod._MIN_CAPACITY
+    store_mod._MIN_CAPACITY = 8
+    try:
+        idx = VectorIndex(dim=8, dtype="float32")
+        for start in range(0, 40, 5):
+            idx.upsert([_row(f"c{start + i}", vec=_basis((start + i) % 8)) for i in range(5)])
+        assert len(idx) == 40
+        hits = idx.search(_basis(3), "u1", k=40)
+        assert len(hits) == 40  # every row survived the capacity doublings
+        top5 = hits[:5]
+        assert all(score == pytest.approx(1.0, abs=1e-5) for _, score in top5)
+        assert {cid for cid, _ in top5} == {"c3", "c11", "c19", "c27", "c35"}
+    finally:
+        store_mod._MIN_CAPACITY = old_min
+
+
+def test_compact_reclaims_tombstones(index):
+    index.upsert([_row(f"c{i}", vec=_basis(i % 8)) for i in range(10)])
+    index.upsert([_row(f"c{i}", vec=_basis(i % 8)) for i in range(10)])  # all replaced
+    assert index._size == 20  # slab holds tombstones
+    assert index.compact() == 10
+    assert index._size == 10
+    assert index.search(_basis(1), "u1", k=1)[0][0] == "c1"
+
+
+def test_search_batch_multiple_queries(index):
+    index.upsert([_row(f"c{i}", vec=_basis(i)) for i in range(4)])
+    queries = np.stack([_basis(0), _basis(3)])
+    results = index.search_batch(queries, "u1", k=1)
+    assert results[0][0][0] == "c0" and results[1][0][0] == "c3"
+
+
+def test_persistence_roundtrip(tmp_path, index):
+    index.upsert([_row(f"c{i}", user=f"u{i % 2 + 1}", vec=_basis(i)) for i in range(4)])
+    index.upsert([_row("c0", vec=_basis(5))])  # tombstone + rewrite
+    index.save(str(tmp_path), "text")
+    loaded = VectorIndex.load(str(tmp_path), "text", dtype="float32")
+    assert len(loaded) == 4
+    # u1 interned rows: c0 (rewritten as u1) and c2
+    hits = loaded.search(_basis(5), "u1", k=5)
+    assert hits[0][0] == "c0"
+
+
+def test_load_or_create(tmp_path):
+    idx = VectorIndex.load_or_create(str(tmp_path), "missing", dim=8, dtype="float32")
+    assert len(idx) == 0 and idx.dim == 8
+
+
+def test_dim_mismatch_raises(index):
+    with pytest.raises(ValueError):
+        index.upsert([_row("c0", vec=np.ones(16))])

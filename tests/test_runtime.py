@@ -1,0 +1,85 @@
+"""EncoderRuntime: shapes, normalization, bucketing, determinism, weights dir."""
+
+import numpy as np
+import pytest
+
+from mmrag_tpu.models import runtime as rt
+from mmrag_tpu.settings import load_settings
+
+
+from mmrag_tpu.models.bert import BertConfig
+from mmrag_tpu.models.clip import CLIPConfig, CLIPTextConfig, CLIPVisionConfig
+
+# Tiny geometries keep CPU compiles fast; full-size numerics are covered by
+# tests/test_model_parity.py. Vocab sizes stay real so HashTokenizer ids fit.
+TINY_BERT = BertConfig(hidden_size=64, num_layers=2, num_heads=4, intermediate_size=128)
+TINY_CLIP = CLIPConfig(
+    vision=CLIPVisionConfig(hidden_size=64, num_layers=2, num_heads=2, intermediate_size=128),
+    text=CLIPTextConfig(hidden_size=32, num_layers=2, num_heads=2, intermediate_size=64),
+    projection_dim=512,
+)
+
+
+@pytest.fixture()
+def enc(tmp_path):
+    cfg = load_settings({"WEIGHTS_DIR": str(tmp_path / "weights")})
+    rt.reset_runtime()
+    yield rt.EncoderRuntime(cfg, bert_cfg=TINY_BERT, clip_cfg=TINY_CLIP)
+    rt.reset_runtime()
+
+
+def test_text_embeddings_shape_and_norm(enc):
+    embs = enc.embed_text_batch(["hello world", "a longer sentence about things", "x"])
+    assert embs.shape == (3, 64) and embs.dtype == np.float32
+    np.testing.assert_allclose(np.linalg.norm(embs, axis=1), 1.0, atol=1e-5)
+    assert enc.embed_text_batch([]).shape == (0, 64)
+
+
+def test_text_embeddings_deterministic_and_batch_invariant(enc):
+    one = enc.embed_text_batch(["the same sentence"])
+    many = enc.embed_text_batch(["the same sentence", "another one", "third"])
+    np.testing.assert_allclose(one[0], many[0], atol=1e-5)
+
+
+def test_image_embeddings_mixed_sizes(enc, rng):
+    imgs = [
+        rng.integers(0, 255, (64, 96, 3)).astype(np.uint8),
+        rng.integers(0, 255, (224, 224, 3)).astype(np.uint8),
+    ]
+    embs = enc.embed_images_batch(imgs)
+    assert embs.shape == (2, 512)
+    np.testing.assert_allclose(np.linalg.norm(embs, axis=1), 1.0, atol=1e-4)
+    assert enc.embed_images_batch([]).shape == (0, 512)
+
+
+def test_query_for_images(enc):
+    vec = enc.embed_query_for_images("a diagram of a cell")
+    assert vec.shape == (512,)
+    np.testing.assert_allclose(np.linalg.norm(vec), 1.0, atol=1e-5)
+
+
+def test_rerank_scores(enc):
+    scores = enc.rerank_scores("query", ["passage one", "another passage", "third"])
+    assert scores.shape == (3,) and scores.dtype == np.float32
+    assert enc.rerank_scores("query", []).shape == (0,)
+    # deterministic
+    again = enc.rerank_scores("query", ["passage one", "another passage", "third"])
+    np.testing.assert_allclose(scores, again, atol=1e-5)
+
+
+def test_image_file_decode(enc, tmp_path, rng):
+    from PIL import Image
+
+    path = tmp_path / "img.png"
+    arr = rng.integers(0, 255, (50, 70, 3)).astype(np.uint8)
+    Image.fromarray(arr).save(path)
+    embs = enc.embed_image_files([str(path)])
+    assert embs.shape == (1, 512)
+
+
+def test_get_runtime_singleton():
+    rt.reset_runtime()
+    a = rt.get_runtime()
+    b = rt.get_runtime()
+    assert a is b
+    rt.reset_runtime()
