@@ -1,0 +1,89 @@
+"""RagEngine: the process-wide wiring of encoders, indexes, and catalogs.
+
+The reference wires its pipeline through import-time module singletons
+(``/root/reference/app/ml/retrieve.py:21-22``, ``app/ml/index_build.py:14-16``,
+``api/routes.py:35-36``); here the same roles live on one injectable object so
+tests construct isolated engines and the serving layer shares one instance.
+
+Owns:
+  * :class:`EncoderRuntime`            — MiniLM / CLIP / cross-encoder (L1)
+  * two :class:`VectorIndex` instances — text (384-d) + image (512-d) slabs,
+    the reference's two LanceDB collections (``lancedb_store.py:30-31``)
+  * :class:`MetadataStore`             — documents/chunks catalog (SQLite)
+  * :class:`NoteStore`                 — notes/quizzes
+  * :class:`IndexVersionStore`         — per-user version counters (cache keys)
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from typing import Optional
+
+from ..index.store import VectorIndex
+from ..index.version import IndexVersionStore
+from ..models.runtime import EncoderRuntime, get_runtime
+from ..settings import Settings, settings as _default_settings
+from ..storage.metadata import MetadataStore
+from ..storage.notes import NoteStore
+
+
+class RagEngine:
+    def __init__(
+        self,
+        cfg: Optional[Settings] = None,
+        runtime: Optional[EncoderRuntime] = None,
+    ) -> None:
+        self.cfg = cfg or _default_settings
+        self.runtime = runtime or get_runtime(self.cfg)
+        paths = self.cfg.paths
+        os.makedirs(paths.index_dir, exist_ok=True)
+        self.text_index = VectorIndex.load_or_create(
+            paths.index_dir, "text_collection",
+            dim=self.runtime.text_dim, dtype=self.cfg.tpu.compute_dtype,
+        )
+        self.image_index = VectorIndex.load_or_create(
+            paths.index_dir, "image_collection",
+            dim=self.runtime.clip_dim, dtype=self.cfg.tpu.compute_dtype,
+        )
+        self.metadata = MetadataStore(
+            os.path.join(paths.index_dir, "metadata.db")
+        )
+        self.notes = NoteStore(paths.notes_db_path)
+        self.versions = IndexVersionStore(
+            os.path.join(paths.index_dir, "index_versions.db")
+        )
+        self._persist_lock = threading.Lock()
+
+    def persist_indexes(self) -> None:
+        """Flush both vector indexes to disk (restart survival, like the
+        reference's on-disk LanceDB tables)."""
+
+        with self._persist_lock:
+            self.text_index.save(self.cfg.paths.index_dir, "text_collection")
+            self.image_index.save(self.cfg.paths.index_dir, "image_collection")
+
+    def close(self) -> None:
+        self.metadata.close()
+        self.notes.close()
+        self.versions.close()
+
+
+_engine: Optional[RagEngine] = None
+_engine_lock = threading.Lock()
+
+
+def get_engine(cfg: Optional[Settings] = None) -> RagEngine:
+    global _engine
+    with _engine_lock:
+        if _engine is None:
+            _engine = RagEngine(cfg)
+    return _engine
+
+
+def set_engine(engine: Optional[RagEngine]) -> None:
+    """Test/serving hook to install (or clear) the process engine."""
+
+    global _engine
+    with _engine_lock:
+        _engine = engine

@@ -15,6 +15,7 @@ import json
 import os
 import sqlite3
 import threading
+import time
 from typing import Dict, Iterable, List, Optional, Sequence
 
 from .records import Chunk, Document
@@ -104,6 +105,22 @@ class MetadataStore:
                     doc.created_at,
                     json.dumps(doc.meta, sort_keys=True),
                 ),
+            )
+
+    def ensure_document(
+        self, document_id: str, user_id: str, doc_type: str = "pdf"
+    ) -> None:
+        """Insert a stub document iff absent (keeps chunk FK satisfiable when
+        indexing runs before the caller registered the document)."""
+
+        with self._lock, self._conn:
+            self._conn.execute(
+                f"""
+                INSERT INTO documents ({_DOC_COLUMNS})
+                VALUES (?, ?, ?, '', '', 'processing', ?, '{{}}')
+                ON CONFLICT(document_id) DO NOTHING
+                """,
+                (document_id, user_id, doc_type, time.time()),
             )
 
     def set_document_status(self, document_id: str, status: str) -> None:
