@@ -1,0 +1,176 @@
+"""Frames + YouTube ladder + notes builder (cv2-synthesized video, no network
+— mirrors reference test_frames.py's synthetic-video technique)."""
+
+import numpy as np
+import pytest
+
+from mmrag_tpu.ingest import youtube as yt
+from mmrag_tpu.ingest.frames import ExtractedFrame, extract_scene_frames
+from mmrag_tpu.settings import load_settings
+from mmrag_tpu.utils.note_builder import build_notes_payload, heuristic_notes, truncate_context
+
+cv2 = pytest.importorskip("cv2")
+
+
+@pytest.fixture()
+def sample_video(tmp_path, rng):
+    """3 scenes x 4 seconds @ 4fps, 64x64: textured so phash discriminates."""
+
+    path = str(tmp_path / "sample.mp4")
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 4, (64, 64))
+    scenes = []
+    for _ in range(3):
+        blocks = rng.integers(0, 255, (8, 8, 3)).astype(np.float32)
+        scenes.append(np.kron(blocks, np.ones((8, 8, 1))).astype(np.uint8))
+    for scene in scenes:
+        for _ in range(16):
+            writer.write(cv2.cvtColor(scene, cv2.COLOR_RGB2BGR))
+    writer.release()
+    return path
+
+
+def test_extract_scene_frames(sample_video, tmp_path):
+    cfg = load_settings({
+        "INGEST_CACHE_DIR": str(tmp_path / "cache"),
+        "YT_FRAME_STRIDE_SEC": "1",
+        "YT_FRAME_EXTRACTOR": "opencv",
+    })
+    frames = extract_scene_frames("u1", "vid1", sample_video, cfg)
+    # 12s of video with 3 distinct scenes -> dedup keeps ~3 frames
+    assert 2 <= len(frames) <= 5
+    assert all(isinstance(f, ExtractedFrame) for f in frames)
+    assert frames == sorted(frames, key=lambda f: f.ts)
+    import os
+    for f in frames:
+        assert os.path.getsize(f.path) > 0
+
+
+def test_extract_frames_cap(sample_video, tmp_path):
+    cfg = load_settings({
+        "INGEST_CACHE_DIR": str(tmp_path / "cache"),
+        "YT_FRAME_STRIDE_SEC": "1",
+        "YT_FRAME_EXTRACTOR": "opencv",
+        "YT_MAX_FRAMES": "2",
+        "YT_FRAME_DEDUP_DELTA": "-1",  # keep everything, cap must bite
+    })
+    frames = extract_scene_frames("u1", "vid2", sample_video, cfg)
+    assert len(frames) == 2
+
+
+def test_extract_frames_missing_video(tmp_path):
+    from mmrag_tpu.ingest.frames import FrameExtractionError
+
+    cfg = load_settings({
+        "INGEST_CACHE_DIR": str(tmp_path / "cache"),
+        "YT_FRAME_EXTRACTOR": "opencv",
+    })
+    with pytest.raises(FrameExtractionError):
+        extract_scene_frames("u1", "bad", str(tmp_path / "none.mp4"), cfg)
+
+
+# -- YouTube ladder ----------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "url",
+    [
+        "https://www.youtube.com/watch?v=dQw4w9WgXcQ",
+        "https://youtu.be/dQw4w9WgXcQ",
+        "https://www.youtube.com/embed/dQw4w9WgXcQ?rel=0",
+        "https://www.youtube.com/shorts/dQw4w9WgXcQ",
+        "dQw4w9WgXcQ",
+    ],
+)
+def test_resolve_video_id(url):
+    assert yt.resolve_video_id(url) == "dQw4w9WgXcQ"
+
+
+def test_resolve_video_id_rejects_garbage():
+    with pytest.raises(yt.YouTubeIngestError):
+        yt.resolve_video_id("https://example.com/not-youtube")
+
+
+def _segs():
+    return [
+        yt.TranscriptSegment("intro to cells", 0.0, 5.0),
+        yt.TranscriptSegment("mitochondria make ATP", 5.0, 5.0),
+        yt.TranscriptSegment("chloroplasts do photosynthesis", 10.0, 5.0),
+    ]
+
+
+def test_transcript_first_path():
+    out = yt.transcript_or_fallback(
+        "https://youtu.be/dQw4w9WgXcQ", "/tmp",
+        transcript_fn=lambda vid: _segs(),
+        download_fn=lambda *a, **k: pytest.fail("must not download"),
+    )
+    assert out["source"] == "transcript" and len(out["segments"]) == 3
+    assert out["video_id"] == "dQw4w9WgXcQ"
+
+
+def test_asr_fallback_path(tmp_path):
+    calls = []
+    out = yt.transcript_or_fallback(
+        "https://youtu.be/dQw4w9WgXcQ", str(tmp_path),
+        transcript_fn=lambda vid: (_ for _ in ()).throw(RuntimeError("no captions")),
+        download_fn=lambda url, d, cfg: calls.append("dl") or str(tmp_path / "v.mp4"),
+        audio_fn=lambda p, cfg: calls.append("wav") or str(tmp_path / "v.wav"),
+        asr_fn=lambda p: calls.append("asr") or _segs(),
+    )
+    assert out["source"] == "asr" and calls == ["dl", "wav", "asr"]
+
+
+def test_asr_empty_raises(tmp_path):
+    with pytest.raises(yt.YouTubeIngestError):
+        yt.transcript_or_fallback(
+            "dQw4w9WgXcQ", str(tmp_path),
+            transcript_fn=lambda vid: [],
+            download_fn=lambda *a, **k: "v.mp4",
+            audio_fn=lambda *a, **k: "v.wav",
+            asr_fn=lambda p: [],
+        )
+
+
+def test_gated_deps_raise_cleanly():
+    with pytest.raises(yt.YouTubeIngestError, match="yt-dlp"):
+        yt.fetch_video_info("https://youtu.be/dQw4w9WgXcQ")
+    with pytest.raises(yt.YouTubeIngestError, match="transcript"):
+        yt.get_transcript("dQw4w9WgXcQ")
+
+
+def test_segments_to_nodes():
+    nodes = yt.segments_to_nodes("vid1", _segs())
+    assert len(nodes) == 3
+    assert nodes[1]["metadata"]["ts_start"] == 5.0
+    assert nodes[1]["metadata"]["ts_end"] == 10.0
+    assert nodes[1]["id"] == "vid1-s1"
+
+
+# -- Notes builder -----------------------------------------------------------
+
+
+def test_truncate_context():
+    segs = [yt.TranscriptSegment("x" * 50, i * 5.0, 5.0) for i in range(10)]
+    ctx = truncate_context(segs, max_chars=120)
+    assert len(ctx) <= 120 and ctx.count("x") == 100
+
+
+def test_heuristic_notes_schema():
+    notes = heuristic_notes("Bio video", _segs(), quiz_questions=2)
+    assert set(notes) == {"summary", "key_points", "timeline", "quiz"}
+    assert notes["timeline"][0]["ts"] == 0.0
+    assert 1 <= len(notes["quiz"]) <= 2
+    q = notes["quiz"][0]
+    assert q["answer"] in q["options"] and "_____" in q["question"]
+
+
+def test_build_notes_payload_offline():
+    payload = build_notes_payload("Title", _segs())
+    assert payload["title"] == "Title"
+    assert payload["summary"]
+
+
+def test_notes_empty_segments():
+    notes = heuristic_notes("t", [], quiz_questions=3)
+    assert notes["quiz"] == [] and notes["timeline"] == []
+    assert notes["summary"]

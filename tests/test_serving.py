@@ -1,0 +1,211 @@
+"""HTTP API: auth, rate limit, PDF ingest, YouTube job flow, chat, notes.
+
+Runs the real ThreadingHTTPServer on an ephemeral port with a tiny engine —
+the live-path version of the reference's stale TestClient suite
+(tests/test_main.py, SURVEY §4)."""
+
+import json
+import threading
+import zlib
+
+import httpx
+import pytest
+
+from mmrag_tpu.ingest.youtube import TranscriptSegment
+from mmrag_tpu.serving.http import make_server
+from mmrag_tpu.serving.jobs import LocalJobQueue
+
+from tiny import tiny_engine
+
+
+def _make_pdf_bytes(texts):
+    objects, kids, next_id = [], [], 3
+    for text in texts:
+        comp = zlib.compress(f"BT ({text}) Tj ET".encode())
+        kids.append(next_id)
+        objects.append((next_id, f"<< /Type /Page /Contents {next_id+1} 0 R >>".encode()))
+        objects.append((next_id + 1, b"<< /Filter /FlateDecode >>\nstream\n" + comp + b"\nendstream"))
+        next_id += 2
+    refs = " ".join(f"{k} 0 R" for k in kids)
+    body = b"%PDF-1.4\n"
+    for num, payload in [(1, b"<< /Type /Catalog >>"),
+                         (2, f"<< /Type /Pages /Kids [{refs}] >>".encode())] + objects:
+        body += f"{num} 0 obj\n".encode() + payload + b"\nendobj\n"
+    return body + b"%%EOF"
+
+
+@pytest.fixture()
+def api(tmp_path, monkeypatch):
+    engine = tiny_engine(tmp_path)
+    queue = LocalJobQueue(str(tmp_path / "jobs.db"), workers=1)
+    server = make_server("127.0.0.1", 0, cfg=engine.cfg, engine=engine, queue=queue)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+
+    # fake the network-bound ladder stages (reference monkeypatch seam)
+    from mmrag_tpu.serving import tasks as task_mod
+
+    def fake_ladder(url, work_dir, cfg, **kwargs):
+        return {
+            "video_id": "dQw4w9WgXcQ",
+            "segments": [
+                TranscriptSegment("cells make energy", 0.0, 5.0),
+                TranscriptSegment("the krebs cycle explained", 5.0, 5.0),
+            ],
+            "source": "transcript",
+        }
+
+    def fake_info(url, cfg):
+        return {"video_id": "dQw4w9WgXcQ", "title": "Bio video", "duration": 120}
+
+    monkeypatch.setattr(task_mod.yt, "transcript_or_fallback", fake_ladder)
+    monkeypatch.setattr(task_mod.yt, "fetch_video_info", fake_info)
+
+    client = httpx.Client(
+        base_url=f"http://127.0.0.1:{port}", headers={"X-API-Key": "test-key"},
+        timeout=30.0,
+    )
+    yield client, queue
+    client.close()
+    server.shutdown()
+    queue.shutdown()
+    engine.close()
+
+
+def test_healthz_unauthenticated(api):
+    client, _ = api
+    res = httpx.get(str(client.base_url) + "/healthz", timeout=10)
+    assert res.status_code == 200 and res.json() == {"status": "ok"}
+
+
+def test_auth_required(api):
+    client, _ = api
+    res = httpx.post(str(client.base_url) + "/chat_pro", json={"query": "x"}, timeout=10)
+    assert res.status_code == 401
+    res = httpx.get(
+        str(client.base_url) + "/videos/", headers={"X-API-Key": "wrong"}, timeout=10
+    )
+    assert res.status_code == 401
+
+
+def test_unknown_route(api):
+    client, _ = api
+    assert client.get("/nope").status_code == 404
+    assert client.post("/nope").status_code == 404
+
+
+def test_process_pdf_and_chat(api):
+    client, _ = api
+    pdf = _make_pdf_bytes(["The mitochondria is the powerhouse of the cell"])
+    res = client.post("/process-pdf/", files={"file": ("bio.pdf", pdf, "application/pdf")})
+    assert res.status_code == 200, res.text
+    out = res.json()
+    assert out["status"] == "ready" and out["text_nodes"] >= 1
+    res = client.post("/chat_pro", json={"query": "what is the powerhouse of the cell?"})
+    assert res.status_code == 200
+    chat = res.json()
+    assert "answer" in chat and "citations" in chat and "abstained" in chat
+    assert chat["results"] is not None
+
+
+def test_process_pdf_rejects_bad_ext(api):
+    client, _ = api
+    res = client.post("/process-pdf/", files={"file": ("evil.exe", b"x", "application/foo")})
+    assert res.status_code == 400
+
+
+def test_process_pdf_requires_file_field(api):
+    client, _ = api
+    res = client.post("/process-pdf/", files={"other": ("a.pdf", b"%PDF", "application/pdf")})
+    assert res.status_code == 400
+
+
+def test_chat_requires_query(api):
+    client, _ = api
+    assert client.post("/chat_pro", json={}).status_code == 400
+    assert client.post("/chat_pro", content=b"not json",
+                       headers={"Content-Type": "application/json"}).status_code == 400
+
+
+def test_youtube_job_flow_and_notes(api):
+    client, queue = api
+    res = client.post("/ingest/youtube", json={"url": "https://youtu.be/dQw4w9WgXcQ"})
+    assert res.status_code == 202
+    job_id = res.json()["job_id"]
+    final = queue.wait(job_id, timeout_sec=60)
+    assert final["state"] == "SUCCESS", final
+    assert final["result"]["text_nodes"] == 2
+
+    st = client.get(f"/yt_status/{job_id}").json()
+    assert st["state"] == "SUCCESS" and st["pct"] == 100
+    # alias route
+    st2 = client.get(f"/ingest/status/{job_id}").json()
+    assert st2["state"] == "SUCCESS"
+
+    videos = client.get("/videos/").json()["videos"]
+    assert videos and videos[0]["video_id"] == "dQw4w9WgXcQ"
+    notes = client.get("/videos/dQw4w9WgXcQ/notes").json()
+    assert notes["summary"]
+    quiz = client.get("/videos/dQw4w9WgXcQ/quiz").json()
+    assert "quiz" in quiz
+    # chat over the ingested transcript, filtered to this video
+    chat = client.post("/chat_pro", json={"query": "krebs cycle",
+                                          "video_id": "dQw4w9WgXcQ"}).json()
+    assert "answer" in chat
+
+
+def test_youtube_form_endpoint(api):
+    client, queue = api
+    res = client.post("/process-youtube/", data={"url": "https://youtu.be/dQw4w9WgXcQ"})
+    assert res.status_code == 202
+
+
+def test_youtube_requires_url(api):
+    client, _ = api
+    assert client.post("/ingest/youtube", json={}).status_code == 400
+
+
+def test_idempotency_key_replays(api):
+    client, _ = api
+    headers = {"Idempotency-Key": "abc123"}
+    first = client.post("/ingest/youtube", json={"url": "https://youtu.be/dQw4w9WgXcQ"},
+                        headers=headers).json()
+    second = client.post("/ingest/youtube", json={"url": "https://youtu.be/dQw4w9WgXcQ"},
+                         headers=headers).json()
+    assert first["job_id"] == second["job_id"]
+
+
+def test_notes_404(api):
+    client, _ = api
+    assert client.get("/videos/unknown/notes").status_code == 404
+    assert client.get("/videos/unknown/quiz").status_code == 404
+
+
+def test_status_unknown_job_pending(api):
+    client, _ = api
+    st = client.get("/yt_status/doesnotexist").json()
+    assert st["state"] == "PENDING"
+
+
+def test_rate_limit(tmp_path):
+    engine = tiny_engine(tmp_path / "rl", extra_env={"RATE_LIMIT_PER_MIN": "3"})
+    queue = LocalJobQueue(str(tmp_path / "rl-jobs.db"))
+    server = make_server("127.0.0.1", 0, cfg=engine.cfg, engine=engine, queue=queue)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        with httpx.Client(base_url=f"http://127.0.0.1:{port}",
+                          headers={"X-API-Key": "test-key"}, timeout=10) as client:
+            codes = [client.get("/videos/").status_code for _ in range(5)]
+        assert codes[:3] == [200, 200, 200] and 429 in codes[3:]
+    finally:
+        server.shutdown()
+        queue.shutdown()
+        engine.close()
+
+
+def test_console_served(api):
+    client, _ = api
+    res = httpx.get(str(client.base_url) + "/", timeout=10)
+    assert res.status_code == 200 and "Multimodal RAG" in res.text
