@@ -1,0 +1,214 @@
+"""Benchmark harness — run on the real TPU chip; prints ONE JSON line.
+
+Measures the BASELINE.md north-star metrics:
+  * MiniLM-L6 sentence embeds/sec  (target >= 50k/chip)
+  * CLIP ViT-B/32 image embeds/sec with fused preprocess (target >= 10k/chip)
+  * masked cosine top-k p50 latency over a 1M x 384 index (target < 5 ms)
+  * cross-encoder rerank pairs/sec (reference depth-8 path at seq 256)
+
+Timing methodology: this chip is reached through the axon relay, where
+``block_until_ready`` is asynchronous and a host readback carries ~29 ms of
+fixed tunnel latency. Each benchmark therefore chains K iterations *on
+device* inside a ``lax.fori_loop`` (inputs perturbed per-iteration so XLA
+cannot hoist the body), reads back one scalar, and reports
+``(t(K1) - t(K2)) / (K1 - K2)`` — differencing out dispatch + readback +
+loop-constant overhead. Sanity anchor: an 8192^3 bf16 matmul measures
+~167 TFLOP/s with this method (85% of v5e peak).
+
+Headline metric = MiniLM embeds/sec; the rest ride in "extra".
+``vs_baseline`` = value / 50_000 (north-star target; the reference itself
+publishes no numbers — BASELINE.md).
+
+Usage: python bench.py [--platform cpu] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import statistics
+import time
+
+import numpy as np
+
+
+def _timed_readback(fn, *args, repeats: int = 3) -> float:
+    """Median wall time of dispatch + scalar readback."""
+
+    _ = np.asarray(fn(*args))  # compile
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        _ = np.asarray(fn(*args))
+        times.append(time.perf_counter() - t0)
+    return statistics.median(times)
+
+
+def _per_iter_seconds(make_step, k1: int, k2: int, repeats: int = 3) -> float:
+    """One jit with a *runtime* trip count (fori_loop lowers to while), so a
+    single compile serves both K values; difference the timings."""
+
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(make_step)
+    t1 = _timed_readback(f, jnp.int32(k1), repeats=repeats)
+    t2 = _timed_readback(f, jnp.int32(k2), repeats=repeats)
+    return max((t1 - t2) / (k1 - k2), 1e-9)
+
+
+def bench_minilm(quick: bool) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from mmrag_tpu.models import bert
+
+    params = bert.init_bert_params(jax.random.PRNGKey(0))
+    batch, seq = (128, 64) if quick else (512, 64)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(5, 30000, (batch, seq)), jnp.int32)
+    mask = jnp.ones((batch, seq), jnp.int32)
+
+    def make_step(k):
+        def body(i, acc):
+            shifted = (ids + i) % 30000
+            emb = bert.minilm_embed(params, shifted, mask, compute_dtype=jnp.bfloat16)
+            return acc + emb[0, 0]
+
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+    k1, k2 = (8, 2) if quick else (16, 4)
+    sec = _per_iter_seconds(make_step, k1, k2)
+    return batch / sec
+
+
+def bench_clip_images(quick: bool) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from mmrag_tpu.models import bert, clip
+    from mmrag_tpu.ops.images import preprocess_batch
+
+    params = clip.init_clip_params(jax.random.PRNGKey(1))
+    batch = 32 if quick else 128
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.integers(0, 255, (batch, 224, 224, 3), dtype=np.uint8))
+
+    def make_step(k):
+        def body(i, acc):
+            imgs = images + i.astype(jnp.uint8)  # wraps; defeats hoisting
+            feats = clip.clip_image_features(
+                params, preprocess_batch(imgs), compute_dtype=jnp.bfloat16
+            )
+            return acc + bert.l2_normalize(feats)[0, 0]
+
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+    k1, k2 = (6, 2) if quick else (12, 4)
+    sec = _per_iter_seconds(make_step, k1, k2)
+    return batch / sec
+
+
+def bench_topk(quick: bool) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from mmrag_tpu.ops.topk import cosine_topk, l2_normalize
+
+    n, d, k = (100_000 if quick else 1_000_000), 384, 50
+    rng = np.random.default_rng(0)
+    corpus = l2_normalize(
+        jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    ).astype(jnp.bfloat16)
+    queries = l2_normalize(jnp.asarray(rng.standard_normal((1, d)), jnp.float32))
+    mask = jnp.ones((n,), bool)
+
+    def make_step(kk):
+        def body(i, acc):
+            q = queries + 1e-6 * i
+            scores, idx = cosine_topk(q, corpus, mask, k)
+            return acc + scores[0, 0] + idx[0, 0].astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, kk, body, jnp.float32(0.0))
+
+    k1, k2 = (16, 4) if quick else (32, 8)
+    sec = _per_iter_seconds(make_step, k1, k2)
+    return sec * 1e3  # ms per query
+
+
+def bench_rerank(quick: bool) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from mmrag_tpu.models import bert
+
+    params = bert.init_cross_encoder_params(jax.random.PRNGKey(2))
+    batch, seq = 8, 256  # reference rerank depth 8, pair bucket 256
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(5, 30000, (batch, seq)), jnp.int32)
+    mask = jnp.ones((batch, seq), jnp.int32)
+    tt = jnp.asarray(np.concatenate(
+        [np.zeros((batch, seq // 2), np.int32), np.ones((batch, seq // 2), np.int32)], 1
+    ))
+
+    def make_step(k):
+        def body(i, acc):
+            shifted = (ids + i) % 30000
+            scores = bert.cross_encoder_score(
+                params, shifted, mask, tt, compute_dtype=jnp.bfloat16
+            )
+            return acc + scores[0]
+
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+    k1, k2 = (16, 4) if quick else (32, 8)
+    sec = _per_iter_seconds(make_step, k1, k2)
+    return batch / sec
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--platform", default="")
+    parser.add_argument("--quick", action="store_true")
+    args = parser.parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+
+    # persistent compile cache: first run pays ~1-2 min/model over the axon
+    # tunnel, subsequent runs start hot
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mmrag_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    backend = jax.default_backend()
+
+    minilm = bench_minilm(args.quick)
+    clip_im = bench_clip_images(args.quick)
+    topk_ms = bench_topk(args.quick)
+    rerank = bench_rerank(args.quick)
+
+    print(
+        json.dumps(
+            {
+                "metric": "minilm_embeds_per_sec_per_chip",
+                "value": round(minilm, 1),
+                "unit": "embeds/s",
+                "vs_baseline": round(minilm / 50_000.0, 3),
+                "extra": {
+                    "backend": backend,
+                    "clip_image_embeds_per_sec": round(clip_im, 1),
+                    "clip_vs_target_10k": round(clip_im / 10_000.0, 3),
+                    "topk_1m_p50_ms": round(topk_ms, 3),
+                    "topk_vs_target_5ms": round(5.0 / topk_ms, 3) if topk_ms else None,
+                    "rerank_pairs_per_sec": round(rerank, 1),
+                    "quick": args.quick,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

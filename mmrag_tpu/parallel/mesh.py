@@ -1,0 +1,91 @@
+"""Device mesh construction + sharding rules.
+
+The reference has no parallelism beyond torch minibatching (SURVEY §2c); this
+module supplies the TPU-native axes:
+
+  * ``data`` — batch DP for encoder throughput and corpus-row sharding of the
+    vector index (the only "tensor parallelism" this workload needs: each
+    chip scores its HBM shard, then a k-merge collective rides ICI).
+  * ``model`` — optional TP for the encoder towers (vocab/MLP sharding),
+    used by the fine-tuning step and available for larger model variants.
+
+Multi-host: call ``jax.distributed.initialize`` before :func:`build_mesh`;
+the mesh spans all processes' devices and XLA keeps collectives on ICI
+(SURVEY §5 "distributed communication backend").
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def build_mesh(
+    n_devices: Optional[int] = None,
+    model_parallel: int = 1,
+    devices=None,
+) -> Mesh:
+    """Mesh of shape (data, model) over the first ``n_devices`` devices."""
+
+    devices = list(devices if devices is not None else jax.devices())
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if n % model_parallel != 0:
+        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    grid = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def row_sharded(mesh: Mesh) -> NamedSharding:
+    """Shard dim 0 across the data axis (corpus rows / batch)."""
+
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def batch_sharded(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def param_sharding_rules(path: Tuple[str, ...], mesh: Mesh) -> NamedSharding:
+    """Tensor-parallel layout for encoder params (used when TP > 1).
+
+    Megatron-style pairing: up-projections (ffn_in/fc1, q/k/v) split the
+    output dim over ``model``; down-projections (ffn_out/fc2, attn_out)
+    split the input dim, so each pair needs a single psum at the block
+    output (XLA inserts it from the shardings). Embedding tables split the
+    vocab/row dim. Everything else is replicated.
+    """
+
+    names = set(path)
+    if {"ffn_in", "fc1", "q", "k", "v"} & names and path[-1] == "kernel":
+        return NamedSharding(mesh, P(None, MODEL_AXIS))
+    if {"ffn_in", "fc1", "q", "k", "v"} & names and path[-1] == "bias":
+        return NamedSharding(mesh, P(MODEL_AXIS))
+    if {"ffn_out", "fc2", "attn_out"} & names and path[-1] == "kernel":
+        return NamedSharding(mesh, P(MODEL_AXIS, None))
+    if {"word", "token_embedding"} & names:
+        return NamedSharding(mesh, P(MODEL_AXIS, None))
+    return NamedSharding(mesh, P())
+
+
+def shard_params(params, mesh: Mesh):
+    """Apply :func:`param_sharding_rules` over a param pytree."""
+
+    def place(path, leaf):
+        names = tuple(
+            p.key if hasattr(p, "key") else str(getattr(p, "idx", p)) for p in path
+        )
+        return jax.device_put(leaf, param_sharding_rules(names, mesh))
+
+    return jax.tree_util.tree_map_with_path(place, params)

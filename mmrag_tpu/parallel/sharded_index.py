@@ -1,0 +1,83 @@
+"""Corpus-sharded top-k retrieval over a device mesh.
+
+The multi-chip form of the vector index (SURVEY §2c "LanceDB internal ANN
+threading" row): corpus rows are sharded across the ``data`` axis, each
+device computes a fused masked matmul+top-k over its HBM-resident shard
+(:func:`mmrag_tpu.ops.topk.cosine_topk` inside ``shard_map``), and the per-
+shard candidate lists are merged with one ``all_gather`` over ICI — k is
+tiny, so the collective moves O(devices * q * k) floats, not the corpus.
+
+Row indices returned are GLOBAL (shard offset added on-device), so callers
+map them back to chunk ids exactly as in the single-chip path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.topk import cosine_topk
+from .mesh import DATA_AXIS
+
+
+def sharded_topk_fn(mesh: Mesh, k: int, backend: str = "auto"):
+    """Build a jitted ``(queries, corpus, mask) -> (scores, global_idx)``
+    where ``corpus``/``mask`` are row-sharded over ``data`` and outputs are
+    fully replicated."""
+
+    def local_topk(queries, corpus_shard, mask_shard):
+        shard_rows = corpus_shard.shape[0]
+        scores, idx = cosine_topk(queries, corpus_shard, mask_shard, k, backend)
+        my_offset = jax.lax.axis_index(DATA_AXIS) * shard_rows
+        global_idx = idx + my_offset
+        # gather every shard's candidates: (n_shards, q, k) on every device
+        all_scores = jax.lax.all_gather(scores, DATA_AXIS)
+        all_idx = jax.lax.all_gather(global_idx, DATA_AXIS)
+        n_shards = all_scores.shape[0]
+        q = queries.shape[0]
+        merged_scores = jnp.transpose(all_scores, (1, 0, 2)).reshape(q, n_shards * k)
+        merged_idx = jnp.transpose(all_idx, (1, 0, 2)).reshape(q, n_shards * k)
+        top_scores, sel = jax.lax.top_k(merged_scores, k)
+        top_idx = jnp.take_along_axis(merged_idx, sel, axis=-1)
+        return top_scores, top_idx
+
+    mapped = shard_map(
+        local_topk,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(mapped)
+
+
+def sharded_topk(
+    queries: jnp.ndarray,
+    corpus: jnp.ndarray,
+    mask: jnp.ndarray,
+    k: int,
+    mesh: Mesh,
+    backend: str = "auto",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Convenience wrapper placing inputs with the right shardings.
+
+    ``corpus`` rows must be divisible by the data-axis size (pad with
+    ``mask=False`` rows — the caller's slab capacity is a power of two, so
+    this holds by construction).
+    """
+
+    n_data = mesh.shape[DATA_AXIS]
+    if corpus.shape[0] % n_data != 0:
+        raise ValueError(
+            f"corpus rows {corpus.shape[0]} not divisible by data axis {n_data}"
+        )
+    fn = sharded_topk_fn(mesh, min(k, corpus.shape[0] // n_data), backend)
+    corpus = jax.device_put(corpus, NamedSharding(mesh, P(DATA_AXIS)))
+    mask = jax.device_put(mask, NamedSharding(mesh, P(DATA_AXIS)))
+    queries = jax.device_put(queries, NamedSharding(mesh, P()))
+    return fn(queries, corpus, mask)

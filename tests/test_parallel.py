@@ -1,0 +1,120 @@
+"""Mesh, sharded top-k (vs single-device exactness), TP param layout, and the
+sharded CLIP training step — all on the 8-virtual-CPU-device mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmrag_tpu.models import clip as jclip
+from mmrag_tpu.ops.topk import cosine_topk, l2_normalize
+from mmrag_tpu.parallel.mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    build_mesh,
+    param_sharding_rules,
+    shard_params,
+)
+from mmrag_tpu.parallel.sharded_index import sharded_topk
+from mmrag_tpu.parallel.training import make_train_step, train_state_init
+
+from tiny import TINY_CLIP
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_build_mesh_shapes():
+    mesh = build_mesh()
+    assert mesh.shape == {DATA_AXIS: 8, MODEL_AXIS: 1}
+    mesh2 = build_mesh(model_parallel=2)
+    assert mesh2.shape == {DATA_AXIS: 4, MODEL_AXIS: 2}
+    with pytest.raises(ValueError):
+        build_mesh(n_devices=6, model_parallel=4)
+
+
+def test_sharded_topk_matches_single_device(rng):
+    mesh = build_mesh()
+    n, d, k = 1024, 64, 7
+    corpus = np.asarray(
+        l2_normalize(jnp.asarray(rng.standard_normal((n, d)), jnp.float32))
+    )
+    queries = corpus[:3] + 0.01 * rng.standard_normal((3, d)).astype(np.float32)
+    queries = np.asarray(l2_normalize(jnp.asarray(queries)))
+    mask = rng.random(n) > 0.25
+
+    want_s, want_i = cosine_topk(
+        jnp.asarray(queries), jnp.asarray(corpus), jnp.asarray(mask), k
+    )
+    got_s, got_i = sharded_topk(
+        jnp.asarray(queries), jnp.asarray(corpus), jnp.asarray(mask), k, mesh
+    )
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+
+def test_sharded_topk_rejects_ragged_rows(rng):
+    mesh = build_mesh()
+    with pytest.raises(ValueError):
+        sharded_topk(
+            jnp.zeros((1, 8)), jnp.zeros((1001, 8)), jnp.ones(1001, bool), 4, mesh
+        )
+
+
+def test_param_sharding_rules():
+    mesh = build_mesh(model_parallel=2)
+    up = param_sharding_rules(("layers", "0", "ffn_in", "kernel"), mesh)
+    down = param_sharding_rules(("layers", "0", "ffn_out", "kernel"), mesh)
+    emb = param_sharding_rules(("embeddings", "word"), mesh)
+    ln = param_sharding_rules(("attn_ln", "scale"), mesh)
+    assert up.spec == jax.sharding.PartitionSpec(None, MODEL_AXIS)
+    assert down.spec == jax.sharding.PartitionSpec(MODEL_AXIS, None)
+    assert emb.spec == jax.sharding.PartitionSpec(MODEL_AXIS, None)
+    assert ln.spec == jax.sharding.PartitionSpec()
+
+
+@pytest.fixture(scope="module")
+def tiny_train_clip():
+    # even tinier for the train step: small image + short text
+    return jclip.CLIPConfig(
+        vision=jclip.CLIPVisionConfig(
+            image_size=32, patch_size=16, hidden_size=32, num_layers=2,
+            num_heads=2, intermediate_size=64,
+        ),
+        text=jclip.CLIPTextConfig(
+            vocab_size=512, hidden_size=32, num_layers=2, num_heads=2,
+            intermediate_size=64, max_position=16,
+        ),
+        projection_dim=32,
+    )
+
+
+@pytest.mark.parametrize("model_parallel", [1, 2])
+def test_sharded_train_step_runs_and_learns(tiny_train_clip, model_parallel, rng):
+    cfg = tiny_train_clip
+    mesh = build_mesh(model_parallel=model_parallel)
+    params, opt_state, tx = train_state_init(
+        jax.random.PRNGKey(0), mesh, cfg, learning_rate=1e-3
+    )
+    step = make_train_step(mesh, tx, cfg)
+    b = 8
+    images = jnp.asarray(rng.standard_normal((b, 32, 32, 3)), jnp.float32)
+    ids = jnp.asarray(rng.integers(1, 500, (b, 16)), jnp.int32)
+    mask = jnp.ones((b, 16), jnp.int32)
+
+    losses = []
+    for _ in range(15):
+        params, opt_state, loss = step(params, opt_state, images, ids, mask)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    # same batch memorized -> loss drops (first adamw steps may overshoot)
+    assert min(losses[-3:]) < losses[0]
+
+
+def test_shard_params_places_on_mesh(tiny_train_clip):
+    mesh = build_mesh(model_parallel=2)
+    params = jclip.init_clip_params(jax.random.PRNGKey(0), tiny_train_clip)
+    sharded = shard_params(params, mesh)
+    fc1 = sharded["vision"]["layers"][0]["fc1"]["kernel"]
+    assert fc1.sharding.spec == jax.sharding.PartitionSpec(None, MODEL_AXIS)
