@@ -66,8 +66,7 @@ def bench_minilm(quick: bool) -> float:
 
     params = bert.init_bert_params(jax.random.PRNGKey(0))
     batch, seq = (128, 64) if quick else (512, 64)
-    rng = np.random.default_rng(0)
-    ids = jnp.asarray(rng.integers(5, 30000, (batch, seq)), jnp.int32)
+    ids = jax.random.randint(jax.random.PRNGKey(3), (batch, seq), 5, 30000, jnp.int32)
     mask = jnp.ones((batch, seq), jnp.int32)
 
     def make_step(k):
@@ -92,8 +91,9 @@ def bench_clip_images(quick: bool) -> float:
 
     params = clip.init_clip_params(jax.random.PRNGKey(1))
     batch = 32 if quick else 128
-    rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.integers(0, 255, (batch, 224, 224, 3), dtype=np.uint8))
+    images = jax.random.randint(
+        jax.random.PRNGKey(0), (batch, 224, 224, 3), 0, 255, jnp.uint8
+    )
 
     def make_step(k):
         def body(i, acc):
@@ -117,11 +117,12 @@ def bench_topk(quick: bool) -> float:
     from mmrag_tpu.ops.topk import cosine_topk, l2_normalize
 
     n, d, k = (100_000 if quick else 1_000_000), 384, 50
-    rng = np.random.default_rng(0)
-    corpus = l2_normalize(
-        jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
-    ).astype(jnp.bfloat16)
-    queries = l2_normalize(jnp.asarray(rng.standard_normal((1, d)), jnp.float32))
+    # generate on device — shipping a 1.5 GB corpus through the axon tunnel
+    # would dominate the run
+    make = jax.jit(lambda key: l2_normalize(
+        jax.random.normal(key, (n, d), jnp.float32)).astype(jnp.bfloat16))
+    corpus = make(jax.random.PRNGKey(0))
+    queries = l2_normalize(jax.random.normal(jax.random.PRNGKey(1), (1, d), jnp.float32))
     mask = jnp.ones((n,), bool)
 
     def make_step(kk):
@@ -145,8 +146,7 @@ def bench_rerank(quick: bool) -> float:
 
     params = bert.init_cross_encoder_params(jax.random.PRNGKey(2))
     batch, seq = 8, 256  # reference rerank depth 8, pair bucket 256
-    rng = np.random.default_rng(0)
-    ids = jnp.asarray(rng.integers(5, 30000, (batch, seq)), jnp.int32)
+    ids = jax.random.randint(jax.random.PRNGKey(4), (batch, seq), 5, 30000, jnp.int32)
     mask = jnp.ones((batch, seq), jnp.int32)
     tt = jnp.asarray(np.concatenate(
         [np.zeros((batch, seq // 2), np.int32), np.ones((batch, seq // 2), np.int32)], 1

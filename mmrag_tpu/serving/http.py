@@ -173,6 +173,10 @@ class ApiHandler(BaseHTTPRequestHandler):
             user = self._auth()
             if user is None:
                 return
+            if path in ("/metrics", "/metrics/"):
+                from ..utils.profiling import metrics
+
+                return self._json(200, metrics.summary())
             if path in ("/videos", "/videos/"):
                 return self._json(
                     200, {"videos": self.ctx.engine.notes.list_videos(user)}
@@ -231,6 +235,7 @@ class ApiHandler(BaseHTTPRequestHandler):
 
     def _process_pdf(self, user: str) -> None:
         from ..ingest.pdf import PdfExtractionError, extract_pdf_nodes
+        from ..utils.profiling import stage
 
         parts = self._parse_multipart()
         if "file" not in parts:
@@ -258,14 +263,17 @@ class ApiHandler(BaseHTTPRequestHandler):
             )
         )
         try:
-            text_nodes, image_nodes = extract_pdf_nodes(
-                user, document_id, pdf_path, self.ctx.cfg
-            )
+            with stage("pdf.extract", self._request_id):
+                text_nodes, image_nodes = extract_pdf_nodes(
+                    user, document_id, pdf_path, self.ctx.cfg
+                )
         except PdfExtractionError as exc:
             engine.metadata.set_document_status(document_id, "failed")
             return self._json(400, {"detail": str(exc)})
-        n_text = index_build.index_text_nodes(user, text_nodes, engine)
-        n_images = index_build.index_image_nodes(user, image_nodes, engine)
+        with stage("pdf.index_text", self._request_id):
+            n_text = index_build.index_text_nodes(user, text_nodes, engine)
+        with stage("pdf.index_images", self._request_id):
+            n_images = index_build.index_image_nodes(user, image_nodes, engine)
         engine.metadata.set_document_status(document_id, "ready")
         engine.persist_indexes()
         return self._json(
@@ -317,10 +325,14 @@ class ApiHandler(BaseHTTPRequestHandler):
         if not query:
             return self._json(400, {"detail": "query is required"})
         video_id = body.get("video_id") or None
-        retrieved = retrieve.retrieve(
-            user, query, self.ctx.engine, document_id=video_id
-        )
-        response = generate.generate_response(query, retrieved["results"], self.ctx.cfg)
+        from ..utils.profiling import stage
+
+        with stage("chat.retrieve", self._request_id):
+            retrieved = retrieve.retrieve(
+                user, query, self.ctx.engine, document_id=video_id
+            )
+        with stage("chat.generate", self._request_id):
+            response = generate.generate_response(query, retrieved["results"], self.ctx.cfg)
         response["results"] = retrieved["results"]
         response["index_version"] = retrieved["index_version"]
         return self._json(200, response)

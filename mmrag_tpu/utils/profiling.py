@@ -1,0 +1,97 @@
+"""Tracing + stage timing: request ids, stage events, jax.profiler hooks.
+
+Extends the reference's observability (request-id logging middleware
+``/root/reference/app/main.py:30-41`` + Celery ``update_state`` stage events,
+SURVEY §5 "add jax.profiler trace hooks + per-stage timing in the same
+stage-event shape"):
+
+  * :func:`stage` — context manager logging ``stage=<name> ms=<t>`` and
+    feeding an in-process metrics registry;
+  * :class:`Metrics` — lock-protected counters + latency reservoirs with
+    p50/p95 summaries (exposed by the HTTP layer);
+  * :func:`device_trace` — wraps a block in ``jax.profiler`` trace capture
+    when ``TPU_PROFILE_DIR`` is set (XPlane dumps viewable in TensorBoard /
+    xprof), no-op otherwise.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import logging
+import threading
+import time
+from collections import defaultdict, deque
+from typing import Dict, Iterator, Optional
+
+logger = logging.getLogger("mmrag_tpu.stage")
+
+
+class Metrics:
+    def __init__(self, reservoir: int = 512) -> None:
+        self._lock = threading.Lock()
+        self._counters: Dict[str, int] = defaultdict(int)
+        self._latencies: Dict[str, deque] = defaultdict(
+            lambda: deque(maxlen=reservoir)
+        )
+
+    def incr(self, name: str, amount: int = 1) -> None:
+        with self._lock:
+            self._counters[name] += amount
+
+    def observe(self, name: str, seconds: float) -> None:
+        with self._lock:
+            self._latencies[name].append(seconds)
+
+    def summary(self) -> Dict:
+        with self._lock:
+            out: Dict = {"counters": dict(self._counters), "latency_ms": {}}
+            for name, values in self._latencies.items():
+                if not values:
+                    continue
+                ordered = sorted(values)
+                out["latency_ms"][name] = {
+                    "count": len(ordered),
+                    "p50": round(ordered[len(ordered) // 2] * 1e3, 3),
+                    "p95": round(ordered[int(len(ordered) * 0.95)] * 1e3, 3),
+                    "max": round(ordered[-1] * 1e3, 3),
+                }
+            return out
+
+    def reset(self) -> None:
+        with self._lock:
+            self._counters.clear()
+            self._latencies.clear()
+
+
+metrics = Metrics()
+
+
+@contextlib.contextmanager
+def stage(name: str, request_id: str = "-") -> Iterator[None]:
+    """Time a pipeline stage; logs in the reference's stage-event shape."""
+
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        elapsed = time.perf_counter() - t0
+        metrics.incr(f"stage.{name}")
+        metrics.observe(f"stage.{name}", elapsed)
+        logger.info("rid=%s stage=%s ms=%.1f", request_id, name, elapsed * 1e3)
+
+
+@contextlib.contextmanager
+def device_trace(profile_dir: Optional[str]) -> Iterator[None]:
+    """jax.profiler trace capture when a profile dir is configured."""
+
+    if not profile_dir:
+        yield
+        return
+    import jax
+
+    jax.profiler.start_trace(profile_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+        logger.info("device trace written to %s", profile_dir)
