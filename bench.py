@@ -180,7 +180,7 @@ def main() -> None:
 
     # persistent compile cache: first run pays ~1-2 min/model over the axon
     # tunnel, subsequent runs start hot
-    jax.config.update("jax_compilation_cache_dir", "/tmp/mmrag_jax_cache")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     backend = jax.default_backend()
 

@@ -42,14 +42,20 @@ def _cosine_topk_xla(
     valid_mask: jnp.ndarray,  # (n,) bool — row is live AND passes predicates
     k: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    # Matmul precision: storage dtype decides speed (bf16 corpus -> MXU bf16
-    # path); HIGHEST stops backends from silently downcasting f32 inputs
-    # (XLA-CPU/oneDNN does under DEFAULT), which would break <=1e-3 parity.
+    # Matmul precision: storage dtype decides speed. A bf16 corpus takes the
+    # native MXU bf16 path (DEFAULT); for f32 corpora HIGHEST stops backends
+    # from silently downcasting (XLA-CPU/oneDNN does under DEFAULT), which
+    # would break <=1e-3 score parity.
+    precision = (
+        jax.lax.Precision.DEFAULT
+        if corpus.dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
     scores = jnp.dot(
         queries.astype(corpus.dtype),
         corpus.T,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
     scores = jnp.where(valid_mask[None, :], scores, NEG_INF)
     return jax.lax.top_k(scores, k)
