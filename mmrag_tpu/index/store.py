@@ -38,6 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import native
 from ..ops.topk import cosine_topk
 from ..storage.records import VectorRow
 
@@ -245,7 +246,9 @@ class VectorIndex:
 
         with self._lock:
             live_rows = np.flatnonzero(self._row_live)
-            mat = np.asarray(self._slab[: self._size], dtype=np.float32)[live_rows]
+            mat = native.gather_rows(
+                np.asarray(self._slab[: self._size], dtype=np.float32), live_rows
+            )
             chunk_ids = [self._chunk_ids[i] for i in live_rows]
             users = [self._row_user[i] for i in live_rows]
             docs = [self._row_doc[i] for i in live_rows]
@@ -274,7 +277,9 @@ class VectorIndex:
             os.makedirs(directory, exist_ok=True)
             live_rows = np.flatnonzero(self._row_live)
             mat = (
-                np.asarray(self._slab[: self._size], dtype=np.float32)[live_rows]
+                native.gather_rows(
+                    np.asarray(self._slab[: self._size], dtype=np.float32), live_rows
+                )
                 if self._size
                 else np.zeros((0, self.dim), np.float32)
             )
@@ -284,7 +289,15 @@ class VectorIndex:
                 "user_ids": [self._row_user[i] for i in live_rows],
                 "document_ids": [self._row_doc[i] for i in live_rows],
             }
-            np.savez(os.path.join(directory, f"{name}.npz"), embeddings=mat)
+            if self.dtype == jnp.bfloat16:
+                # HBM-ready bf16 bits on disk: half the bytes, threaded
+                # native conversion, exact (the slab is already bf16)
+                np.savez(
+                    os.path.join(directory, f"{name}.npz"),
+                    embeddings_bf16=native.f32_to_bf16(mat),
+                )
+            else:
+                np.savez(os.path.join(directory, f"{name}.npz"), embeddings=mat)
             tmp = os.path.join(directory, f"{name}.manifest.json.tmp")
             with open(tmp, "w") as fh:
                 json.dump(manifest, fh)
@@ -295,7 +308,10 @@ class VectorIndex:
         with open(os.path.join(directory, f"{name}.manifest.json")) as fh:
             manifest = json.load(fh)
         with np.load(os.path.join(directory, f"{name}.npz")) as data:
-            mat = data["embeddings"]
+            if "embeddings_bf16" in data:
+                mat = native.bf16_to_f32(data["embeddings_bf16"])
+            else:
+                mat = data["embeddings"]
         index = cls(dim=manifest["dim"], dtype=dtype)
         rows = [
             VectorRow(

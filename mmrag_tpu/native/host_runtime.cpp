@@ -1,0 +1,180 @@
+// mmrag host runtime — native C++ replacements for the hot host-side loops
+// that the reference delegates to native third-party libs (SURVEY §2b):
+//
+//   * f32<->bf16 slab conversion (LanceDB/lance does its own columnar
+//     encoding in Rust; we store bf16 slabs for HBM-ready upload)
+//   * row gather / compaction (lance fragment rewrite)
+//   * 64-bit phash Hamming dedup — the reference's O(n^2) Python loop over
+//     frame hashes (/root/reference/app/ingest/frames.py:87-95), popcount'd
+//   * host-side top-k shard merge — the cross-shard merge LanceDB performs
+//     inside its Rust ANN executor (lancedb_store.py:103-123)
+//
+// Exposed as a plain C ABI consumed via ctypes (no pybind11 in this image).
+// Every entry point is also implemented in numpy (mmrag_tpu/native/__init__.py)
+// so the framework works without a compiler; the .so is a drop-in speedup.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+int hw_threads() {
+  unsigned n = std::thread::hardware_concurrency();
+  return n ? static_cast<int>(n) : 4;
+}
+
+// Run fn(begin, end) over [0, n) in roughly equal chunks on all cores.
+template <typename Fn>
+void parallel_for(int64_t n, Fn fn) {
+  int workers = std::min<int64_t>(hw_threads(), std::max<int64_t>(n / 4096, 1));
+  if (workers <= 1) {
+    fn(0, n);
+    return;
+  }
+  std::vector<std::thread> pool;
+  int64_t chunk = (n + workers - 1) / workers;
+  for (int w = 0; w < workers; ++w) {
+    int64_t b = w * chunk, e = std::min<int64_t>(n, b + chunk);
+    if (b >= e) break;
+    pool.emplace_back([=] { fn(b, e); });
+  }
+  for (auto& t : pool) t.join();
+}
+
+inline uint16_t f32_to_bf16_rne(float f) {
+  uint32_t x;
+  std::memcpy(&x, &f, 4);
+  // round to nearest even, matching XLA/numpy ml_dtypes semantics
+  uint32_t lsb = (x >> 16) & 1;
+  uint32_t rounded = x + 0x7fffu + lsb;
+  // NaN must stay NaN (rounding can carry into the exponent of an inf)
+  if ((x & 0x7fffffffu) > 0x7f800000u) return static_cast<uint16_t>((x >> 16) | 0x40);
+  return static_cast<uint16_t>(rounded >> 16);
+}
+
+}  // namespace
+
+extern "C" {
+
+// ---- dtype conversion ------------------------------------------------------
+
+void mmrag_f32_to_bf16(const float* src, uint16_t* dst, int64_t n) {
+  parallel_for(n, [&](int64_t b, int64_t e) {
+    for (int64_t i = b; i < e; ++i) dst[i] = f32_to_bf16_rne(src[i]);
+  });
+}
+
+void mmrag_bf16_to_f32(const uint16_t* src, float* dst, int64_t n) {
+  parallel_for(n, [&](int64_t b, int64_t e) {
+    for (int64_t i = b; i < e; ++i) {
+      uint32_t x = static_cast<uint32_t>(src[i]) << 16;
+      std::memcpy(&dst[i], &x, 4);
+    }
+  });
+}
+
+// ---- compaction: gather rows by index (lance fragment rewrite) -------------
+
+void mmrag_gather_rows_f32(const float* src, const int64_t* rows, int64_t n_rows,
+                           int64_t dim, float* dst) {
+  parallel_for(n_rows, [&](int64_t b, int64_t e) {
+    for (int64_t i = b; i < e; ++i)
+      std::memcpy(dst + i * dim, src + rows[i] * dim, sizeof(float) * dim);
+  });
+}
+
+// ---- phash Hamming dedup (reference frames.py:87-95) ------------------------
+// Greedy in input order: keep[i] = 1 iff hash[i] is > max_dist bits away from
+// every previously kept hash. Matches the reference's sequential semantics
+// exactly, so the same frames survive. O(n * kept) with popcount.
+
+int64_t mmrag_hamming_dedup(const uint64_t* hashes, int64_t n, int32_t max_dist,
+                            uint8_t* keep) {
+  std::vector<uint64_t> kept;
+  kept.reserve(256);
+  int64_t n_keep = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    bool dup = false;
+    for (uint64_t h : kept) {
+      if (__builtin_popcountll(h ^ hashes[i]) <= max_dist) {
+        dup = true;
+        break;
+      }
+    }
+    keep[i] = dup ? 0 : 1;
+    if (!dup) {
+      kept.push_back(hashes[i]);
+      ++n_keep;
+    }
+  }
+  return n_keep;
+}
+
+// ---- pairwise Hamming matrix (for batched device-side comparisons) ---------
+
+void mmrag_hamming_matrix(const uint64_t* a, int64_t na, const uint64_t* b,
+                          int64_t nb, int32_t* out) {
+  parallel_for(na, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i)
+      for (int64_t j = 0; j < nb; ++j)
+        out[i * nb + j] = __builtin_popcountll(a[i] ^ b[j]);
+  });
+}
+
+// ---- host-side top-k shard merge --------------------------------------------
+// scores: (shards, q, k) f32, ids: (shards, q, k) i64 (global row ids).
+// Writes the global per-query top-k into out_scores/out_ids (q, k), sorted
+// descending. Filler entries (score <= -1e29) never beat real ones.
+
+void mmrag_merge_topk(const float* scores, const int64_t* ids, int64_t shards,
+                      int64_t q, int64_t k, float* out_scores, int64_t* out_ids) {
+  parallel_for(q, [&](int64_t lo, int64_t hi) {
+    std::vector<std::pair<float, int64_t>> heap;
+    for (int64_t qi = lo; qi < hi; ++qi) {
+      heap.clear();
+      heap.reserve(shards * k);
+      for (int64_t s = 0; s < shards; ++s) {
+        const float* sc = scores + (s * q + qi) * k;
+        const int64_t* id = ids + (s * q + qi) * k;
+        for (int64_t j = 0; j < k; ++j) heap.emplace_back(sc[j], id[j]);
+      }
+      int64_t kk = std::min<int64_t>(k, static_cast<int64_t>(heap.size()));
+      std::partial_sort(heap.begin(), heap.begin() + kk, heap.end(),
+                        [](const auto& x, const auto& y) {
+                          return x.first > y.first ||
+                                 (x.first == y.first && x.second < y.second);
+                        });
+      for (int64_t j = 0; j < kk; ++j) {
+        out_scores[qi * k + j] = heap[j].first;
+        out_ids[qi * k + j] = heap[j].second;
+      }
+      for (int64_t j = kk; j < k; ++j) {
+        out_scores[qi * k + j] = -1e30f;
+        out_ids[qi * k + j] = -1;
+      }
+    }
+  });
+}
+
+// ---- L2 normalize rows in place (zero-safe, embeddings.py:46-49) -----------
+
+void mmrag_l2_normalize_rows(float* data, int64_t rows, int64_t dim) {
+  parallel_for(rows, [&](int64_t b, int64_t e) {
+    for (int64_t i = b; i < e; ++i) {
+      float* row = data + i * dim;
+      double acc = 0.0;
+      for (int64_t j = 0; j < dim; ++j) acc += double(row[j]) * row[j];
+      float inv = acc > 1e-24 ? float(1.0 / std::sqrt(acc)) : 0.0f;
+      if (inv != 0.0f)
+        for (int64_t j = 0; j < dim; ++j) row[j] *= inv;
+    }
+  });
+}
+
+int32_t mmrag_abi_version() { return 1; }
+
+}  // extern "C"

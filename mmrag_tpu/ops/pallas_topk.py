@@ -1,0 +1,165 @@
+"""Fused masked cosine top-k as a Pallas TPU kernel (SURVEY §7 step 3).
+
+Replaces the XLA path's ``materialize (Q, N) scores -> lax.top_k`` with an
+exact two-phase reduction that never writes the score matrix to HBM:
+
+  Phase A (Pallas)  grid over corpus row tiles; each step computes
+                    ``queries @ tile.T`` on the MXU, adds the predicate mask
+                    as an additive bias, and reduces the tile's scores to
+                    per-bucket maxima (bucket = 128 contiguous rows). Output
+                    is ``(Q, N/128)`` — 128x smaller than the score matrix,
+                    one cheap VPU max-reduce per tile.
+  Phase B (XLA)     ``top_k`` over bucket maxima picks the ``k + margin``
+                    hottest buckets per query (tiny: N/128 entries).
+  Phase C (XLA)     gather those buckets' corpus rows, rescore exactly, and
+                    ``top_k`` over ``(k + margin) * 128`` candidates.
+
+Exactness: every global top-k element makes its bucket's max >= s_k (the
+k-th best score), so all buckets holding top-k elements rank within the top-k
+buckets by max — phase B with ``margin >= 0`` covers them (ties at the s_k
+boundary are interchangeable). This is the ScaNN-style partition-then-rescore
+recipe, but exact because buckets are scored by true maxima, not centroids.
+
+Perf model @ 1M x 512 bf16, Q<=8: phase A is HBM-bound on the one corpus
+read (~1 GB -> ~1.3 ms at v5e bandwidth); phases B+C touch ~7 MB. The XLA
+baseline pays the same corpus read *plus* a (Q, N) f32 score write+read and
+a full-width top_k sort.
+
+The reference's equivalent is LanceDB's IVF_PQ ANN
+(``/root/reference/app/storage/lancedb_store.py:51-60,103-123``) — approximate
+recall there, exact here.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = jnp.float32(-1e30)
+
+BUCKET = 128  # rows per bucket == one MXU/VPU lane tile
+TILE_N = 2048  # corpus rows per grid step (16 buckets)
+MARGIN = 4  # extra buckets rescored in phase C (tie safety at zero cost)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _bucket_max_kernel(q_ref, c_ref, bias_ref, out_ref):
+    """One corpus tile: scores = q @ c.T + bias, reduced to bucket maxima."""
+
+    scores = jax.lax.dot_general(
+        q_ref[:],
+        c_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Qp, TILE_N)
+    scores = scores + bias_ref[:]  # (1, TILE_N) broadcast: -1e30 on dead rows
+    qp = scores.shape[0]
+    # out block is (1, qp, BPT): trailing dims equal the full array dims, the
+    # layout Mosaic accepts for a non-128-multiple bucket count per tile.
+    out_ref[0] = jnp.max(scores.reshape(qp, TILE_N // BUCKET, BUCKET), axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def _fused_topk(
+    queries: jnp.ndarray,  # (Qp, D) corpus dtype, rows padded with zeros
+    corpus: jnp.ndarray,  # (Np, D) bf16/f32, Np % TILE_N == 0
+    bias: jnp.ndarray,  # (1, Np) f32: 0 live / -1e30 masked-or-padded
+    k: int,
+    interpret: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    qp, d = queries.shape
+    np_, _ = corpus.shape
+    n_buckets = np_ // BUCKET
+    n_tiles = np_ // TILE_N
+    grid = (n_tiles,)
+
+    tile_max = pl.pallas_call(
+        _bucket_max_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((qp, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_N, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, qp, TILE_N // BUCKET), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, qp, TILE_N // BUCKET), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * qp * np_ * d,
+            bytes_accessed=np_ * d * corpus.dtype.itemsize + qp * d * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(queries, corpus, bias)
+    bucket_max = tile_max.transpose(1, 0, 2).reshape(qp, n_buckets)
+
+    # Phase B: hottest buckets per query (ties at the boundary are covered by
+    # MARGIN; any k buckets with max >= s_k contain a valid top-k set).
+    kb = min(k + MARGIN, n_buckets)
+    _, bucket_idx = jax.lax.top_k(bucket_max, kb)  # (Qp, kb)
+
+    # Phase C: exact rescore of candidate rows only.
+    rows = bucket_idx[:, :, None] * BUCKET + jnp.arange(BUCKET)[None, None, :]
+    rows = rows.reshape(qp, kb * BUCKET)  # (Qp, C) global row ids
+    cand = jnp.take(corpus, rows.reshape(-1), axis=0).reshape(qp, kb * BUCKET, d)
+    cand_scores = jax.lax.dot_general(
+        queries,
+        cand,
+        dimension_numbers=(((1,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (Qp, C)
+    cand_scores = cand_scores + jnp.take(bias[0], rows.reshape(-1)).reshape(
+        qp, kb * BUCKET
+    )
+    top_scores, local = jax.lax.top_k(cand_scores, k)
+    top_idx = jnp.take_along_axis(rows, local, axis=-1)
+    return top_scores, top_idx.astype(jnp.int32)
+
+
+def fused_cosine_topk(
+    queries: jnp.ndarray,
+    corpus: jnp.ndarray,
+    valid_mask: jnp.ndarray,
+    k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact masked cosine top-k via the fused Pallas path.
+
+    Same contract as :func:`mmrag_tpu.ops.topk.cosine_topk`: returns
+    ``(scores (Q, k) f32, indices (Q, k) i32)``; rows failing ``valid_mask``
+    (or padding) surface only as fillers with scores <= -1e29 when fewer than
+    ``k`` rows are valid. Falls back to dense XLA for corpora smaller than
+    one tile, where fusion buys nothing.
+    """
+
+    from .topk import _cosine_topk_xla  # small-N fallback (circular-safe)
+
+    q, d = queries.shape
+    n = corpus.shape[0]
+    k = min(k, n)
+    if n < TILE_N or n % BUCKET != 0:
+        return _cosine_topk_xla(queries, corpus, valid_mask, k)
+
+    qp = max(8, _round_up(q, 8))
+    dp = _round_up(d, 128)
+    np_ = _round_up(n, TILE_N)
+    queries = queries.astype(corpus.dtype)
+    if qp != q or dp != d:
+        queries = jnp.pad(queries, ((0, qp - q), (0, dp - d)))
+    pad_rows = np_ - n
+    if pad_rows or dp != d:
+        corpus = jnp.pad(corpus, ((0, pad_rows), (0, dp - d)))
+        valid_mask = jnp.pad(valid_mask, (0, pad_rows))
+    bias = jnp.where(valid_mask, 0.0, NEG).astype(jnp.float32)[None, :]
+
+    interpret = jax.default_backend() == "cpu"
+    scores, idx = _fused_topk(queries, corpus, bias, k, interpret)
+    return scores[:q], idx[:q]

@@ -81,3 +81,28 @@ def sharded_topk(
     mask = jax.device_put(mask, NamedSharding(mesh, P(DATA_AXIS)))
     queries = jax.device_put(queries, NamedSharding(mesh, P()))
     return fn(queries, corpus, mask)
+
+
+def merge_slices_host(slice_scores, slice_ids, k: int):
+    """Merge per-slice top-k results on the host (DCN side).
+
+    Within one pod slice the merge is the on-device ``all_gather`` above
+    (ICI). Across *slices* — independent processes coordinated over DCN,
+    SURVEY §2c "Redis broker" row — each slice returns its global top-k to
+    the control plane, and this native C++ merge
+    (:func:`mmrag_tpu.native.merge_topk`) produces the final list without
+    another device dispatch.
+
+    Args: ``slice_scores`` (slices, q, k) f32, ``slice_ids`` (slices, q, k)
+    int64 global row ids. Returns ``(scores (q, k), ids (q, k))``.
+    """
+
+    import numpy as np
+
+    from .. import native
+
+    return native.merge_topk(
+        np.asarray(slice_scores, dtype=np.float32),
+        np.asarray(slice_ids, dtype=np.int64),
+        k,
+    )

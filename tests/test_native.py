@@ -1,0 +1,115 @@
+"""Native host runtime: C++ path vs numpy fallback parity.
+
+Skips the native half gracefully when g++ is unavailable; the fallback half
+always runs, so the suite stays green on compiler-less machines.
+"""
+
+import numpy as np
+import pytest
+
+from mmrag_tpu import native
+
+
+def _both(fn, *args, **kw):
+    """Run fn with the native lib and with fallbacks forced, return both."""
+
+    got_native = fn(*args, **kw)
+    lib, failed = native._lib, native._build_failed
+    native._lib, native._build_failed = None, True
+    try:
+        got_fallback = fn(*args, **kw)
+    finally:
+        native._lib, native._build_failed = lib, failed
+    return got_native, got_fallback
+
+
+@pytest.fixture(scope="module")
+def has_native():
+    return native.available()
+
+
+def test_bf16_roundtrip_matches_ml_dtypes(rng, has_native):
+    import ml_dtypes
+
+    x = rng.standard_normal((256, 48)).astype(np.float32)
+    bits, bits_fb = _both(native.f32_to_bf16, x)
+    want = x.astype(ml_dtypes.bfloat16).view(np.uint16)
+    np.testing.assert_array_equal(bits_fb, want)
+    if has_native:
+        np.testing.assert_array_equal(bits, want)
+    back = native.bf16_to_f32(bits)
+    np.testing.assert_allclose(back, x, rtol=8e-3)
+
+
+def test_bf16_handles_specials(has_native):
+    x = np.array([np.nan, np.inf, -np.inf, 0.0, -0.0, 1e-40], dtype=np.float32)
+    bits, bits_fb = _both(native.f32_to_bf16, x)
+    np.testing.assert_array_equal(bits, bits_fb)
+    back = native.bf16_to_f32(bits)
+    assert np.isnan(back[0]) and np.isposinf(back[1]) and np.isneginf(back[2])
+
+
+def test_gather_rows(rng):
+    src = rng.standard_normal((100, 17)).astype(np.float32)
+    rows = rng.integers(0, 100, 40)
+    got, fb = _both(native.gather_rows, src, rows)
+    np.testing.assert_array_equal(got, src[rows])
+    np.testing.assert_array_equal(fb, src[rows])
+
+
+def test_hamming_dedup_sequential_semantics():
+    # h0 kept; h1 within 2 bits of h0 -> dropped; h2 within 2 bits of h1 but
+    # NOT of h0 -> kept (distance is measured against *kept* hashes only).
+    h0 = 0
+    h1 = 0b11  # dist 2 from h0
+    h2 = 0b1111  # dist 4 from h0, dist 2 from h1
+    keep, keep_fb = _both(
+        native.hamming_dedup, np.array([h0, h1, h2], np.uint64), 2
+    )
+    np.testing.assert_array_equal(keep, [True, False, True])
+    np.testing.assert_array_equal(keep_fb, keep)
+
+
+def test_hamming_dedup_parity_random(rng):
+    h = rng.integers(0, 2**30, 300, dtype=np.uint64)  # small space -> collisions
+    got, fb = _both(native.hamming_dedup, h, 6)
+    np.testing.assert_array_equal(got, fb)
+
+
+def test_hamming_matrix(rng):
+    a = rng.integers(0, 2**63, 20, dtype=np.uint64)
+    b = rng.integers(0, 2**63, 30, dtype=np.uint64)
+    got, fb = _both(native.hamming_matrix, a, b)
+    np.testing.assert_array_equal(got, fb)
+    assert got[0, 0] == bin(int(a[0]) ^ int(b[0])).count("1")
+
+
+def test_merge_topk_matches_global_sort(rng):
+    shards, q, k = 4, 3, 8
+    scores = rng.standard_normal((shards, q, k)).astype(np.float32)
+    scores = -np.sort(-scores, axis=-1)  # per-shard lists arrive sorted
+    ids = rng.permutation(shards * q * k).reshape(shards, q, k).astype(np.int64)
+    (gs, gi), (fs, fi) = _both(native.merge_topk, scores, ids, k)
+    np.testing.assert_array_equal(gs, fs)
+    np.testing.assert_array_equal(gi, fi)
+    flat = scores.transpose(1, 0, 2).reshape(q, -1)
+    want = -np.sort(-flat, axis=-1)[:, :k]
+    np.testing.assert_array_equal(gs, want)
+
+
+def test_merge_topk_fillers(rng):
+    scores = np.full((2, 1, 3), -1e30, np.float32)
+    scores[0, 0, 0] = 0.5
+    ids = np.arange(6, dtype=np.int64).reshape(2, 1, 3)
+    gs, gi = native.merge_topk(scores, ids, 3)
+    assert gs[0, 0] == np.float32(0.5) and gi[0, 0] == 0
+    assert (gs[0, 1:] <= -1e29).all()
+
+
+def test_l2_normalize_rows(rng):
+    x = rng.standard_normal((50, 9)).astype(np.float32)
+    x[7] = 0.0  # zero row stays zero (zero-safe)
+    got, fb = _both(native.l2_normalize_rows, x)
+    np.testing.assert_allclose(got, fb, atol=1e-6)
+    norms = np.linalg.norm(got, axis=1)
+    assert abs(norms[0] - 1.0) < 1e-5 and norms[7] == 0.0
