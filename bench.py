@@ -45,16 +45,20 @@ def _timed_readback(fn, *args, repeats: int = 3) -> float:
     return statistics.median(times)
 
 
-def _per_iter_seconds(make_step, k1: int, k2: int, repeats: int = 3) -> float:
+def _per_iter_seconds(make_step, k1: int, k2: int, *data, repeats: int = 3) -> float:
     """One jit with a *runtime* trip count (fori_loop lowers to while), so a
-    single compile serves both K values; difference the timings."""
+    single compile serves both K values; difference the timings.
+
+    Large arrays (params, corpora) MUST ride in ``*data`` — closure-captured
+    device arrays get embedded as constants in the remote-compile request,
+    and the axon tunnel 413s payloads past ~100 MB."""
 
     import jax
     import jax.numpy as jnp
 
     f = jax.jit(make_step)
-    t1 = _timed_readback(f, jnp.int32(k1), repeats=repeats)
-    t2 = _timed_readback(f, jnp.int32(k2), repeats=repeats)
+    t1 = _timed_readback(f, jnp.int32(k1), *data, repeats=repeats)
+    t2 = _timed_readback(f, jnp.int32(k2), *data, repeats=repeats)
     return max((t1 - t2) / (k1 - k2), 1e-9)
 
 
@@ -69,7 +73,7 @@ def bench_minilm(quick: bool) -> float:
     ids = jax.random.randint(jax.random.PRNGKey(3), (batch, seq), 5, 30000, jnp.int32)
     mask = jnp.ones((batch, seq), jnp.int32)
 
-    def make_step(k):
+    def make_step(k, params, ids, mask):
         def body(i, acc):
             shifted = (ids + i) % 30000
             emb = bert.minilm_embed(params, shifted, mask, compute_dtype=jnp.bfloat16)
@@ -78,7 +82,7 @@ def bench_minilm(quick: bool) -> float:
         return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
     k1, k2 = (8, 2) if quick else (16, 4)
-    sec = _per_iter_seconds(make_step, k1, k2)
+    sec = _per_iter_seconds(make_step, k1, k2, params, ids, mask)
     return batch / sec
 
 
@@ -95,7 +99,7 @@ def bench_clip_images(quick: bool) -> float:
         jax.random.PRNGKey(0), (batch, 224, 224, 3), 0, 255, jnp.uint8
     )
 
-    def make_step(k):
+    def make_step(k, params, images):
         def body(i, acc):
             imgs = images + i.astype(jnp.uint8)  # wraps; defeats hoisting
             feats = clip.clip_image_features(
@@ -106,7 +110,7 @@ def bench_clip_images(quick: bool) -> float:
         return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
     k1, k2 = (6, 2) if quick else (12, 4)
-    sec = _per_iter_seconds(make_step, k1, k2)
+    sec = _per_iter_seconds(make_step, k1, k2, params, images)
     return batch / sec
 
 
@@ -125,7 +129,7 @@ def bench_topk(quick: bool) -> float:
     queries = l2_normalize(jax.random.normal(jax.random.PRNGKey(1), (1, d), jnp.float32))
     mask = jnp.ones((n,), bool)
 
-    def make_step(kk):
+    def make_step(kk, queries, corpus, mask):
         def body(i, acc):
             q = queries + 1e-6 * i
             scores, idx = cosine_topk(q, corpus, mask, k)
@@ -134,7 +138,7 @@ def bench_topk(quick: bool) -> float:
         return jax.lax.fori_loop(0, kk, body, jnp.float32(0.0))
 
     k1, k2 = (16, 4) if quick else (32, 8)
-    sec = _per_iter_seconds(make_step, k1, k2)
+    sec = _per_iter_seconds(make_step, k1, k2, queries, corpus, mask)
     return sec * 1e3  # ms per query
 
 
@@ -152,7 +156,7 @@ def bench_rerank(quick: bool) -> float:
         [np.zeros((batch, seq // 2), np.int32), np.ones((batch, seq // 2), np.int32)], 1
     ))
 
-    def make_step(k):
+    def make_step(k, params, ids, mask, tt):
         def body(i, acc):
             shifted = (ids + i) % 30000
             scores = bert.cross_encoder_score(
@@ -163,7 +167,7 @@ def bench_rerank(quick: bool) -> float:
         return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
     k1, k2 = (16, 4) if quick else (32, 8)
-    sec = _per_iter_seconds(make_step, k1, k2)
+    sec = _per_iter_seconds(make_step, k1, k2, params, ids, mask, tt)
     return batch / sec
 
 

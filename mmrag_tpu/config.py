@@ -153,6 +153,8 @@ class TpuDefaults:
     mesh_data_axis: str = "data"  # batch DP axis name
     mesh_model_axis: str = "model"  # corpus-shard / TP axis name
     profile_dir: str = ""  # jax.profiler trace dir ("" = disabled)
+    microbatch_window_ms: float = 4.0  # cross-request query coalescing (0 = off)
+    microbatch_max: int = 16  # max queries per coalesced device step
 
 
 @dataclass(frozen=True)

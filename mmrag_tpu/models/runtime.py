@@ -239,10 +239,21 @@ class EncoderRuntime:
         """(512,) L2-normalized CLIP text embedding
         (reference ``embed_query_for_images``, ``app/ml/embeddings.py:94-105``)."""
 
+        return self.embed_queries_for_images([query])[0]
+
+    def embed_queries_for_images(self, queries: Sequence[str]) -> np.ndarray:
+        """(n, 512) CLIP text embeddings in one bucketed dispatch — the batch
+        form behind cross-request micro-batching
+        (:class:`mmrag_tpu.serving.batcher.QueryEmbedBatcher`)."""
+
+        if not queries:
+            return np.zeros((0, self.clip_dim), dtype=np.float32)
         params = self._ensure_clip()
-        ids, mask = self._clip_tok.encode([query], max_len=77)
+        ids, mask = self._clip_tok.encode(list(queries), max_len=77)
+        bsz = _bucket(len(queries), self.cfg.tpu.text_batch_buckets)
+        ids, mask = _pad_rows(ids, bsz), _pad_rows(mask, bsz)
         emb = self._clip_text_fn(params, jnp.asarray(ids), jnp.asarray(mask))
-        return np.asarray(emb[0], dtype=np.float32)
+        return np.asarray(emb[: len(queries)], dtype=np.float32)
 
     def rerank_scores(self, query: str, passages: Sequence[str]) -> np.ndarray:
         """(n,) cross-encoder relevance logits for (query, passage) pairs

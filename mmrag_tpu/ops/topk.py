@@ -8,10 +8,14 @@ queries hit a single fused ``matmul -> mask -> top_k`` dispatch. Tenant and
 rather than applied post-fusion — fixing the reference's post-filter bug
 (``api/routes.py:272-279``, SURVEY §3.3).
 
-Two backends behind one API:
+Three backends behind one API:
   * ``xla``   — ``jnp.dot`` + ``jax.lax.top_k``; works on CPU and TPU.
-  * ``pallas``— fused tiled matmul + running top-k kernel (TPU only), see
-                :mod:`mmrag_tpu.ops.pallas_topk`.
+  * ``pallas``— fused tiled matmul + bucket-max + rescore kernel (exact),
+                see :mod:`mmrag_tpu.ops.pallas_topk`.
+  * ``approx``— ``jax.lax.approx_max_k`` (TPU PartialReduce hardware op),
+                the true analogue of the reference's IVF_PQ *approximate*
+                index (``lancedb_store.py:51-60``) but with a tunable recall
+                target instead of fixed partitions.
 
 Scores are cosine similarities assuming L2-normalized rows/queries, matching
 the reference's ``score = 1 - distance`` resort (``lancedb_store.py:125-139``).
@@ -33,6 +37,23 @@ def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndar
 
     norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
     return x / jnp.maximum(norm, eps)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "recall_target"))
+def _cosine_topk_approx(
+    queries: jnp.ndarray,
+    corpus: jnp.ndarray,
+    valid_mask: jnp.ndarray,
+    k: int,
+    recall_target: float = 0.95,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    scores = jnp.dot(
+        queries.astype(corpus.dtype),
+        corpus.T,
+        preferred_element_type=jnp.float32,
+    )
+    scores = jnp.where(valid_mask[None, :], scores, NEG_INF)
+    return jax.lax.approx_max_k(scores, k, recall_target=recall_target)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -83,20 +104,18 @@ def cosine_topk(
         )
     n = corpus.shape[0]
     k_eff = min(k, n)
-    if backend in ("auto", "xla"):
-        use_pallas = False
-    elif backend == "pallas":
-        use_pallas = True
-    else:
+    if backend not in ("auto", "xla", "pallas", "approx"):
         raise ValueError(f"unknown topk backend {backend!r}")
-    if backend == "auto" and jax.default_backend() not in ("cpu",):
-        # Pallas kernel is opt-in until it beats XLA on the bench; auto keeps XLA.
-        use_pallas = False
-    if use_pallas:
+    if backend == "pallas":
         from .pallas_topk import fused_cosine_topk
 
         scores, idx = fused_cosine_topk(queries, corpus, valid_mask, k_eff)
+    elif backend == "approx":
+        idx_dtype_k = min(k_eff, n)
+        scores, idx = _cosine_topk_approx(queries, corpus, valid_mask, idx_dtype_k)
+        idx = idx.astype(jnp.int32)
     else:
+        # auto: exact dense XLA — still the fastest measured path on-chip
         scores, idx = _cosine_topk_xla(queries, corpus, valid_mask, k_eff)
     if k_eff < k:
         pad = k - k_eff

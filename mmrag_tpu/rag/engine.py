@@ -54,6 +54,26 @@ class RagEngine:
             os.path.join(paths.index_dir, "index_versions.db")
         )
         self._persist_lock = threading.Lock()
+        self._query_batcher = None
+        self._batcher_lock = threading.Lock()
+
+    @property
+    def query_batcher(self):
+        """Lazy cross-request query-embed coalescer (None when disabled via
+        ``TPU_MICROBATCH_WINDOW_MS=0``)."""
+
+        if self.cfg.tpu.microbatch_window_ms <= 0:
+            return None
+        with self._batcher_lock:
+            if self._query_batcher is None:
+                from ..serving.batcher import QueryEmbedBatcher
+
+                self._query_batcher = QueryEmbedBatcher(
+                    self.runtime,
+                    max_batch=self.cfg.tpu.microbatch_max,
+                    window_ms=self.cfg.tpu.microbatch_window_ms,
+                )
+            return self._query_batcher
 
     def persist_indexes(self) -> None:
         """Flush both vector indexes to disk (restart survival, like the
@@ -64,6 +84,8 @@ class RagEngine:
             self.image_index.save(self.cfg.paths.index_dir, "image_collection")
 
     def close(self) -> None:
+        if self._query_batcher is not None:
+            self._query_batcher.close()
         self.metadata.close()
         self.notes.close()
         self.versions.close()

@@ -1,0 +1,155 @@
+"""Cross-request micro-batching: coalesce concurrent queries into one dispatch.
+
+The reference serves each HTTP request with its own encoder forward
+(``/root/reference/app/ml/retrieve.py:120-129`` under FastAPI concurrency,
+SURVEY §2c "FastAPI async + uvicorn" row). On TPU that wastes the MXU: a
+batch-1 MiniLM forward costs nearly the same wall time as batch-16, so N
+concurrent chat requests should ride ONE padded device step.
+
+:class:`MicroBatcher` sits between serving threads and an ``EncoderRuntime``
+method: ``submit()`` blocks the calling thread, a single collector thread
+drains the queue — waiting at most ``window_ms`` after the first item, or
+until ``max_batch`` items arrive — runs the batch function once, and fans
+results back out. Items never reorder within a batch, errors propagate to
+every waiter of the failed batch, and an idle batcher holds no thread wakeups
+(the collector parks on the queue).
+
+``QueryEmbedBatcher`` packages the common case: the dual query embedding
+(MiniLM + CLIP-text) used by ``/chat_pro``.
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+from typing import Any, Callable, Generic, List, Optional, Sequence, TypeVar
+
+logger = logging.getLogger(__name__)
+
+T = TypeVar("T")
+
+
+class _Slot(Generic[T]):
+    __slots__ = ("item", "event", "result", "error")
+
+    def __init__(self, item: T) -> None:
+        self.item = item
+        self.event = threading.Event()
+        self.result: Any = None
+        self.error: Optional[BaseException] = None
+
+
+class MicroBatcher(Generic[T]):
+    """Batch a ``fn(list[T]) -> Sequence[results]`` across calling threads."""
+
+    def __init__(
+        self,
+        fn: Callable[[List[T]], Sequence[Any]],
+        max_batch: int = 16,
+        window_ms: float = 4.0,
+        name: str = "microbatch",
+    ) -> None:
+        if max_batch < 1:
+            raise ValueError("max_batch must be >= 1")
+        self._fn = fn
+        self._max_batch = max_batch
+        self._window_s = max(window_ms, 0.0) / 1e3
+        self._queue: "queue.Queue[_Slot[T]]" = queue.Queue()
+        self._closed = threading.Event()
+        self.batches_run = 0
+        self.items_seen = 0
+        self._thread = threading.Thread(
+            target=self._collector, name=f"{name}-collector", daemon=True
+        )
+        self._thread.start()
+
+    # -- worker ---------------------------------------------------------------
+
+    def _collector(self) -> None:
+        while not self._closed.is_set():
+            try:
+                first = self._queue.get(timeout=0.2)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = self._window_s
+            while len(batch) < self._max_batch:
+                try:
+                    batch.append(self._queue.get(timeout=deadline))
+                except queue.Empty:
+                    break
+            self._run(batch)
+
+    def _run(self, batch: List[_Slot[T]]) -> None:
+        self.batches_run += 1
+        self.items_seen += len(batch)
+        try:
+            results = self._fn([s.item for s in batch])
+            if len(results) != len(batch):
+                raise RuntimeError(
+                    f"batch fn returned {len(results)} results for {len(batch)} items"
+                )
+            for slot, res in zip(batch, results):
+                slot.result = res
+        except BaseException as exc:  # propagate to every waiter
+            for slot in batch:
+                slot.error = exc
+        finally:
+            for slot in batch:
+                slot.event.set()
+
+    # -- public ----------------------------------------------------------------
+
+    def submit(self, item: T, timeout: Optional[float] = 60.0) -> Any:
+        """Block until the item's batch completes; returns its result."""
+
+        if self._closed.is_set():
+            raise RuntimeError("batcher is closed")
+        slot: _Slot[T] = _Slot(item)
+        self._queue.put(slot)
+        if not slot.event.wait(timeout):
+            raise TimeoutError("micro-batch did not complete in time")
+        if slot.error is not None:
+            raise slot.error
+        return slot.result
+
+    def close(self) -> None:
+        self._closed.set()
+        self._thread.join(timeout=1.0)
+
+
+class QueryEmbedBatcher:
+    """Dual query embedding (MiniLM 384-d + CLIP-text 512-d) with coalescing.
+
+    One batcher per runtime; both towers run over the same coalesced query
+    list, so N concurrent ``/chat_pro`` requests cost two padded forwards
+    total instead of 2N batch-1 forwards.
+    """
+
+    def __init__(self, runtime, max_batch: int = 16, window_ms: float = 4.0) -> None:
+        self._runtime = runtime
+
+        def embed_all(qs: List[str]):
+            text = self._runtime.embed_text_batch(qs)
+            image = self._runtime.embed_queries_for_images(qs)
+            return [
+                {"text": text[i], "image": image[i]} for i in range(len(qs))
+            ]
+
+        self._batcher: MicroBatcher[str] = MicroBatcher(
+            embed_all, max_batch=max_batch, window_ms=window_ms, name="query-embed"
+        )
+
+    def embed(self, query: str) -> dict:
+        return self._batcher.submit(query)
+
+    @property
+    def stats(self) -> dict:
+        return {
+            "batches_run": self._batcher.batches_run,
+            "items_seen": self._batcher.items_seen,
+        }
+
+    def close(self) -> None:
+        self._batcher.close()

@@ -206,6 +206,8 @@ class TpuSettings:
     mesh_data_axis: str
     mesh_model_axis: str
     profile_dir: str
+    microbatch_window_ms: float  # 0 disables cross-request query batching
+    microbatch_max: int
 
 
 @dataclass(frozen=True)
@@ -336,6 +338,10 @@ def load_settings(env: Optional[Mapping[str, str]] = None) -> Settings:
             mesh_data_axis=_read_env(env, "TPU_MESH_DATA_AXIS", d.tpu.mesh_data_axis),
             mesh_model_axis=_read_env(env, "TPU_MESH_MODEL_AXIS", d.tpu.mesh_model_axis),
             profile_dir=_read_env(env, "TPU_PROFILE_DIR", d.tpu.profile_dir),
+            microbatch_window_ms=_read_float(
+                env, "TPU_MICROBATCH_WINDOW_MS", d.tpu.microbatch_window_ms
+            ),
+            microbatch_max=_read_int(env, "TPU_MICROBATCH_MAX", d.tpu.microbatch_max),
         ),
     )
 

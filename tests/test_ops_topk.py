@@ -77,3 +77,21 @@ def test_shape_validation():
         cosine_topk(jnp.zeros((2, 3)), jnp.zeros((4, 5)), jnp.ones(4, bool), 2)
     with pytest.raises(ValueError):
         cosine_topk(jnp.zeros((2, 3)), jnp.zeros((4, 3)), jnp.ones(4, bool), 2, backend="bogus")
+
+
+def test_approx_backend_high_recall(rng):
+    n, d, k = 4096, 64, 10
+    c = l2_normalize(jnp.asarray(rng.standard_normal((n, d)), jnp.float32))
+    q = l2_normalize(jnp.asarray(rng.standard_normal((4, d)), jnp.float32))
+    mask = jnp.asarray(rng.random(n) > 0.2)
+    s_a, i_a = cosine_topk(q, c, mask, k, backend="approx")
+    s_x, i_x = cosine_topk(q, c, mask, k, backend="xla")
+    # approx_max_k honors the mask and hits >=80% recall on random data
+    # (CPU lowering is exact; TPU PartialReduce is recall_target-bounded)
+    recall = np.mean([
+        len(set(np.asarray(i_a)[i].tolist()) & set(np.asarray(i_x)[i].tolist())) / k
+        for i in range(4)
+    ])
+    assert recall >= 0.8
+    masked = set(np.flatnonzero(~np.asarray(mask)).tolist())
+    assert not (set(np.asarray(i_a).ravel().tolist()) & masked)
