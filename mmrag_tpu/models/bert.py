@@ -114,9 +114,26 @@ def init_cross_encoder_params(rng: jax.Array, cfg: BertConfig = MINILM_L6) -> Pa
 # ---------------------------------------------------------------------------
 
 
+def _precision(dtype):
+    """bf16 -> DEFAULT (native one-pass MXU); f32 -> HIGHEST (stops XLA-CPU
+    from silently downcasting, which would break <=1e-3 parity). HIGHEST with
+    bf16 inputs would force multi-pass emulation — 3-6x slower on the MXU."""
+
+    return (
+        jax.lax.Precision.DEFAULT
+        if jnp.dtype(dtype) == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
+
+
 def _dense(p: Params, x: jnp.ndarray, dtype) -> jnp.ndarray:
     return (
-        jnp.dot(x.astype(dtype), p["kernel"].astype(dtype), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+        jnp.dot(
+            x.astype(dtype),
+            p["kernel"].astype(dtype),
+            preferred_element_type=jnp.float32,
+            precision=_precision(dtype),
+        )
         + p["bias"]
     )
 
@@ -141,11 +158,11 @@ def _self_attention(
     k = heads(_dense(layer["k"], x, dtype))
     v = heads(_dense(layer["v"], x, dtype))
     scores = jnp.einsum("bqnd,bknd->bnqk", q.astype(dtype), k.astype(dtype),
-                        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+                        preferred_element_type=jnp.float32, precision=_precision(dtype))
     scores = scores / np.sqrt(hd) + mask_bias
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
     ctx = jnp.einsum("bnqk,bknd->bqnd", probs.astype(dtype), v.astype(dtype),
-                     preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+                     preferred_element_type=jnp.float32, precision=_precision(dtype))
     return _dense(layer["attn_out"], ctx.reshape(b, s, h), dtype)
 
 

@@ -149,6 +149,17 @@ def init_clip_params(rng: jax.Array, cfg: CLIPConfig = CLIP_VIT_B32) -> Params:
 # ---------------------------------------------------------------------------
 
 
+def _precision(dtype):
+    """bf16 -> DEFAULT (native one-pass MXU); f32 -> HIGHEST (CPU parity).
+    HIGHEST with bf16 inputs forces multi-pass emulation on the MXU."""
+
+    return (
+        jax.lax.Precision.DEFAULT
+        if jnp.dtype(dtype) == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
+
+
 def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
     return x * jax.nn.sigmoid(1.702 * x)
 
@@ -156,7 +167,7 @@ def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
 def _dense(p: Params, x: jnp.ndarray, dtype) -> jnp.ndarray:
     y = jnp.dot(
         x.astype(dtype), p["kernel"].astype(dtype),
-        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32, precision=_precision(dtype),
     )
     if "bias" in p:
         y = y + p["bias"]
@@ -188,14 +199,14 @@ def _attention(
     v = heads(_dense(layer["v"], x, dtype))
     scores = jnp.einsum(
         "bqnd,bknd->bnqk", q.astype(dtype), k.astype(dtype),
-        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32, precision=_precision(dtype),
     )
     if bias is not None:
         scores = scores + bias
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
     ctx = jnp.einsum(
         "bnqk,bknd->bqnd", probs.astype(dtype), v.astype(dtype),
-        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32, precision=_precision(dtype),
     )
     return _dense(layer["attn_out"], ctx.reshape(b, s, h), dtype)
 
@@ -240,7 +251,7 @@ def clip_image_features(
     x = jnp.dot(
         patches.astype(compute_dtype),
         vp["patch_kernel"].astype(compute_dtype),
-        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32, precision=_precision(compute_dtype),
     )
     cls = jnp.broadcast_to(vp["class_embedding"], (x.shape[0], 1, v.hidden_size))
     x = jnp.concatenate([cls, x], axis=1) + vp["position_embedding"][None]
