@@ -145,18 +145,37 @@ def _layer_norm(p: Params, x: jnp.ndarray, eps: float) -> jnp.ndarray:
     return (x - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
 
 
+def _use_fused_attention(impl: str, b: int, s: int) -> bool:
+    if impl == "auto":
+        from ..ops.attention import use_fused
+
+        return use_fused(b, s)
+    return impl == "fused"
+
+
 def _self_attention(
-    layer: Params, x: jnp.ndarray, mask_bias: jnp.ndarray, cfg: BertConfig, dtype
+    layer: Params,
+    x: jnp.ndarray,
+    attention_mask: jnp.ndarray,  # (b, s) {0,1}
+    cfg: BertConfig,
+    dtype,
+    impl: str = "auto",
 ) -> jnp.ndarray:
     b, s, h = x.shape
     nh, hd = cfg.num_heads, cfg.head_dim
+    q = _dense(layer["q"], x, dtype)
+    k = _dense(layer["k"], x, dtype)
+    v = _dense(layer["v"], x, dtype)
+    if _use_fused_attention(impl, b, s):
+        from ..ops.attention import fused_encoder_attention
 
-    def heads(t):
-        return t.reshape(b, s, nh, hd)
-
-    q = heads(_dense(layer["q"], x, dtype))
-    k = heads(_dense(layer["k"], x, dtype))
-    v = heads(_dense(layer["v"], x, dtype))
+        ctx = fused_encoder_attention(
+            q.astype(dtype), k.astype(dtype), v.astype(dtype), nh,
+            attention_mask=attention_mask,
+        )
+        return _dense(layer["attn_out"], ctx, dtype)
+    mask_bias = (1.0 - attention_mask.astype(jnp.float32))[:, None, None, :] * -1e9
+    q, k, v = (t.reshape(b, s, nh, hd) for t in (q, k, v))
     scores = jnp.einsum("bqnd,bknd->bnqk", q.astype(dtype), k.astype(dtype),
                         preferred_element_type=jnp.float32, precision=_precision(dtype))
     scores = scores / np.sqrt(hd) + mask_bias
@@ -173,6 +192,7 @@ def bert_encode(
     cfg: BertConfig = MINILM_L6,
     token_type_ids: jnp.ndarray | None = None,
     compute_dtype=jnp.float32,
+    attention_impl: str = "auto",
 ) -> jnp.ndarray:
     """Returns last hidden states (b, s, hidden) in f32."""
 
@@ -186,10 +206,8 @@ def bert_encode(
         ]
     )
     x = _layer_norm(emb["ln"], x, cfg.layer_norm_eps)
-    # HF additive mask: 0 where attended, large negative where padded.
-    mask_bias = (1.0 - attention_mask.astype(jnp.float32))[:, None, None, :] * -1e9
     for layer in params["layers"]:
-        attn = _self_attention(layer, x, mask_bias, cfg, compute_dtype)
+        attn = _self_attention(layer, x, attention_mask, cfg, compute_dtype, impl=attention_impl)
         x = _layer_norm(layer["attn_ln"], x + attn, cfg.layer_norm_eps)
         inner = jax.nn.gelu(_dense(layer["ffn_in"], x, compute_dtype), approximate=False)
         out = _dense(layer["ffn_out"], inner, compute_dtype)

@@ -190,6 +190,17 @@ def _attention(
     dtype,
 ) -> jnp.ndarray:
     b, s, h = x.shape
+    from ..ops.attention import use_fused
+
+    if use_fused(b, s):
+        from ..ops.attention import fused_encoder_attention
+
+        q = _dense(layer["q"], x, dtype).astype(dtype)
+        k = _dense(layer["k"], x, dtype).astype(dtype)
+        v = _dense(layer["v"], x, dtype).astype(dtype)
+        full_bias = bias[:, 0] if bias is not None else None  # (b,1,s,s)->(b,s,s)
+        ctx = fused_encoder_attention(q, k, v, num_heads, bias=full_bias)
+        return _dense(layer["attn_out"], ctx, dtype)
 
     def heads(t):
         return t.reshape(b, s, num_heads, head_dim)

@@ -1,0 +1,107 @@
+"""Fused Pallas attention vs XLA einsum path parity (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmrag_tpu.models import bert, clip
+from mmrag_tpu.ops.attention import fused_encoder_attention, use_fused
+
+
+def _sdpa_reference(q, k, v, nh, mask=None, bias=None):
+    b, s, h = q.shape
+    hd = h // nh
+    qh = q.reshape(b, s, nh, hd).transpose(0, 2, 1, 3).astype(np.float32)
+    kh = k.reshape(b, s, nh, hd).transpose(0, 2, 1, 3).astype(np.float32)
+    vh = v.reshape(b, s, nh, hd).transpose(0, 2, 1, 3).astype(np.float32)
+    scores = qh @ kh.transpose(0, 1, 3, 2) / np.sqrt(hd)
+    if bias is not None:
+        scores = scores + np.asarray(bias, np.float32)[:, None]
+    if mask is not None:
+        scores = scores + (1.0 - np.asarray(mask, np.float32))[:, None, None, :] * -1e9
+    scores -= scores.max(-1, keepdims=True)
+    p = np.exp(scores)
+    p /= p.sum(-1, keepdims=True)
+    return (p @ vh).transpose(0, 2, 1, 3).reshape(b, s, h)
+
+
+@pytest.mark.parametrize("b,s,h,nh", [(3, 64, 384, 12), (2, 77, 512, 8)])
+def test_fused_matches_reference(rng, b, s, h, nh):
+    q = jnp.asarray(rng.standard_normal((b, s, h)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, h)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, h)), jnp.float32)
+    mask = np.ones((b, s), np.int32)
+    mask[:, s // 2 :] = 0
+    got = fused_encoder_attention(q, k, v, nh, attention_mask=jnp.asarray(mask))
+    want = _sdpa_reference(np.asarray(q), np.asarray(k), np.asarray(v), nh, mask=mask)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
+def test_fused_causal_bias(rng):
+    b, s, h, nh = 2, 16, 64, 4
+    q = jnp.asarray(rng.standard_normal((b, s, h)), jnp.float32)
+    causal = np.triu(np.full((s, s), -1e9, np.float32), k=1)
+    got = fused_encoder_attention(
+        q, q, q, nh, bias=jnp.broadcast_to(jnp.asarray(causal), (b, s, s))
+    )
+    want = _sdpa_reference(
+        np.asarray(q), np.asarray(q), np.asarray(q), nh,
+        bias=np.broadcast_to(causal, (b, s, s)),
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
+def test_batch_padding_roundtrip(rng):
+    # b=5 is not a tile multiple; padded rows must not leak into outputs
+    q = jnp.asarray(rng.standard_normal((5, 64, 128)), jnp.float32)
+    got = fused_encoder_attention(q, q, q, 4)
+    want = _sdpa_reference(np.asarray(q), np.asarray(q), np.asarray(q), 4)
+    assert got.shape == (5, 64, 128)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
+def test_minilm_forward_fused_vs_xla(rng, monkeypatch):
+    params = bert.init_bert_params(jax.random.PRNGKey(0))
+    ids = jnp.asarray(rng.integers(5, 30000, (4, 64)), jnp.int32)
+    mask = np.ones((4, 64), np.int32)
+    mask[:, 40:] = 0
+    mask = jnp.asarray(mask)
+    monkeypatch.setenv("MMRAG_ATTN_IMPL", "xla")
+    want = np.asarray(bert.minilm_embed(params, ids, mask))
+    monkeypatch.setenv("MMRAG_ATTN_IMPL", "fused")
+    got = np.asarray(bert.minilm_embed(params, ids, mask))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_clip_towers_fused_vs_xla(rng, monkeypatch):
+    cfg = clip.CLIPConfig(
+        vision=clip.CLIPVisionConfig(
+            image_size=32, patch_size=16, hidden_size=64, num_layers=2,
+            num_heads=4, intermediate_size=128,
+        ),
+        text=clip.CLIPTextConfig(
+            vocab_size=512, hidden_size=64, num_layers=2, num_heads=4,
+            intermediate_size=128, max_position=16,
+        ),
+        projection_dim=32,
+    )
+    params = clip.init_clip_params(jax.random.PRNGKey(1), cfg)
+    pixels = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    ids = jnp.asarray(rng.integers(1, 500, (2, 16)), jnp.int32)
+    tmask = jnp.ones((2, 16), jnp.int32)
+    monkeypatch.setenv("MMRAG_ATTN_IMPL", "xla")
+    img_x = np.asarray(clip.clip_image_features(params, pixels, cfg))
+    txt_x = np.asarray(clip.clip_text_features(params, ids, tmask, cfg))
+    monkeypatch.setenv("MMRAG_ATTN_IMPL", "fused")
+    img_f = np.asarray(clip.clip_image_features(params, pixels, cfg))
+    txt_f = np.asarray(clip.clip_text_features(params, ids, tmask, cfg))
+    np.testing.assert_allclose(img_f, img_x, atol=1e-4)
+    np.testing.assert_allclose(txt_f, txt_x, atol=1e-4)
+
+
+def test_use_fused_override(monkeypatch):
+    monkeypatch.setenv("MMRAG_ATTN_IMPL", "fused")
+    assert use_fused()
+    monkeypatch.setenv("MMRAG_ATTN_IMPL", "xla")
+    assert not use_fused()
