@@ -52,8 +52,11 @@ def use_fused(batch: int = 1 << 30, seq: int = 0) -> bool:
 def _batch_tile(seq: int) -> int:
     # VMEM budget: ~4 * tile * seq * hidden * 2B (qkv+out, double-buffered)
     # + tile * seq^2 f32 (bias block + one head's scores). Shrink with seq.
+    # tile=32 at seq 64 measured the same speed but compiles within 56KB of
+    # the 16MB scoped-VMEM cliff (OOMs under slightly different surrounding
+    # fusions) — 16 keeps headroom.
     if seq <= 64:
-        return 32
+        return 16
     if seq <= 128:
         return 16
     if seq <= 256:
