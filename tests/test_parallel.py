@@ -118,3 +118,70 @@ def test_shard_params_places_on_mesh(tiny_train_clip):
     sharded = shard_params(params, mesh)
     fc1 = sharded["vision"]["layers"][0]["fc1"]["kernel"]
     assert fc1.sharding.spec == jax.sharding.PartitionSpec(None, MODEL_AXIS)
+
+
+def test_dp_minilm_embed_matches_single_device(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from mmrag_tpu.models import bert
+    from mmrag_tpu.parallel.inference import dp_minilm_embed
+    from mmrag_tpu.parallel.mesh import build_mesh
+
+    mesh = build_mesh(n_devices=8)
+    params = bert.init_bert_params(jax.random.PRNGKey(0))
+    ids = jnp.asarray(rng.integers(5, 30000, (16, 32)), jnp.int32)
+    mask = jnp.ones((16, 32), jnp.int32)
+    fn = dp_minilm_embed(mesh, compute_dtype=jnp.float32)
+    got = np.asarray(fn(params, ids, mask))
+    want = np.asarray(bert.minilm_embed(params, ids, mask))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_dp_embed_rejects_ragged_batch(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from mmrag_tpu.models import bert
+    from mmrag_tpu.parallel.inference import dp_minilm_embed
+    from mmrag_tpu.parallel.mesh import build_mesh
+
+    mesh = build_mesh(n_devices=8)
+    params = bert.init_bert_params(jax.random.PRNGKey(0))
+    fn = dp_minilm_embed(mesh)
+    with pytest.raises(ValueError, match="not divisible"):
+        fn(params, jnp.zeros((5, 8), jnp.int32), jnp.ones((5, 8), jnp.int32))
+
+
+def test_dp_clip_image_embed_shards(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from mmrag_tpu.models import bert as jbert, clip as jclip
+    from mmrag_tpu.parallel.inference import dp_clip_image_embed
+    from mmrag_tpu.parallel.mesh import build_mesh
+
+    cfg = jclip.CLIPConfig(
+        vision=jclip.CLIPVisionConfig(
+            image_size=32, patch_size=16, hidden_size=32, num_layers=2,
+            num_heads=2, intermediate_size=64,
+        ),
+        text=jclip.CLIPTextConfig(
+            vocab_size=512, hidden_size=32, num_layers=2, num_heads=2,
+            intermediate_size=64, max_position=16,
+        ),
+        projection_dim=32,
+    )
+    mesh = build_mesh(n_devices=8)
+    params = jclip.init_clip_params(jax.random.PRNGKey(1), cfg)
+    pixels = jnp.asarray(rng.standard_normal((8, 32, 32, 3)), jnp.float32)
+    from mmrag_tpu.parallel.inference import shard_batch_fn
+
+    def fn(params, px):
+        feats = jclip.clip_image_features(params, px, cfg)
+        return jbert.l2_normalize(feats)
+
+    dp_fn = shard_batch_fn(mesh, fn, n_batch_args=1)
+    got = np.asarray(dp_fn(params, pixels))
+    assert got.shape == (8, 32)
+    np.testing.assert_allclose(np.linalg.norm(got, axis=1), 1.0, atol=1e-5)
