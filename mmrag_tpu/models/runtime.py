@@ -208,11 +208,21 @@ class EncoderRuntime:
 
         if not images:
             return np.zeros((0, self.clip_dim), dtype=np.float32)
+        out = [np.asarray(dev[:n], dtype=np.float32)
+               for dev, n in self.embed_images_async(images)]
+        return np.concatenate(out, axis=0)
+
+    def embed_images_async(self, images: Sequence[np.ndarray]):
+        """Yield ``(device_embeddings, n_valid)`` per bucket WITHOUT forcing a
+        host readback — the streaming ingest pipeline
+        (:mod:`mmrag_tpu.rag.stream`) overlaps the next host decode with the
+        in-flight device forward; ``np.asarray(dev[:n])`` later synchronizes.
+        """
+
         from ..ops.images import stack_square_crops
 
         params = self._ensure_clip()
         tpu = self.cfg.tpu
-        out = []
         max_batch = tpu.image_batch_buckets[-1]
         for start in range(0, len(images), max_batch):
             chunk = images[start : start + max_batch]
@@ -220,9 +230,7 @@ class EncoderRuntime:
             batch = stack_square_crops(chunk, canvas=224)
             bsz = _bucket(n, tpu.image_batch_buckets)
             batch = _pad_rows(batch, bsz)
-            emb = self._clip_image_fn(params, jnp.asarray(batch))
-            out.append(np.asarray(emb[:n], dtype=np.float32))
-        return np.concatenate(out, axis=0)
+            yield self._clip_image_fn(params, jnp.asarray(batch)), n
 
     def embed_image_files(self, paths: Sequence[str]) -> np.ndarray:
         """Decode image files on host and embed (reference passes paths)."""

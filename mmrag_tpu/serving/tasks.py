@@ -94,21 +94,13 @@ def ingest_youtube_task(
             frames, arrays = [], []
         if frames:
             progress("index_images")
-            # streaming: decoded arrays -> CLIP -> index, no file re-read
-            embeddings = engine.runtime.embed_images_batch(arrays)
-            rows, chunks = [], []
-            for frame, emb in zip(frames, embeddings):
-                cid = f"{document_id}-f{frame.ts:.1f}-{new_id()[:8]}"
-                meta = {"document_id": document_id, "ts_start": frame.ts,
-                        "ts_end": frame.ts}
-                rows.append(VectorRow(chunk_id=cid, user_id=user_id,
-                                      document_id=document_id, modality="image",
-                                      embedding=emb, meta=meta))
-                chunks.append(Chunk(chunk_id=cid, document_id=document_id,
-                                    user_id=user_id, modality="image",
-                                    media_path=frame.path, ts_start=frame.ts,
-                                    ts_end=frame.ts, meta=meta))
-            n_images = index_build.index_image_rows(user_id, rows, chunks, engine)
+            # streaming pipeline: decoded arrays -> CLIP -> index with
+            # host-prep/device-compute overlap (rag/stream.py)
+            from ..rag.stream import stream_index_video_frames
+
+            n_images = stream_index_video_frames(
+                user_id, document_id, frames, arrays, engine
+            )
 
     progress("notes")
     notes = build_notes_payload(title, segments, cfg)
