@@ -56,6 +56,25 @@ def _write_ids(vec: jnp.ndarray, update: jnp.ndarray, start: jnp.ndarray) -> jnp
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
+def _search_multi(
+    slab: jnp.ndarray,
+    users: jnp.ndarray,
+    docs: jnp.ndarray,
+    live: jnp.ndarray,
+    queries: jnp.ndarray,  # (q, d)
+    user_ids: jnp.ndarray,  # (q,) interned tenant per query (-2 = unknown)
+    doc_ids: jnp.ndarray,  # (q,) -1 = no document filter
+    k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    mask = (
+        live[None, :]
+        & (users[None, :] == user_ids[:, None])
+        & ((doc_ids[:, None] < 0) | (docs[None, :] == doc_ids[:, None]))
+    )
+    return cosine_topk(queries, slab, mask, k)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
 def _search(
     slab: jnp.ndarray,
     users: jnp.ndarray,
@@ -231,6 +250,61 @@ class VectorIndex:
             idx = np.asarray(idx)
             out: List[List[Tuple[str, float]]] = []
             for qi in range(queries.shape[0]):
+                hits = []
+                for score, row in zip(scores[qi], idx[qi]):
+                    if score <= -1e29 or len(hits) >= k:
+                        break
+                    hits.append((self._chunk_ids[row], float(score)))
+                out.append(hits)
+            return out
+
+    def search_batch_multi(
+        self,
+        queries: np.ndarray,  # (q, dim)
+        user_ids: Sequence[str],  # one tenant per query row
+        k: int,
+        document_ids: Optional[Sequence[Optional[str]]] = None,
+    ) -> List[List[Tuple[str, float]]]:
+        """Batched search where EVERY query carries its own tenant (and
+        optional document) predicate — one device dispatch for a coalesced
+        cross-tenant micro-batch. The per-query mask is applied inside the
+        scoring kernel, so isolation holds exactly as in :meth:`search_batch`.
+        """
+
+        q = queries.shape[0]
+        if len(user_ids) != q:
+            raise ValueError(f"{len(user_ids)} user_ids for {q} queries")
+        if document_ids is not None and len(document_ids) != q:
+            raise ValueError(f"{len(document_ids)} document_ids for {q} queries")
+        with self._lock:
+            if self._size == 0:
+                return [[] for _ in range(q)]
+            uids = np.asarray(
+                [self._user_intern.get(u, -2) for u in user_ids], np.int32
+            )
+            dids = np.full(q, -1, np.int32)
+            if document_ids is not None:
+                for i, d in enumerate(document_ids):
+                    if d is None:
+                        continue
+                    # doc this index never saw -> positive sentinel that can
+                    # never equal an interned id (negative would mean "no
+                    # filter"), so the query matches nothing
+                    dids[i] = self._doc_intern.get(d, np.iinfo(np.int32).max)
+            scores, idx = _search_multi(
+                self._slab,
+                self._users,
+                self._docs,
+                self._live,
+                jnp.asarray(queries.astype(np.float32)),
+                jnp.asarray(uids),
+                jnp.asarray(dids),
+                min(k, self._capacity),
+            )
+            scores = np.asarray(scores)
+            idx = np.asarray(idx)
+            out: List[List[Tuple[str, float]]] = []
+            for qi in range(q):
                 hits = []
                 for score, row in zip(scores[qi], idx[qi]):
                     if score <= -1e29 or len(hits) >= k:

@@ -60,7 +60,9 @@ def _bucket_max_kernel(q_ref, c_ref, bias_ref, out_ref):
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (Qp, TILE_N)
-    scores = scores + bias_ref[:]  # (1, TILE_N) broadcast: -1e30 on dead rows
+    # bias is (1, TILE_N) (shared mask, broadcast) or (Qp, TILE_N) (per-query
+    # tenant masks): -1e30 on dead rows
+    scores = scores + bias_ref[:]
     qp = scores.shape[0]
     # out block is (1, qp, BPT): trailing dims equal the full array dims, the
     # layout Mosaic accepts for a non-128-multiple bucket count per tile.
@@ -87,7 +89,9 @@ def _fused_topk(
         in_specs=[
             pl.BlockSpec((qp, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_N, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (bias.shape[0], TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=pl.BlockSpec(
             (1, qp, TILE_N // BUCKET), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -117,9 +121,11 @@ def _fused_topk(
         dimension_numbers=(((1,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )  # (Qp, C)
-    cand_scores = cand_scores + jnp.take(bias[0], rows.reshape(-1)).reshape(
-        qp, kb * BUCKET
-    )
+    if bias.shape[0] == 1:
+        cand_bias = jnp.take(bias[0], rows.reshape(-1)).reshape(qp, kb * BUCKET)
+    else:  # per-query masks: gather each query's own bias row
+        cand_bias = jnp.take_along_axis(bias, rows, axis=1)
+    cand_scores = cand_scores + cand_bias
     top_scores, local = jax.lax.top_k(cand_scores, k)
     top_idx = jnp.take_along_axis(rows, local, axis=-1)
     return top_scores, top_idx.astype(jnp.int32)
@@ -157,8 +163,14 @@ def fused_cosine_topk(
     pad_rows = np_ - n
     if pad_rows or dp != d:
         corpus = jnp.pad(corpus, ((0, pad_rows), (0, dp - d)))
-        valid_mask = jnp.pad(valid_mask, (0, pad_rows))
-    bias = jnp.where(valid_mask, 0.0, NEG).astype(jnp.float32)[None, :]
+        pad_spec = ((0, 0), (0, pad_rows)) if valid_mask.ndim == 2 else (0, pad_rows)
+        valid_mask = jnp.pad(valid_mask, pad_spec)
+    if valid_mask.ndim == 2:  # per-query tenant masks
+        bias = jnp.where(valid_mask, 0.0, NEG).astype(jnp.float32)
+        if qp != q:
+            bias = jnp.pad(bias, ((0, qp - q), (0, 0)), constant_values=float(NEG))
+    else:
+        bias = jnp.where(valid_mask, 0.0, NEG).astype(jnp.float32)[None, :]
 
     interpret = jax.default_backend() == "cpu"
     scores, idx = _fused_topk(queries, corpus, bias, k, interpret)

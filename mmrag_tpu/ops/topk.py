@@ -60,7 +60,7 @@ def _cosine_topk_approx(
 def _cosine_topk_xla(
     queries: jnp.ndarray,  # (q, d) f32/bf16, L2-normalized
     corpus: jnp.ndarray,  # (n, d) bf16 slab (padded rows are masked out)
-    valid_mask: jnp.ndarray,  # (n,) bool — row is live AND passes predicates
+    valid_mask: jnp.ndarray,  # (n,) or (q, n) bool — live AND passes predicates
     k: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     # Matmul precision: storage dtype decides speed. A bf16 corpus takes the
@@ -78,7 +78,8 @@ def _cosine_topk_xla(
         preferred_element_type=jnp.float32,
         precision=precision,
     )
-    scores = jnp.where(valid_mask[None, :], scores, NEG_INF)
+    mask = valid_mask if valid_mask.ndim == 2 else valid_mask[None, :]
+    scores = jnp.where(mask, scores, NEG_INF)
     return jax.lax.top_k(scores, k)
 
 
@@ -91,6 +92,10 @@ def cosine_topk(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k cosine scores + row indices per query.
 
+    ``valid_mask`` is ``(n,)`` (one predicate for every query) or ``(q, n)``
+    (per-query predicates — multi-tenant batched search, where each coalesced
+    query carries its own tenant/document mask).
+
     Returns ``(scores (q, k) f32, indices (q, k) i32)``. Indices of masked-out
     / padded rows never appear unless fewer than ``k`` rows are valid, in
     which case the filler entries carry scores <= -1e30 (callers drop them).
@@ -98,6 +103,10 @@ def cosine_topk(
 
     if queries.ndim != 2 or corpus.ndim != 2:
         raise ValueError("queries and corpus must be rank-2")
+    if valid_mask.ndim == 2 and valid_mask.shape[0] != queries.shape[0]:
+        raise ValueError(
+            f"per-query mask rows {valid_mask.shape[0]} != queries {queries.shape[0]}"
+        )
     if queries.shape[1] != corpus.shape[1]:
         raise ValueError(
             f"dim mismatch: queries {queries.shape} vs corpus {corpus.shape}"

@@ -130,3 +130,44 @@ def test_load_or_create(tmp_path):
 def test_dim_mismatch_raises(index):
     with pytest.raises(ValueError):
         index.upsert([_row("c0", vec=np.ones(16))])
+
+
+def test_search_batch_multi_isolates_tenants(rng):
+    from mmrag_tpu.index.store import VectorIndex
+    from mmrag_tpu.storage.records import VectorRow
+
+    index = VectorIndex(dim=8, dtype="float32")
+    vecs = rng.standard_normal((6, 8)).astype(np.float32)
+    rows = [
+        VectorRow(chunk_id=f"c{i}", user_id="alice" if i < 3 else "bob",
+                  document_id=f"d{i % 2}", modality="text", embedding=vecs[i])
+        for i in range(6)
+    ]
+    index.upsert(rows)
+    # query with each tenant's own vector: each must only see its tenant
+    queries = np.stack([vecs[0], vecs[4]])
+    out = index.search_batch_multi(queries, ["alice", "bob"], k=6)
+    assert {c for c, _ in out[0]} == {"c0", "c1", "c2"}
+    assert {c for c, _ in out[1]} == {"c3", "c4", "c5"}
+    # top hit is the query's own row
+    assert out[0][0][0] == "c0" and out[1][0][0] == "c4"
+
+
+def test_search_batch_multi_doc_filter_and_unknowns(rng):
+    from mmrag_tpu.index.store import VectorIndex
+    from mmrag_tpu.storage.records import VectorRow
+
+    index = VectorIndex(dim=4, dtype="float32")
+    vecs = rng.standard_normal((4, 4)).astype(np.float32)
+    index.upsert([
+        VectorRow(chunk_id=f"c{i}", user_id="u", document_id=f"d{i % 2}",
+                  modality="text", embedding=vecs[i])
+        for i in range(4)
+    ])
+    queries = np.stack([vecs[0]] * 3)
+    out = index.search_batch_multi(
+        queries, ["u", "u", "ghost"], k=4, document_ids=["d0", "nope", None]
+    )
+    assert {c for c, _ in out[0]} == {"c0", "c2"}  # doc filter pushed into mask
+    assert out[1] == []  # unknown doc matches nothing
+    assert out[2] == []  # unknown tenant matches nothing

@@ -83,3 +83,16 @@ def test_backend_arg_routes_to_pallas(rng):
     ps, pi = cosine_topk(q, c, mask, 5, backend="pallas")
     xs, xi = cosine_topk(q, c, mask, 5, backend="xla")
     np.testing.assert_array_equal(np.asarray(pi), np.asarray(xi))
+
+
+def test_per_query_masks_parity(rng):
+    q, c = _mk(rng, N, 128, q=3)
+    mask2d = jnp.asarray(rng.random((3, N)) > 0.4)
+    ps, pi = fused_cosine_topk(q, c, mask2d, 8)
+    xs, xi = cosine_topk(q, c, mask2d, 8)
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(xi))
+    np.testing.assert_allclose(np.asarray(ps), np.asarray(xs), atol=1e-5)
+    # masked rows never surface per query
+    for qi in range(3):
+        dead = set(np.flatnonzero(~np.asarray(mask2d)[qi]).tolist())
+        assert not (set(np.asarray(pi)[qi].tolist()) & dead)
