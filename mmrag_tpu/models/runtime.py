@@ -267,18 +267,36 @@ class EncoderRuntime:
         """(n,) cross-encoder relevance logits for (query, passage) pairs
         (reference CrossEncoder.predict, ``app/ml/retrieve.py:148``)."""
 
+        return self.rerank_pairs([query] * len(passages), passages)
+
+    def rerank_pairs(
+        self, queries: Sequence[str], passages: Sequence[str]
+    ) -> np.ndarray:
+        """(n,) logits for arbitrary (query_i, passage_i) pairs in one
+        bucketed dispatch — lets the retrieval batcher rerank every coalesced
+        request's candidates together instead of one cross-encoder call per
+        request."""
+
         if not passages:
             return np.zeros((0,), dtype=np.float32)
+        if len(queries) != len(passages):
+            raise ValueError(f"{len(queries)} queries for {len(passages)} passages")
         params = self._ensure_cross()
         tpu = self.cfg.tpu
         seq = tpu.rerank_seq_len
-        ids, mask, tt = self._bert_tok.encode_pairs(
-            [query] * len(passages), list(passages), seq
-        )
-        bsz = _bucket(len(passages), tpu.text_batch_buckets)
-        ids, mask, tt = _pad_rows(ids, bsz), _pad_rows(mask, bsz), _pad_rows(tt, bsz)
-        scores = self._cross_fn(params, jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(tt))
-        return np.asarray(scores[: len(passages)], dtype=np.float32)
+        out = []
+        max_batch = tpu.text_batch_buckets[-1]
+        for start in range(0, len(passages), max_batch):
+            qs = list(queries[start : start + max_batch])
+            ps = list(passages[start : start + max_batch])
+            ids, mask, tt = self._bert_tok.encode_pairs(qs, ps, seq)
+            bsz = _bucket(len(ps), tpu.text_batch_buckets)
+            ids, mask, tt = _pad_rows(ids, bsz), _pad_rows(mask, bsz), _pad_rows(tt, bsz)
+            scores = self._cross_fn(
+                params, jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(tt)
+            )
+            out.append(np.asarray(scores[: len(ps)], dtype=np.float32))
+        return np.concatenate(out, axis=0)
 
 
 _runtime: Optional[EncoderRuntime] = None

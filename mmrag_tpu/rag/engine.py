@@ -55,6 +55,7 @@ class RagEngine:
         )
         self._persist_lock = threading.Lock()
         self._query_batcher = None
+        self._retrieval_batcher = None
         self._batcher_lock = threading.Lock()
 
     @property
@@ -83,7 +84,34 @@ class RagEngine:
             self.text_index.save(self.cfg.paths.index_dir, "text_collection")
             self.image_index.save(self.cfg.paths.index_dir, "image_collection")
 
+    @property
+    def retrieval_batcher(self):
+        """Lazy whole-request retrieval coalescer: N concurrent ``retrieve``
+        calls share one embed + one masked top-k per modality + one rerank
+        dispatch (None when disabled via ``TPU_MICROBATCH_WINDOW_MS=0``)."""
+
+        if self.cfg.tpu.microbatch_window_ms <= 0:
+            return None
+        with self._batcher_lock:
+            if self._retrieval_batcher is None:
+                from ..serving.batcher import MicroBatcher
+
+                def run(items):
+                    from .retrieve import retrieve_batch
+
+                    return retrieve_batch(list(items), self)
+
+                self._retrieval_batcher = MicroBatcher(
+                    run,
+                    max_batch=self.cfg.tpu.microbatch_max,
+                    window_ms=self.cfg.tpu.microbatch_window_ms,
+                    name="retrieval",
+                )
+            return self._retrieval_batcher
+
     def close(self) -> None:
+        if self._retrieval_batcher is not None:
+            self._retrieval_batcher.close()
         if self._query_batcher is not None:
             self._query_batcher.close()
         self.metadata.close()

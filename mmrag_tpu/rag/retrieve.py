@@ -18,7 +18,7 @@ TPU-native differences:
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -131,6 +131,98 @@ def _rerank_text(
     return merged
 
 
+def _with_rerank_scores(
+    hits: List[RetrievedHit], scores, rerank_topk: int
+) -> List[RetrievedHit]:
+    """Attach rerank scores to the head and resort the whole list by
+    ``rerank_score or score`` (reference ``retrieve.py:132-155``)."""
+
+    head = hits[:rerank_topk]
+    rescored = [
+        RetrievedHit(
+            chunk_id=h.chunk_id, document_id=h.document_id, user_id=h.user_id,
+            modality=h.modality, score=h.score, rerank_score=float(s),
+            text=h.text, media_path=h.media_path, meta=h.meta,
+        )
+        for h, s in zip(head, scores)
+    ]
+    merged = rescored + hits[rerank_topk:]
+    merged.sort(key=lambda h: h.rerank_score if h.rerank_score is not None else h.score,
+                reverse=True)
+    return merged
+
+
+def retrieve_batch(
+    items: List[Tuple[str, str, Optional[str]]],  # (user_id, query, document_id)
+    engine: Optional[RagEngine] = None,
+) -> List[Dict[str, List[Dict]]]:
+    """Batched full retrieval: N coalesced requests cost ONE dual query-embed
+    dispatch, ONE masked top-k per modality (per-query tenant predicates via
+    :meth:`VectorIndex.search_batch_multi`), and ONE cross-encoder call over
+    every request's rerank pairs. Semantics per item are identical to
+    :func:`retrieve` (same fusion, same resort, same result shape)."""
+
+    engine = engine or get_engine()
+    if not items:
+        return []
+    cfgr = engine.cfg.retrieval
+    users = [u for u, _, _ in items]
+    queries = [q for _, q, _ in items]
+    docs = [d for _, _, d in items]
+
+    tvecs = engine.runtime.embed_text_batch(queries)
+    ivecs = engine.runtime.embed_queries_for_images(queries)
+    for q, tv, iv in zip(queries, tvecs, ivecs):
+        cache.set_query_embeddings(q, {"text": tv, "image": iv})
+
+    traw = engine.text_index.search_batch_multi(
+        tvecs, users, cfgr.index_topk_text, docs
+    )
+    iraw = engine.image_index.search_batch_multi(
+        ivecs, users, cfgr.index_topk_image, docs
+    )
+    text_hits = [_hydrate(r, "text", engine) for r in traw]
+    image_hits = [_hydrate(r, "image", engine) for r in iraw]
+
+    if cfgr.use_rerank:
+        pair_q: List[str] = []
+        pair_p: List[str] = []
+        counts = []
+        for i, hits in enumerate(text_hits):
+            head = hits[: cfgr.rerank_topk]
+            pair_q.extend(queries[i] for _ in head)
+            pair_p.extend(h.text for h in head)
+            counts.append(len(head))
+        try:
+            scores = (
+                engine.runtime.rerank_pairs(pair_q, pair_p)
+                if pair_p
+                else np.zeros(0, np.float32)
+            )
+            offset = 0
+            for i, n in enumerate(counts):
+                if n:
+                    text_hits[i] = _with_rerank_scores(
+                        text_hits[i], scores[offset : offset + n], cfgr.rerank_topk
+                    )
+                offset += n
+        except Exception:  # graceful degrade ladder (SURVEY §5)
+            pass
+
+    payloads = []
+    for i in range(len(items)):
+        fused = fuse_results(text_hits[i], image_hits[i], cfgr.final_n)
+        payloads.append(
+            {
+                "results": [h.to_dict() for h in fused],
+                "text": [h.to_dict() for h in text_hits[i]],
+                "images": [h.to_dict() for h in image_hits[i]],
+                "index_version": engine.versions.get(users[i]),
+            }
+        )
+    return payloads
+
+
 def retrieve(
     user_id: str,
     query: str,
@@ -149,16 +241,22 @@ def retrieve(
     if cached is not None:
         return cached
 
-    text_hits = _rerank_text(
-        query, retrieve_text(user_id, query, engine, document_id), engine
-    )
-    image_hits = retrieve_images(user_id, query, engine, document_id)
-    fused = fuse_results(text_hits, image_hits, engine.cfg.retrieval.final_n)
-    payload = {
-        "results": [h.to_dict() for h in fused],
-        "text": [h.to_dict() for h in text_hits],
-        "images": [h.to_dict() for h in image_hits],
-        "index_version": version,
-    }
+    batcher = engine.retrieval_batcher
+    if batcher is not None:
+        # whole-request coalescing: one embed/search/rerank dispatch set for
+        # every concurrent request in the window
+        payload = batcher.submit((user_id, query, document_id))
+    else:
+        text_hits = _rerank_text(
+            query, retrieve_text(user_id, query, engine, document_id), engine
+        )
+        image_hits = retrieve_images(user_id, query, engine, document_id)
+        fused = fuse_results(text_hits, image_hits, engine.cfg.retrieval.final_n)
+        payload = {
+            "results": [h.to_dict() for h in fused],
+            "text": [h.to_dict() for h in text_hits],
+            "images": [h.to_dict() for h in image_hits],
+            "index_version": version,
+        }
     cache.set_retrieval_results(user_id, cache_key_query, version, payload)
     return payload

@@ -172,3 +172,81 @@ def test_prompt_contains_citations_and_images():
     assert "[doc:d p:3] evidence" in prompt
     assert "/tmp/x.png" in prompt
     assert "Question: why?" in prompt
+
+
+def test_retrieve_batch_matches_sequential(tmp_path):
+    from mmrag_tpu.rag.retrieve import retrieve, retrieve_batch
+
+    eng = tiny_engine(tmp_path, extra_env={"TPU_MICROBATCH_WINDOW_MS": "0"})
+    try:
+        for user in ("u1", "u2"):
+            eng.metadata.upsert_document(
+                Document(document_id=f"doc-{user}", user_id=user, doc_type="pdf",
+                         title=user)
+            )
+            nodes = [
+                {
+                    "id": f"doc-{user}-c{i}",
+                    "text": t,
+                    "metadata": {"document_id": f"doc-{user}", "page": i + 1},
+                }
+                for i, t in enumerate(
+                    ["alpha particle physics", "beta decay chains", "gamma rays"]
+                )
+            ]
+            ib.index_text_nodes(user, nodes, eng)
+        items = [("u1", "alpha physics", None), ("u2", "gamma rays", None),
+                 ("u1", "beta decay", "doc-u1")]
+        batched = retrieve_batch(items, eng)
+        from mmrag_tpu.cache import clear_all_caches
+
+        clear_all_caches()
+        sequential = [retrieve(u, q, eng, d) for u, q, d in items]
+        for b, s in zip(batched, sequential):
+            assert [r["chunk_id"] for r in b["results"]] == [
+                r["chunk_id"] for r in s["results"]
+            ]
+            for rb, rs in zip(b["results"], s["results"]):
+                assert abs(rb["score"] - rs["score"]) < 1e-5
+                if rs.get("rerank_score") is not None:
+                    assert abs(rb["rerank_score"] - rs["rerank_score"]) < 1e-4
+        # tenant isolation inside the batch
+        assert all(r["user_id"] == "u1" for r in batched[0]["results"])
+        assert all(r["user_id"] == "u2" for r in batched[1]["results"])
+        assert all(r["document_id"] == "doc-u1" for r in batched[2]["results"])
+    finally:
+        eng.close()
+
+
+def test_retrieve_routes_through_batcher(tmp_path):
+    from mmrag_tpu.rag.retrieve import retrieve
+
+    eng = tiny_engine(tmp_path, extra_env={"TPU_MICROBATCH_WINDOW_MS": "10"})
+    try:
+        eng.metadata.upsert_document(
+            Document(document_id="d", user_id="u", doc_type="pdf", title="t")
+        )
+        ib.index_text_nodes(
+            "u",
+            [{"id": "d-c0", "text": "solar panels convert sunlight",
+              "metadata": {"document_id": "d"}}],
+            eng,
+        )
+        import threading
+
+        results = {}
+        threads = [
+            threading.Thread(
+                target=lambda q=f"sunlight {i}": results.update({q: retrieve("u", q, eng)})
+            )
+            for i in range(4)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(results) == 4
+        assert all(r["results"] for r in results.values())
+        assert eng.retrieval_batcher.batches_run < 4  # coalescing happened
+    finally:
+        eng.close()

@@ -29,6 +29,9 @@ def tiny_engine(tmp_path, extra_env=None):
         "TPU_TEXT_BATCH_BUCKETS": "4,16",
         "TPU_TEXT_SEQ_BUCKETS": "32,128",
         "TPU_IMAGE_BATCH_BUCKETS": "4,8",
+        # direct (unbatched) retrieval path by default: unit tests
+        # monkeypatch retrieve_text/retrieve_images as their seam
+        "TPU_MICROBATCH_WINDOW_MS": "0",
     }
     env.update(extra_env or {})
     cfg = load_settings(env)
