@@ -55,13 +55,24 @@ def _batch_tile(seq: int) -> int:
     # tile=32 at seq 64 measured the same speed but compiles within 56KB of
     # the 16MB scoped-VMEM cliff (OOMs under slightly different surrounding
     # fusions) — 16 keeps headroom.
-    if seq <= 64:
-        return 16
     if seq <= 128:
         return 16
     if seq <= 256:
         return 8
     return 4
+
+
+def _select_kernel(seq: int, head_dim: int):
+    """Kernel variant + batch tile for this shape.
+
+    (A block-diagonal variant — flattening samples into one dense
+    (tile*s, tile*s) matmul per head — was measured and REMOVED: the
+    tile-x larger softmax/mask work is VPU-bound and cost more than the
+    tiny batched matmuls it replaced: MiniLM 42.6k -> 37.1k, CLIP 16.7k
+    -> 10.8k embeds/s on v5e.)
+    """
+
+    return _attn_kernel, _batch_tile(seq)
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, num_heads: int, scale: float):
@@ -98,10 +109,11 @@ def _fused_attention(
 ) -> jnp.ndarray:
     b, s, h = q.shape
     hd = h // num_heads
-    tile = min(_batch_tile(s), b)
+    kernel_fn, tile = _select_kernel(s, hd)
+    tile = min(tile, b)
     grid = (b // tile,)
     kernel = functools.partial(
-        _attn_kernel, num_heads=num_heads, scale=float(hd) ** -0.5
+        kernel_fn, num_heads=num_heads, scale=float(hd) ** -0.5
     )
     qkv_spec = pl.BlockSpec((tile, s, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -150,7 +162,8 @@ def fused_encoder_attention(
         full = full + bias.astype(jnp.float32)
     if attention_mask is not None:
         full = full + (1.0 - attention_mask.astype(jnp.float32))[:, None, :] * -1e9
-    tile = min(_batch_tile(s), b)
+    _, tile = _select_kernel(s, h // num_heads)
+    tile = min(tile, b)
     pad = (-b) % tile
     if pad:
         q = jnp.pad(q, ((0, pad), (0, 0), (0, 0)))
