@@ -55,7 +55,7 @@ def _write_ids(vec: jnp.ndarray, update: jnp.ndarray, start: jnp.ndarray) -> jnp
     return jax.lax.dynamic_update_slice(vec, update, (start,))
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
+@functools.partial(jax.jit, static_argnames=("k", "backend"))
 def _search_multi(
     slab: jnp.ndarray,
     users: jnp.ndarray,
@@ -65,16 +65,17 @@ def _search_multi(
     user_ids: jnp.ndarray,  # (q,) interned tenant per query (-2 = unknown)
     doc_ids: jnp.ndarray,  # (q,) -1 = no document filter
     k: int,
+    backend: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     mask = (
         live[None, :]
         & (users[None, :] == user_ids[:, None])
         & ((doc_ids[:, None] < 0) | (docs[None, :] == doc_ids[:, None]))
     )
-    return cosine_topk(queries, slab, mask, k)
+    return cosine_topk(queries, slab, mask, k, backend)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
+@functools.partial(jax.jit, static_argnames=("k", "backend"))
 def _search(
     slab: jnp.ndarray,
     users: jnp.ndarray,
@@ -84,17 +85,19 @@ def _search(
     user_id: jnp.ndarray,
     doc_id: jnp.ndarray,  # -1 = no document filter
     k: int,
+    backend: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     mask = live & (users == user_id) & ((doc_id < 0) | (docs == doc_id))
-    return cosine_topk(queries, slab, mask, k)
+    return cosine_topk(queries, slab, mask, k, backend)
 
 
 class VectorIndex:
     """A growable device-resident embedding index for one modality."""
 
-    def __init__(self, dim: int, dtype: str = "bfloat16") -> None:
+    def __init__(self, dim: int, dtype: str = "bfloat16", backend: str = "auto") -> None:
         self.dim = dim
         self.dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+        self.backend = backend  # cosine_topk backend: auto|xla|pallas|approx
         self._lock = threading.RLock()
         self._capacity = 0
         self._size = 0  # rows appended (including tombstones)
@@ -245,6 +248,7 @@ class VectorIndex:
                 jnp.int32(uid),
                 jnp.int32(did),
                 min(k, self._capacity),
+                self.backend,
             )
             scores = np.asarray(scores)
             idx = np.asarray(idx)
@@ -300,6 +304,7 @@ class VectorIndex:
                 jnp.asarray(uids),
                 jnp.asarray(dids),
                 min(k, self._capacity),
+                self.backend,
             )
             scores = np.asarray(scores)
             idx = np.asarray(idx)
@@ -378,7 +383,8 @@ class VectorIndex:
             os.replace(tmp, os.path.join(directory, f"{name}.manifest.json"))
 
     @classmethod
-    def load(cls, directory: str, name: str, dtype: str = "bfloat16") -> "VectorIndex":
+    def load(cls, directory: str, name: str, dtype: str = "bfloat16",
+             backend: str = "auto") -> "VectorIndex":
         with open(os.path.join(directory, f"{name}.manifest.json")) as fh:
             manifest = json.load(fh)
         with np.load(os.path.join(directory, f"{name}.npz")) as data:
@@ -386,7 +392,7 @@ class VectorIndex:
                 mat = native.bf16_to_f32(data["embeddings_bf16"])
             else:
                 mat = data["embeddings"]
-        index = cls(dim=manifest["dim"], dtype=dtype)
+        index = cls(dim=manifest["dim"], dtype=dtype, backend=backend)
         rows = [
             VectorRow(
                 chunk_id=c, user_id=u, document_id=d,
@@ -402,8 +408,9 @@ class VectorIndex:
 
     @classmethod
     def load_or_create(
-        cls, directory: str, name: str, dim: int, dtype: str = "bfloat16"
+        cls, directory: str, name: str, dim: int, dtype: str = "bfloat16",
+        backend: str = "auto",
     ) -> "VectorIndex":
         if os.path.exists(os.path.join(directory, f"{name}.manifest.json")):
-            return cls.load(directory, name, dtype)
-        return cls(dim=dim, dtype=dtype)
+            return cls.load(directory, name, dtype, backend)
+        return cls(dim=dim, dtype=dtype, backend=backend)

@@ -41,10 +41,12 @@ class RagEngine:
         self.text_index = VectorIndex.load_or_create(
             paths.index_dir, "text_collection",
             dim=self.runtime.text_dim, dtype=self.cfg.tpu.compute_dtype,
+            backend=self.cfg.tpu.topk_backend,
         )
         self.image_index = VectorIndex.load_or_create(
             paths.index_dir, "image_collection",
             dim=self.runtime.clip_dim, dtype=self.cfg.tpu.compute_dtype,
+            backend=self.cfg.tpu.topk_backend,
         )
         self.metadata = MetadataStore(
             os.path.join(paths.index_dir, "metadata.db")
