@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .bert import _precision  # shared bf16->DEFAULT / f32->HIGHEST policy
+
 Params = Dict[str, Any]
 
 
@@ -147,17 +149,6 @@ def init_clip_params(rng: jax.Array, cfg: CLIPConfig = CLIP_VIT_B32) -> Params:
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
-
-
-def _precision(dtype):
-    """bf16 -> DEFAULT (native one-pass MXU); f32 -> HIGHEST (CPU parity).
-    HIGHEST with bf16 inputs forces multi-pass emulation on the MXU."""
-
-    return (
-        jax.lax.Precision.DEFAULT
-        if jnp.dtype(dtype) == jnp.bfloat16
-        else jax.lax.Precision.HIGHEST
-    )
 
 
 def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:

@@ -257,11 +257,17 @@ class EncoderRuntime:
         if not queries:
             return np.zeros((0, self.clip_dim), dtype=np.float32)
         params = self._ensure_clip()
-        ids, mask = self._clip_tok.encode(list(queries), max_len=77)
-        bsz = _bucket(len(queries), self.cfg.tpu.text_batch_buckets)
-        ids, mask = _pad_rows(ids, bsz), _pad_rows(mask, bsz)
-        emb = self._clip_text_fn(params, jnp.asarray(ids), jnp.asarray(mask))
-        return np.asarray(emb[: len(queries)], dtype=np.float32)
+        buckets = self.cfg.tpu.text_batch_buckets
+        out = []
+        max_batch = buckets[-1]
+        for start in range(0, len(queries), max_batch):
+            chunk = list(queries[start : start + max_batch])
+            ids, mask = self._clip_tok.encode(chunk, max_len=77)
+            bsz = _bucket(len(chunk), buckets)
+            ids, mask = _pad_rows(ids, bsz), _pad_rows(mask, bsz)
+            emb = self._clip_text_fn(params, jnp.asarray(ids), jnp.asarray(mask))
+            out.append(np.asarray(emb[: len(chunk)], dtype=np.float32))
+        return np.concatenate(out, axis=0)
 
     def rerank_scores(self, query: str, passages: Sequence[str]) -> np.ndarray:
         """(n,) cross-encoder relevance logits for (query, passage) pairs

@@ -42,15 +42,19 @@ _build_failed = False
 
 
 def _compile() -> bool:
-    cmd = [
-        "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-        "-o", _SO + ".tmp", _SRC,
-    ]
+    # pid-unique temp: concurrent builds from multiple worker processes must
+    # not replace the .so with a file another process's g++ is still writing
+    tmp = f"{_SO}.{os.getpid()}.tmp"
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread", "-o", tmp, _SRC]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        os.replace(_SO + ".tmp", _SO)
+        os.replace(tmp, _SO)
         return True
     except (OSError, subprocess.SubprocessError):
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -93,12 +97,14 @@ def load() -> Optional[ctypes.CDLL]:
             _build_failed = True
             return None
         try:
+            # AttributeError covers a stale .so missing newly bound symbols
+            # (the ABI-version check can't run until binding succeeds)
             lib = _bind(ctypes.CDLL(_SO))
             if lib.mmrag_abi_version() != _ABI_VERSION:
                 _build_failed = True
                 return None
             _lib = lib
-        except OSError:
+        except (OSError, AttributeError):
             _build_failed = True
             return None
         return _lib

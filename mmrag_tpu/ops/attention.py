@@ -49,20 +49,25 @@ def use_fused(batch: int = 1 << 30, seq: int = 0) -> bool:
     return jax.default_backend() != "cpu" and batch * seq >= 4096
 
 
-def _batch_tile(seq: int) -> int:
-    # VMEM budget: ~4 * tile * seq * hidden * 2B (qkv+out, double-buffered)
-    # + tile * seq^2 f32 (bias block + one head's scores). Shrink with seq.
-    # tile=32 at seq 64 measured the same speed but compiles within 56KB of
-    # the 16MB scoped-VMEM cliff (OOMs under slightly different surrounding
-    # fusions) — 16 keeps headroom.
+def _batch_tile(seq: int, itemsize: int = 2) -> int:
+    # VMEM budget: ~4 * tile * seq * hidden * itemsize (qkv+out, double-
+    # buffered) + tile * seq^2 f32 (bias block + one head's scores). Shrink
+    # with seq, and halve for f32 inputs (a 16-tile f32 MiniLM block compiles
+    # to 34 MB scoped VMEM vs the 16 MB limit). tile=32 bf16 at seq 64
+    # measured the same speed but sat within 56KB of the cliff — 16 keeps
+    # headroom.
     if seq <= 128:
-        return 16
-    if seq <= 256:
-        return 8
-    return 4
+        tile = 16
+    elif seq <= 256:
+        tile = 8
+    else:
+        tile = 4
+    if itemsize > 2:
+        tile = max(1, tile // 2)
+    return tile
 
 
-def _select_kernel(seq: int, head_dim: int):
+def _select_kernel(seq: int, head_dim: int, itemsize: int = 2):
     """Kernel variant + batch tile for this shape.
 
     (A block-diagonal variant — flattening samples into one dense
@@ -72,12 +77,20 @@ def _select_kernel(seq: int, head_dim: int):
     -> 10.8k embeds/s on v5e.)
     """
 
-    return _attn_kernel, _batch_tile(seq)
+    return _attn_kernel, _batch_tile(seq, itemsize)
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, num_heads: int, scale: float):
     hd = q_ref.shape[-1] // num_heads
     bias = bias_ref[:]  # (tile, s, s) f32 additive (padding and/or causal)
+    # same precision contract as the einsum path (models/bert.py _precision):
+    # bf16 takes the native one-pass MXU; f32 must stay full-precision for
+    # the <=1e-3 parity budget
+    precision = (
+        jax.lax.Precision.DEFAULT
+        if q_ref.dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
     for n in range(num_heads):
         sl = slice(n * hd, (n + 1) * hd)
         qh, kh, vh = q_ref[:, :, sl], k_ref[:, :, sl], v_ref[:, :, sl]
@@ -85,6 +98,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, num_heads: int, scal
             qh, kh,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
+            precision=precision,
         )  # (tile, s, s)
         scores = scores * scale + bias
         m = jnp.max(scores, axis=-1, keepdims=True)
@@ -94,6 +108,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, num_heads: int, scal
             p.astype(vh.dtype), vh,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
+            precision=precision,
         )
         out_ref[:, :, sl] = ctx.astype(out_ref.dtype)
 
@@ -109,7 +124,7 @@ def _fused_attention(
 ) -> jnp.ndarray:
     b, s, h = q.shape
     hd = h // num_heads
-    kernel_fn, tile = _select_kernel(s, hd)
+    kernel_fn, tile = _select_kernel(s, hd, q.dtype.itemsize)
     tile = min(tile, b)
     grid = (b // tile,)
     kernel = functools.partial(
@@ -162,7 +177,7 @@ def fused_encoder_attention(
         full = full + bias.astype(jnp.float32)
     if attention_mask is not None:
         full = full + (1.0 - attention_mask.astype(jnp.float32))[:, None, :] * -1e9
-    _, tile = _select_kernel(s, h // num_heads)
+    _, tile = _select_kernel(s, h // num_heads, q.dtype.itemsize)
     tile = min(tile, b)
     pad = (-b) % tile
     if pad:

@@ -52,7 +52,8 @@ def _cosine_topk_approx(
         corpus.T,
         preferred_element_type=jnp.float32,
     )
-    scores = jnp.where(valid_mask[None, :], scores, NEG_INF)
+    mask = valid_mask if valid_mask.ndim == 2 else valid_mask[None, :]
+    scores = jnp.where(mask, scores, NEG_INF)
     return jax.lax.approx_max_k(scores, k, recall_target=recall_target)
 
 

@@ -117,18 +117,7 @@ def _rerank_text(
         scores = engine.runtime.rerank_scores(query, [h.text for h in head])
     except Exception:  # graceful degrade ladder (SURVEY §5)
         return hits
-    rescored = [
-        RetrievedHit(
-            chunk_id=h.chunk_id, document_id=h.document_id, user_id=h.user_id,
-            modality=h.modality, score=h.score, rerank_score=float(s),
-            text=h.text, media_path=h.media_path, meta=h.meta,
-        )
-        for h, s in zip(head, scores)
-    ]
-    merged = rescored + hits[cfg.rerank_topk :]
-    merged.sort(key=lambda h: h.rerank_score if h.rerank_score is not None else h.score,
-                reverse=True)
-    return merged
+    return _with_rerank_scores(hits, scores, cfg.rerank_topk)
 
 
 def _with_rerank_scores(

@@ -56,10 +56,12 @@ def stream_index_images(
     def flush(meta_start: int, dev, n: int) -> int:
         emb = np.asarray(dev[:n], dtype=np.float32)  # sync point for bucket N
         rows, chunks = [], []
+        doc_ids = set()
         for offset in range(n):
             node = metas[meta_start + offset]
             meta = dict(node.get("metadata") or {})
             doc_id = meta.get("document_id") or node.get("document_id") or "unknown"
+            doc_ids.add(doc_id)
             chunk_id = node.get("id") or f"{doc_id}-img{meta_start + offset}"
             rows.append(
                 VectorRow(
@@ -85,8 +87,13 @@ def stream_index_images(
                     meta=meta,
                 )
             )
-        engine.image_index.upsert(rows)
+        # catalog first (FK target + the validating step), vectors second —
+        # a chunk-side failure must not leave orphaned vector rows that
+        # hydrate to nothing and silently eat top-k slots
+        for doc_id in doc_ids:
+            engine.metadata.ensure_document(doc_id, user_id)
         engine.metadata.upsert_chunks(chunks)
+        engine.image_index.upsert(rows)
         return len(rows)
 
     # embed_images_async yields per-bucket device arrays without readback;

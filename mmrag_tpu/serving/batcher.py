@@ -23,6 +23,7 @@ from __future__ import annotations
 import logging
 import queue
 import threading
+import time
 from typing import Any, Callable, Generic, List, Optional, Sequence, TypeVar
 
 logger = logging.getLogger(__name__)
@@ -49,12 +50,17 @@ class MicroBatcher(Generic[T]):
         max_batch: int = 16,
         window_ms: float = 4.0,
         name: str = "microbatch",
+        default_timeout: Optional[float] = 300.0,
     ) -> None:
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
         self._fn = fn
         self._max_batch = max_batch
         self._window_s = max(window_ms, 0.0) / 1e3
+        # generous default: the FIRST batch pays jit compilation for every
+        # encoder executable, which over a remote-compile tunnel can take
+        # minutes — a short timeout would spuriously fail every early waiter
+        self._default_timeout = default_timeout
         self._queue: "queue.Queue[_Slot[T]]" = queue.Queue()
         self._closed = threading.Event()
         self.batches_run = 0
@@ -73,13 +79,27 @@ class MicroBatcher(Generic[T]):
             except queue.Empty:
                 continue
             batch = [first]
-            deadline = self._window_s
+            # window_ms bounds TOTAL wait after the first item (a per-get
+            # timeout would let a slow trickle of arrivals extend the window
+            # up to (max_batch-1) * window_ms of tail latency)
+            deadline = time.monotonic() + self._window_s
             while len(batch) < self._max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
                 try:
-                    batch.append(self._queue.get(timeout=deadline))
+                    batch.append(self._queue.get(timeout=remaining))
                 except queue.Empty:
                     break
             self._run(batch)
+        # drain: fail any slots enqueued after the collector stopped looking
+        while True:
+            try:
+                slot = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            slot.error = RuntimeError("batcher closed before running this item")
+            slot.event.set()
 
     def _run(self, batch: List[_Slot[T]]) -> None:
         self.batches_run += 1
@@ -101,14 +121,16 @@ class MicroBatcher(Generic[T]):
 
     # -- public ----------------------------------------------------------------
 
-    def submit(self, item: T, timeout: Optional[float] = 60.0) -> Any:
-        """Block until the item's batch completes; returns its result."""
+    def submit(self, item: T, timeout: Optional[float] = None) -> Any:
+        """Block until the item's batch completes; returns its result.
+
+        ``timeout=None`` uses the batcher's ``default_timeout``."""
 
         if self._closed.is_set():
             raise RuntimeError("batcher is closed")
         slot: _Slot[T] = _Slot(item)
         self._queue.put(slot)
-        if not slot.event.wait(timeout):
+        if not slot.event.wait(timeout if timeout is not None else self._default_timeout):
             raise TimeoutError("micro-batch did not complete in time")
         if slot.error is not None:
             raise slot.error
@@ -116,7 +138,15 @@ class MicroBatcher(Generic[T]):
 
     def close(self) -> None:
         self._closed.set()
-        self._thread.join(timeout=1.0)
+        self._thread.join(timeout=5.0)
+        # the collector drains on exit; cover the case where it never got to
+        while True:
+            try:
+                slot = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            slot.error = RuntimeError("batcher closed before running this item")
+            slot.event.set()
 
 
 class QueryEmbedBatcher:

@@ -171,3 +171,22 @@ def test_search_batch_multi_doc_filter_and_unknowns(rng):
     assert {c for c, _ in out[0]} == {"c0", "c2"}  # doc filter pushed into mask
     assert out[1] == []  # unknown doc matches nothing
     assert out[2] == []  # unknown tenant matches nothing
+
+
+def test_search_batch_multi_approx_backend(rng):
+    """Regression: the approx backend must handle per-query (q, n) masks."""
+
+    from mmrag_tpu.index.store import VectorIndex
+    from mmrag_tpu.storage.records import VectorRow
+
+    index = VectorIndex(dim=8, dtype="float32", backend="approx")
+    vecs = rng.standard_normal((8, 8)).astype(np.float32)
+    index.upsert([
+        VectorRow(chunk_id=f"c{i}", user_id="a" if i < 4 else "b",
+                  document_id="d", modality="text", embedding=vecs[i])
+        for i in range(8)
+    ])
+    out = index.search_batch_multi(np.stack([vecs[0], vecs[5]]), ["a", "b"], k=4)
+    assert out[0] and out[1]
+    assert all(c.startswith("c") and int(c[1:]) < 4 for c, _ in out[0])
+    assert all(int(c[1:]) >= 4 for c, _ in out[1])

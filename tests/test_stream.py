@@ -48,9 +48,13 @@ class _FakeIndex:
 class _FakeMeta:
     def __init__(self):
         self.chunks = []
+        self.docs = []
 
     def upsert_chunks(self, chunks):
         self.chunks.extend(chunks)
+
+    def ensure_document(self, doc_id, user_id):
+        self.docs.append((doc_id, user_id))
 
 
 class _FakeVersions:
@@ -123,3 +127,45 @@ def test_video_frame_adapter_builds_nodes():
     assert chunk.media_path == "/f/1.jpg"
     assert chunk.ts_start == 5.0
     assert eng.image_index.rows[0].chunk_id == "docv-frame-0000"
+
+
+def test_stream_registers_documents_before_chunks(tmp_path, rng):
+    """Regression: chunks have an FK on documents (PRAGMA foreign_keys=ON);
+    streaming must register the document and write the catalog BEFORE the
+    vector rows, so a catalog failure can't leave orphaned vectors."""
+
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from tiny import tiny_engine
+
+    eng = tiny_engine(tmp_path)
+    try:
+        items = [
+            (
+                {
+                    "id": "img-0",
+                    "metadata": {"document_id": "never-registered",
+                                 "media_path": "/m/0.jpg"},
+                },
+                np.zeros((8, 8, 3), np.uint8),
+            )
+        ]
+        written = stream_index_images("u1", items, eng)
+        assert written == 1
+        chunk = eng.metadata.get_chunk("img-0")
+        assert chunk is not None and chunk.document_id == "never-registered"
+    finally:
+        eng.close()
+
+
+def test_stream_catalog_failure_leaves_no_orphan_vectors(rng):
+    eng = _FakeEngine(bucket=4)
+
+    def boom(chunks):
+        raise RuntimeError("catalog down")
+
+    eng.metadata.upsert_chunks = boom
+    eng.metadata.ensure_document = lambda *a, **k: None
+    with pytest.raises(RuntimeError, match="catalog down"):
+        stream_index_images("u1", _items(3), eng)
+    assert eng.image_index.rows == []  # vectors were NOT written first
