@@ -26,6 +26,40 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Join a multi-host JAX cluster over DCN (SURVEY §2c: data plane rides
+    ICI via XLA collectives; DCN carries only control + this rendezvous).
+
+    Reads ``MMRAG_COORDINATOR`` / ``MMRAG_NUM_PROCESSES`` / ``MMRAG_PROCESS_ID``
+    when args are omitted; no-ops (returns False) when no coordinator is
+    configured — single-host dev and CI need no setup. Call once, before
+    :func:`build_mesh`; afterwards ``jax.devices()`` spans every host and the
+    mesh builder lays the data axis across them.
+    """
+
+    import os
+
+    coordinator_address = coordinator_address or os.environ.get("MMRAG_COORDINATOR")
+    if not coordinator_address:
+        return False
+    num_processes = num_processes if num_processes is not None else int(
+        os.environ.get("MMRAG_NUM_PROCESSES", "1")
+    )
+    process_id = process_id if process_id is not None else int(
+        os.environ.get("MMRAG_PROCESS_ID", "0")
+    )
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
+
+
 def build_mesh(
     n_devices: Optional[int] = None,
     model_parallel: int = 1,

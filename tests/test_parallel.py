@@ -185,3 +185,10 @@ def test_dp_clip_image_embed_shards(rng):
     got = np.asarray(dp_fn(params, pixels))
     assert got.shape == (8, 32)
     np.testing.assert_allclose(np.linalg.norm(got, axis=1), 1.0, atol=1e-5)
+
+
+def test_initialize_multihost_noop_without_coordinator(monkeypatch):
+    from mmrag_tpu.parallel.mesh import initialize_multihost
+
+    monkeypatch.delenv("MMRAG_COORDINATOR", raising=False)
+    assert initialize_multihost() is False  # single-host: no-op
