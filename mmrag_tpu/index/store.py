@@ -39,7 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import native
-from ..ops.topk import cosine_topk
+from ..ops.topk import cosine_topk, quantize_rows_int8
 from ..storage.records import VectorRow
 
 _MIN_CAPACITY = 4096
@@ -53,6 +53,28 @@ def _write_rows(slab: jnp.ndarray, update: jnp.ndarray, start: jnp.ndarray) -> j
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _write_ids(vec: jnp.ndarray, update: jnp.ndarray, start: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.dynamic_update_slice(vec, update, (start,))
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _search_multi_int8(
+    slab, scales, users, docs, live, queries, user_ids, doc_ids, k
+):
+    from ..ops.topk import _cosine_topk_int8
+
+    mask = (
+        live[None, :]
+        & (users[None, :] == user_ids[:, None])
+        & ((doc_ids[:, None] < 0) | (docs[None, :] == doc_ids[:, None]))
+    )
+    return _cosine_topk_int8(queries, slab, scales, mask, k)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _search_int8(slab, scales, users, docs, live, queries, user_id, doc_id, k):
+    from ..ops.topk import _cosine_topk_int8
+
+    mask = live & (users == user_id) & ((doc_id < 0) | (docs == doc_id))
+    return _cosine_topk_int8(queries, slab, scales, mask, k)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "backend"))
@@ -94,10 +116,13 @@ def _search(
 class VectorIndex:
     """A growable device-resident embedding index for one modality."""
 
+    _DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "int8": jnp.int8}
+
     def __init__(self, dim: int, dtype: str = "bfloat16", backend: str = "auto") -> None:
         self.dim = dim
-        self.dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+        self.dtype = self._DTYPES.get(dtype, jnp.float32)
         self.backend = backend  # cosine_topk backend: auto|xla|pallas|approx
+        self._scales: Optional[jnp.ndarray] = None  # (capacity,) f32, int8 mode
         self._lock = threading.RLock()
         self._capacity = 0
         self._size = 0  # rows appended (including tombstones)
@@ -132,15 +157,32 @@ class VectorIndex:
         new_users = jnp.full((new_cap,), -1, dtype=jnp.int32)
         new_docs = jnp.full((new_cap,), -1, dtype=jnp.int32)
         new_live = jnp.zeros((new_cap,), dtype=bool)
+        new_scales = (
+            jnp.ones((new_cap,), jnp.float32) if self.dtype == jnp.int8 else None
+        )
         if self._size > 0:
             new_slab = new_slab.at[: self._size].set(self._slab[: self._size])
             new_users = new_users.at[: self._size].set(self._users[: self._size])
             new_docs = new_docs.at[: self._size].set(self._docs[: self._size])
             new_live = new_live.at[: self._size].set(self._live[: self._size])
+            if new_scales is not None:
+                new_scales = new_scales.at[: self._size].set(self._scales[: self._size])
         self._slab, self._users, self._docs, self._live = (
             new_slab, new_users, new_docs, new_live,
         )
+        self._scales = new_scales
         self._capacity = new_cap
+
+    def _host_rows_f32(self) -> np.ndarray:
+        """Live-prefix slab as f32 on host (dequantized in int8 mode)."""
+
+        if self._size == 0:
+            return np.zeros((0, self.dim), np.float32)
+        if self.dtype == jnp.int8:
+            q = np.asarray(self._slab[: self._size], dtype=np.float32)
+            s = np.asarray(self._scales[: self._size], dtype=np.float32)
+            return q * s[:, None]
+        return np.asarray(self._slab[: self._size], dtype=np.float32)
 
     def _tombstone(self, chunk_ids: Sequence[str]) -> None:
         rows = [self._chunk_to_row[c] for c in chunk_ids if c in self._chunk_to_row]
@@ -180,7 +222,12 @@ class VectorIndex:
             docs = np.asarray(
                 [self._intern(self._doc_intern, r.document_id) for r in rows], np.int32
             )
-            self._slab = _write_rows(self._slab, jnp.asarray(mat), jnp.int32(start))
+            if self.dtype == jnp.int8:
+                q, s = quantize_rows_int8(jnp.asarray(mat))
+                self._slab = _write_rows(self._slab, q, jnp.int32(start))
+                self._scales = _write_ids(self._scales, s, jnp.int32(start))
+            else:
+                self._slab = _write_rows(self._slab, jnp.asarray(mat), jnp.int32(start))
             self._users = _write_ids(self._users, jnp.asarray(users), jnp.int32(start))
             self._docs = _write_ids(self._docs, jnp.asarray(docs), jnp.int32(start))
             self._live = _write_ids(
@@ -239,17 +286,24 @@ class VectorIndex:
                 did = self._doc_intern[document_id]
             else:
                 did = -1
-            scores, idx = _search(
-                self._slab,
-                self._users,
-                self._docs,
-                self._live,
-                jnp.asarray(queries.astype(np.float32)),
-                jnp.int32(uid),
-                jnp.int32(did),
-                min(k, self._capacity),
-                self.backend,
-            )
+            if self.dtype == jnp.int8:
+                scores, idx = _search_int8(
+                    self._slab, self._scales, self._users, self._docs, self._live,
+                    jnp.asarray(queries.astype(np.float32)),
+                    jnp.int32(uid), jnp.int32(did), min(k, self._capacity),
+                )
+            else:
+                scores, idx = _search(
+                    self._slab,
+                    self._users,
+                    self._docs,
+                    self._live,
+                    jnp.asarray(queries.astype(np.float32)),
+                    jnp.int32(uid),
+                    jnp.int32(did),
+                    min(k, self._capacity),
+                    self.backend,
+                )
             scores = np.asarray(scores)
             idx = np.asarray(idx)
             out: List[List[Tuple[str, float]]] = []
@@ -295,17 +349,24 @@ class VectorIndex:
                     # never equal an interned id (negative would mean "no
                     # filter"), so the query matches nothing
                     dids[i] = self._doc_intern.get(d, np.iinfo(np.int32).max)
-            scores, idx = _search_multi(
-                self._slab,
-                self._users,
-                self._docs,
-                self._live,
-                jnp.asarray(queries.astype(np.float32)),
-                jnp.asarray(uids),
-                jnp.asarray(dids),
-                min(k, self._capacity),
-                self.backend,
-            )
+            if self.dtype == jnp.int8:
+                scores, idx = _search_multi_int8(
+                    self._slab, self._scales, self._users, self._docs, self._live,
+                    jnp.asarray(queries.astype(np.float32)),
+                    jnp.asarray(uids), jnp.asarray(dids), min(k, self._capacity),
+                )
+            else:
+                scores, idx = _search_multi(
+                    self._slab,
+                    self._users,
+                    self._docs,
+                    self._live,
+                    jnp.asarray(queries.astype(np.float32)),
+                    jnp.asarray(uids),
+                    jnp.asarray(dids),
+                    min(k, self._capacity),
+                    self.backend,
+                )
             scores = np.asarray(scores)
             idx = np.asarray(idx)
             out: List[List[Tuple[str, float]]] = []
@@ -325,15 +386,14 @@ class VectorIndex:
 
         with self._lock:
             live_rows = np.flatnonzero(self._row_live)
-            mat = native.gather_rows(
-                np.asarray(self._slab[: self._size], dtype=np.float32), live_rows
-            )
+            mat = native.gather_rows(self._host_rows_f32(), live_rows)
             chunk_ids = [self._chunk_ids[i] for i in live_rows]
             users = [self._row_user[i] for i in live_rows]
             docs = [self._row_doc[i] for i in live_rows]
             self._capacity = 0
             self._size = 0
             self._slab = self._users = self._docs = self._live = None
+            self._scales = None
             self._chunk_ids, self._row_user, self._row_doc = [], [], []
             self._row_live = np.zeros(0, dtype=bool)
             self._chunk_to_row = {}
@@ -356,9 +416,7 @@ class VectorIndex:
             os.makedirs(directory, exist_ok=True)
             live_rows = np.flatnonzero(self._row_live)
             mat = (
-                native.gather_rows(
-                    np.asarray(self._slab[: self._size], dtype=np.float32), live_rows
-                )
+                native.gather_rows(self._host_rows_f32(), live_rows)
                 if self._size
                 else np.zeros((0, self.dim), np.float32)
             )

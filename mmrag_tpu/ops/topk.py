@@ -84,6 +84,40 @@ def _cosine_topk_xla(
     return jax.lax.top_k(scores, k)
 
 
+def quantize_rows_int8(mat: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-row int8 quantization: returns ``(int8 rows, f32 row
+    scales)`` with ``row ≈ int8 * scale``. For L2-normalized rows the dot
+    error is ~1%% — an opt-in storage mode (``TPU_COMPUTE_DTYPE=int8``) that
+    halves HBM per row vs bf16 and runs the MXU's native int8 path; NOT for
+    the ≤1e-3 parity contract."""
+
+    absmax = jnp.max(jnp.abs(mat), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(mat / scale), -127, 127).astype(jnp.int8)
+    return q, scale[:, 0].astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _cosine_topk_int8(
+    queries: jnp.ndarray,  # (q, d) f32, L2-normalized
+    corpus_q: jnp.ndarray,  # (n, d) int8
+    corpus_scale: jnp.ndarray,  # (n,) f32
+    valid_mask: jnp.ndarray,  # (n,) or (q, n) bool
+    k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    qq, qscale = quantize_rows_int8(queries.astype(jnp.float32))
+    raw = jax.lax.dot_general(
+        qq,
+        corpus_q,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,  # MXU-native int8 x int8 -> int32
+    )
+    scores = raw.astype(jnp.float32) * qscale[:, None] * corpus_scale[None, :]
+    mask = valid_mask if valid_mask.ndim == 2 else valid_mask[None, :]
+    scores = jnp.where(mask, scores, NEG_INF)
+    return jax.lax.top_k(scores, k)
+
+
 def cosine_topk(
     queries: jnp.ndarray,
     corpus: jnp.ndarray,

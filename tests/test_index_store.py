@@ -190,3 +190,58 @@ def test_search_batch_multi_approx_backend(rng):
     assert out[0] and out[1]
     assert all(c.startswith("c") and int(c[1:]) < 4 for c, _ in out[0])
     assert all(int(c[1:]) >= 4 for c, _ in out[1])
+
+
+def test_int8_index_mode(rng):
+    """Opt-in int8 storage: half the HBM per row, ~1% score error, exact
+    tenant masking, dequantized persistence roundtrip."""
+
+    from mmrag_tpu.index.store import VectorIndex
+    from mmrag_tpu.storage.records import VectorRow
+
+    vecs = rng.standard_normal((32, 16)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    rows = [
+        VectorRow(chunk_id=f"c{i}", user_id="a" if i < 16 else "b",
+                  document_id="d", modality="text", embedding=vecs[i])
+        for i in range(32)
+    ]
+    i8 = VectorIndex(dim=16, dtype="int8")
+    f32 = VectorIndex(dim=16, dtype="float32")
+    i8.upsert(rows)
+    f32.upsert(rows)
+
+    hits8 = i8.search(vecs[3], "a", k=5)
+    hits32 = f32.search(vecs[3], "a", k=5)
+    assert hits8[0][0] == "c3"  # own row wins despite quantization
+    assert abs(hits8[0][1] - 1.0) < 0.03  # ~1% quant error budget
+    # top-5 recall vs exact
+    overlap = {c for c, _ in hits8} & {c for c, _ in hits32}
+    assert len(overlap) >= 4
+    # tenant isolation intact
+    assert all(int(c[1:]) < 16 for c, _ in hits8)
+
+    # multi-tenant batched path
+    out = i8.search_batch_multi(np.stack([vecs[3], vecs[20]]), ["a", "b"], k=4)
+    assert out[0][0][0] == "c3" and out[1][0][0] == "c20"
+
+
+def test_int8_persistence_roundtrip(rng, tmp_path):
+    from mmrag_tpu.index.store import VectorIndex
+    from mmrag_tpu.storage.records import VectorRow
+
+    vecs = rng.standard_normal((8, 8)).astype(np.float32)
+    index = VectorIndex(dim=8, dtype="int8")
+    index.upsert([
+        VectorRow(chunk_id=f"c{i}", user_id="u", document_id="d",
+                  modality="text", embedding=vecs[i])
+        for i in range(8)
+    ])
+    index.save(str(tmp_path), "t")
+    back = VectorIndex.load(str(tmp_path), "t", dtype="int8")
+    assert len(back) == 8
+    hits = back.search(vecs[2] / np.linalg.norm(vecs[2]), "u", k=1)
+    assert hits[0][0] == "c2"
+    # compaction after tombstones keeps int8 mode working
+    index.delete_document("d")
+    assert index.compact() == 0
