@@ -142,6 +142,34 @@ def bench_topk(quick: bool) -> float:
     return sec * 1e3  # ms per query
 
 
+def bench_topk_int8(quick: bool) -> float:
+    """Opt-in int8 index mode (quantize_rows_int8 + MXU-native int8 matmul)."""
+
+    import jax
+    import jax.numpy as jnp
+
+    from mmrag_tpu.ops.topk import _cosine_topk_int8, l2_normalize, quantize_rows_int8
+
+    n, d, k = (100_000 if quick else 1_000_000), 384, 50
+    make = jax.jit(lambda key: quantize_rows_int8(
+        l2_normalize(jax.random.normal(key, (n, d), jnp.float32))))
+    corpus_q, corpus_s = make(jax.random.PRNGKey(0))
+    queries = l2_normalize(jax.random.normal(jax.random.PRNGKey(1), (1, d), jnp.float32))
+    mask = jnp.ones((n,), bool)
+
+    def make_step(kk, queries, corpus_q, corpus_s, mask):
+        def body(i, acc):
+            q = queries + 1e-6 * i
+            scores, idx = _cosine_topk_int8(q, corpus_q, corpus_s, mask, k)
+            return acc + scores[0, 0] + idx[0, 0].astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, kk, body, jnp.float32(0.0))
+
+    k1, k2 = (16, 4) if quick else (32, 8)
+    sec = _per_iter_seconds(make_step, k1, k2, queries, corpus_q, corpus_s, mask)
+    return sec * 1e3
+
+
 def bench_rerank(quick: bool) -> float:
     import jax
     import jax.numpy as jnp
@@ -191,6 +219,7 @@ def main() -> None:
     minilm = bench_minilm(args.quick)
     clip_im = bench_clip_images(args.quick)
     topk_ms = bench_topk(args.quick)
+    topk_int8_ms = bench_topk_int8(args.quick)
     rerank = bench_rerank(args.quick)
 
     print(
@@ -206,6 +235,7 @@ def main() -> None:
                     "clip_vs_target_10k": round(clip_im / 10_000.0, 3),
                     "topk_1m_p50_ms": round(topk_ms, 3),
                     "topk_vs_target_5ms": round(5.0 / topk_ms, 3) if topk_ms else None,
+                    "topk_int8_1m_p50_ms": round(topk_int8_ms, 3),
                     "rerank_pairs_per_sec": round(rerank, 1),
                     "quick": args.quick,
                 },
