@@ -83,6 +83,56 @@ def sharded_topk(
     return fn(queries, corpus, mask)
 
 
+def sharded_topk_int8(
+    queries: jnp.ndarray,
+    corpus_q: jnp.ndarray,  # (n, d) int8 rows
+    corpus_scale: jnp.ndarray,  # (n,) f32 per-row scales
+    mask: jnp.ndarray,
+    k: int,
+    mesh: Mesh,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Corpus-sharded top-k over int8 shards (the opt-in quantized index in
+    its multi-chip form): each chip runs the MXU-native int8 scoring over its
+    HBM shard, the k-merge rides one ``all_gather`` like the exact path."""
+
+    from ..ops.topk import _cosine_topk_int8
+
+    n_data = mesh.shape[DATA_AXIS]
+    if corpus_q.shape[0] % n_data != 0:
+        raise ValueError(
+            f"corpus rows {corpus_q.shape[0]} not divisible by data axis {n_data}"
+        )
+    k_eff = min(k, corpus_q.shape[0] // n_data)
+
+    def local_topk(queries, shard_q, shard_scale, shard_mask):
+        shard_rows = shard_q.shape[0]
+        scores, idx = _cosine_topk_int8(queries, shard_q, shard_scale, shard_mask, k_eff)
+        global_idx = idx + jax.lax.axis_index(DATA_AXIS) * shard_rows
+        all_scores = jax.lax.all_gather(scores, DATA_AXIS)
+        all_idx = jax.lax.all_gather(global_idx, DATA_AXIS)
+        n_shards = all_scores.shape[0]
+        q = queries.shape[0]
+        merged_scores = jnp.transpose(all_scores, (1, 0, 2)).reshape(q, n_shards * k_eff)
+        merged_idx = jnp.transpose(all_idx, (1, 0, 2)).reshape(q, n_shards * k_eff)
+        top_scores, sel = jax.lax.top_k(merged_scores, k_eff)
+        return top_scores, jnp.take_along_axis(merged_idx, sel, axis=-1)
+
+    fn = jax.jit(
+        shard_map(
+            local_topk,
+            mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(P(), P()),
+            check_rep=False,
+        )
+    )
+    corpus_q = jax.device_put(corpus_q, NamedSharding(mesh, P(DATA_AXIS)))
+    corpus_scale = jax.device_put(corpus_scale, NamedSharding(mesh, P(DATA_AXIS)))
+    mask = jax.device_put(mask, NamedSharding(mesh, P(DATA_AXIS)))
+    queries = jax.device_put(queries, NamedSharding(mesh, P()))
+    return fn(queries, corpus_q, corpus_scale, mask)
+
+
 def merge_slices_host(slice_scores, slice_ids, k: int):
     """Merge per-slice top-k results on the host (DCN side).
 

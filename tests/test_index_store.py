@@ -245,3 +245,60 @@ def test_int8_persistence_roundtrip(rng, tmp_path):
     # compaction after tombstones keeps int8 mode working
     index.delete_document("d")
     assert index.compact() == 0
+
+
+def test_concurrent_upsert_search_compact(rng):
+    """Race-safety: concurrent writers/readers/compaction never corrupt the
+    index — every search returns only live chunks of the right tenant and
+    the final state matches the sum of writes (SURVEY §5 race fixes)."""
+
+    import threading
+
+    from mmrag_tpu.index.store import VectorIndex
+    from mmrag_tpu.storage.records import VectorRow
+
+    index = VectorIndex(dim=8, dtype="float32")
+    vecs = rng.standard_normal((64, 8)).astype(np.float32)
+    errors = []
+
+    def writer(tid):
+        try:
+            for i in range(8):
+                index.upsert([
+                    VectorRow(chunk_id=f"t{tid}-c{i}", user_id=f"u{tid}",
+                              document_id=f"d{tid}", modality="text",
+                              embedding=vecs[(tid * 8 + i) % 64])
+                ])
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    def reader(tid):
+        try:
+            for _ in range(6):
+                hits = index.search(vecs[tid], f"u{tid % 4}", k=5)
+                for cid, _score in hits:
+                    assert cid.startswith(f"t{tid % 4}-"), cid
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    def compactor():
+        try:
+            for _ in range(3):
+                index.compact()
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    threads = (
+        [threading.Thread(target=writer, args=(t,)) for t in range(4)]
+        + [threading.Thread(target=reader, args=(t,)) for t in range(4)]
+        + [threading.Thread(target=compactor)]
+    )
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert len(index) == 32  # 4 writers x 8 rows, all live post-compaction
+    for tid in range(4):
+        hits = index.search(vecs[tid * 8], f"u{tid}", k=10)
+        assert hits and all(c.startswith(f"t{tid}-") for c, _ in hits)

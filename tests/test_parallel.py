@@ -192,3 +192,23 @@ def test_initialize_multihost_noop_without_coordinator(monkeypatch):
 
     monkeypatch.delenv("MMRAG_COORDINATOR", raising=False)
     assert initialize_multihost() is False  # single-host: no-op
+
+
+def test_sharded_topk_int8(rng):
+    import jax.numpy as jnp
+
+    from mmrag_tpu.ops.topk import l2_normalize, quantize_rows_int8
+    from mmrag_tpu.parallel.mesh import build_mesh
+    from mmrag_tpu.parallel.sharded_index import sharded_topk_int8
+
+    mesh = build_mesh(n_devices=8)
+    rows = 64 * 8
+    corpus = l2_normalize(jnp.asarray(rng.standard_normal((rows, 64)), jnp.float32))
+    cq, cs = quantize_rows_int8(corpus)
+    queries = corpus[:3]
+    mask = jnp.ones(rows, dtype=bool)
+    scores, idx = sharded_topk_int8(queries, cq, cs, mask, k=5, mesh=mesh)
+    assert scores.shape == (3, 5)
+    # each query finds itself despite int8 quantization
+    assert (np.asarray(idx)[:, 0] == np.arange(3)).all()
+    assert float(np.asarray(scores)[:, 0].min()) > 0.97
