@@ -41,6 +41,11 @@ class BertConfig:
     type_vocab_size: int = 2
     layer_norm_eps: float = 1e-12
     pad_token_id: int = 0
+    # tanh-approx gelu: 45.9k -> 70.4k embeds/s on v5e (erf spends ~4 ms/batch
+    # in VPU transcendentals) at 3e-7 embedding cosine drift vs erf. Hidden
+    # states differ elementwise up to ~1e-3 from torch's erf form; set False
+    # for bit-level hidden-state comparisons.
+    gelu_approximate: bool = True
 
     @property
     def head_dim(self) -> int:
@@ -145,6 +150,24 @@ def _layer_norm(p: Params, x: jnp.ndarray, eps: float) -> jnp.ndarray:
     return (x - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
 
 
+def _residual_ln(
+    p: Params, x2: jnp.ndarray, delta: jnp.ndarray, eps: float, out_dtype
+) -> jnp.ndarray:
+    """LayerNorm(x2 + delta) in ``out_dtype`` — fused Pallas kernel on big
+    on-chip batches (XLA's LN fusions measured ~7x over bandwidth, >50% of
+    encoder time); plain jnp elsewhere. f32 statistics either way."""
+
+    from ..ops.attention import use_fused
+
+    if use_fused(x2.shape[0], 1):  # rows >= 4096 -> worth a kernel dispatch
+        from ..ops.layernorm import fused_add_layer_norm
+
+        return fused_add_layer_norm(
+            x2, delta, p["scale"], p["bias"], eps, out_dtype=out_dtype
+        )
+    return _layer_norm(p, x2 + delta, eps).astype(out_dtype)
+
+
 def _use_fused_attention(impl: str, b: int, s: int) -> bool:
     if impl == "auto":
         from ..ops.attention import use_fused
@@ -155,22 +178,26 @@ def _use_fused_attention(impl: str, b: int, s: int) -> bool:
 
 def _self_attention(
     layer: Params,
-    x: jnp.ndarray,
+    x2: jnp.ndarray,  # (b*s, h) 2-D residual stream
     attention_mask: jnp.ndarray,  # (b, s) {0,1}
     cfg: BertConfig,
     dtype,
     impl: str = "auto",
 ) -> jnp.ndarray:
-    b, s, h = x.shape
+    b, s = attention_mask.shape
+    h = x2.shape[-1]
     nh, hd = cfg.num_heads, cfg.head_dim
-    q = _dense(layer["q"], x, dtype)
-    k = _dense(layer["k"], x, dtype)
-    v = _dense(layer["v"], x, dtype)
+    q = _dense(layer["q"], x2, dtype)
+    k = _dense(layer["k"], x2, dtype)
+    v = _dense(layer["v"], x2, dtype)
     if _use_fused_attention(impl, b, s):
-        from ..ops.attention import fused_encoder_attention
+        # 2-D operands keep row-major layouts end-to-end: the 3-D kernel's
+        # layout constraint made XLA spend ~57% of MiniLM wall time
+        # transposing activations around it (op-profile measured)
+        from ..ops.attention import fused_encoder_attention2d
 
-        ctx = fused_encoder_attention(
-            q.astype(dtype), k.astype(dtype), v.astype(dtype), nh,
+        ctx = fused_encoder_attention2d(
+            q.astype(dtype), k.astype(dtype), v.astype(dtype), nh, s,
             attention_mask=attention_mask,
         )
         return _dense(layer["attn_out"], ctx, dtype)
@@ -182,7 +209,7 @@ def _self_attention(
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
     ctx = jnp.einsum("bnqk,bknd->bqnd", probs.astype(dtype), v.astype(dtype),
                      preferred_element_type=jnp.float32, precision=_precision(dtype))
-    return _dense(layer["attn_out"], ctx.reshape(b, s, h), dtype)
+    return _dense(layer["attn_out"], ctx.reshape(b * s, h), dtype)
 
 
 def bert_encode(
@@ -206,13 +233,24 @@ def bert_encode(
         ]
     )
     x = _layer_norm(emb["ln"], x, cfg.layer_norm_eps)
+    # 2-D residual stream: every matmul/LN sees a plain row-major (b*s, h)
+    # operand, so XLA never re-lays activations out around the attention
+    # kernel's operand constraint. The stream is carried in compute_dtype
+    # (bf16 on TPU): the encoder is HBM-bandwidth-bound on activations, so
+    # halving the stream halves the wall; LN statistics stay f32 and the
+    # bf16 path holds the <=1e-3 cosine-drift budget (test_model_parity).
+    stream = jnp.dtype(compute_dtype)
+    x = x.reshape(b * s, cfg.hidden_size).astype(stream)
     for layer in params["layers"]:
         attn = _self_attention(layer, x, attention_mask, cfg, compute_dtype, impl=attention_impl)
-        x = _layer_norm(layer["attn_ln"], x + attn, cfg.layer_norm_eps)
-        inner = jax.nn.gelu(_dense(layer["ffn_in"], x, compute_dtype), approximate=False)
+        x = _residual_ln(layer["attn_ln"], x, attn.astype(stream), cfg.layer_norm_eps, stream)
+        inner = jax.nn.gelu(
+            _dense(layer["ffn_in"], x, compute_dtype),
+            approximate=cfg.gelu_approximate,
+        )
         out = _dense(layer["ffn_out"], inner, compute_dtype)
-        x = _layer_norm(layer["ffn_ln"], x + out, cfg.layer_norm_eps)
-    return x
+        x = _residual_ln(layer["ffn_ln"], x, out.astype(stream), cfg.layer_norm_eps, stream)
+    return x.reshape(b, s, cfg.hidden_size).astype(jnp.float32)
 
 
 def mean_pool(hidden: jnp.ndarray, attention_mask: jnp.ndarray) -> jnp.ndarray:

@@ -80,6 +80,131 @@ def _select_kernel(seq: int, head_dim: int, itemsize: int = 2):
     return _attn_kernel, _batch_tile(seq, itemsize)
 
 
+def _attn_kernel2d(
+    q_ref, k_ref, v_ref, bias_ref, out_ref, *, num_heads: int, seq: int, scale: float
+):
+    """2-D layout variant: q/k/v/out are (tile*seq, hidden) row-major blocks.
+
+    Rationale (measured via op-profile): the 3-D kernel's {2,1,0} operand
+    layout constraint fought XLA's preferred {0,2,1} activation layout — the
+    surrounding LayerNorm fusions spent ~57% of MiniLM wall time on layout
+    transposes. With 2-D operands every producer/consumer already agrees on
+    row-major, so the constraint costs nothing; the (tile, seq) split happens
+    in-VMEM (a major-dim reshape, free).
+    """
+
+    rows, h = q_ref.shape
+    tile = rows // seq
+    hd = h // num_heads
+    bias = bias_ref[:]  # (tile, s, s)
+    precision = (
+        jax.lax.Precision.DEFAULT
+        if q_ref.dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
+    for n in range(num_heads):
+        sl = slice(n * hd, (n + 1) * hd)
+        qh = q_ref[:, sl].reshape(tile, seq, hd)
+        kh = k_ref[:, sl].reshape(tile, seq, hd)
+        vh = v_ref[:, sl].reshape(tile, seq, hd)
+        scores = jax.lax.dot_general(
+            qh, kh,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        scores = scores * scale + bias
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(scores - m)
+        p = p * pl.reciprocal(jnp.sum(p, axis=-1, keepdims=True), approx=False)
+        ctx = jax.lax.dot_general(
+            p.astype(vh.dtype), vh,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        out_ref[:, sl] = ctx.reshape(rows, hd).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "seq", "interpret"))
+def _fused_attention2d(
+    q: jnp.ndarray,  # (b*s, hidden) row-major
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: jnp.ndarray,  # (b, s, s) f32 additive
+    num_heads: int,
+    seq: int,
+    interpret: bool,
+) -> jnp.ndarray:
+    rows, h = q.shape
+    b = rows // seq
+    hd = h // num_heads
+    _, tile = _select_kernel(seq, hd, q.dtype.itemsize)
+    tile = min(tile, b)
+    grid = (b // tile,)
+    kernel = functools.partial(
+        _attn_kernel2d, num_heads=num_heads, seq=seq, scale=float(hd) ** -0.5
+    )
+    qkv_spec = pl.BlockSpec(
+        (tile * seq, h), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            qkv_spec,
+            qkv_spec,
+            qkv_spec,
+            pl.BlockSpec((tile, seq, seq), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct((rows, h), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * rows * num_heads * seq * hd,
+            bytes_accessed=4 * rows * h * q.dtype.itemsize + b * seq * seq * 4,
+            transcendentals=rows * num_heads * seq,
+        ),
+        interpret=interpret,
+    )(q, k, v, bias)
+
+
+def fused_encoder_attention2d(
+    q: jnp.ndarray,  # (b*s, hidden)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    num_heads: int,
+    seq: int,
+    attention_mask: Optional[jnp.ndarray] = None,  # (b, s) {0,1}
+    bias: Optional[jnp.ndarray] = None,  # (b, s, s) f32 additive
+) -> jnp.ndarray:
+    """2-D-activation form of :func:`fused_encoder_attention` — same math,
+    operands stay (b*s, hidden) row-major so no layout transposes are forced
+    at the kernel boundary. Pads the batch to a tile multiple internally."""
+
+    rows, h = q.shape
+    if rows % seq:
+        raise ValueError(f"rows {rows} not divisible by seq {seq}")
+    if h % num_heads:
+        raise ValueError(f"hidden {h} not divisible by heads {num_heads}")
+    b = rows // seq
+    full = jnp.zeros((b, seq, seq), jnp.float32)
+    if bias is not None:
+        full = full + bias.astype(jnp.float32)
+    if attention_mask is not None:
+        full = full + (1.0 - attention_mask.astype(jnp.float32))[:, None, :] * -1e9
+    _, tile = _select_kernel(seq, h // num_heads, q.dtype.itemsize)
+    tile = min(tile, b)
+    pad = (-b) % tile
+    if pad:
+        q = jnp.pad(q, ((0, pad * seq), (0, 0)))
+        k = jnp.pad(k, ((0, pad * seq), (0, 0)))
+        v = jnp.pad(v, ((0, pad * seq), (0, 0)))
+        full = jnp.pad(full, ((0, pad), (0, 0), (0, 0)))
+    interpret = jax.default_backend() == "cpu"
+    out = _fused_attention2d(q, k, v, full, num_heads, seq, interpret)
+    return out[:rows]
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, num_heads: int, scale: float):
     hd = q_ref.shape[-1] // num_heads
     bias = bias_ref[:]  # (tile, s, s) f32 additive (padding and/or causal)

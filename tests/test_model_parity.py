@@ -62,12 +62,31 @@ def test_bert_hidden_parity(bert_pair, rng):
             input_ids=torch.tensor(ids.astype(np.int64)),
             attention_mask=torch.tensor(mask.astype(np.int64)),
         ).last_hidden_state.numpy()
-    got = np.asarray(jbert.bert_encode(params, jnp.asarray(ids), jnp.asarray(mask)))
+    # erf gelu for the elementwise hidden-state comparison (torch uses erf;
+    # the runtime default is the tanh approximation, whose *embedding-level*
+    # drift is 3e-7 cosine — asserted in test_gelu_approx_embedding_drift)
+    exact_cfg = jbert.BertConfig(gelu_approximate=False)
+    got = np.asarray(jbert.bert_encode(params, jnp.asarray(ids), jnp.asarray(mask), exact_cfg))
     # Compare only unpadded positions (HF computes garbage at padded slots too,
     # but those are excluded by pooling).
     sel = mask.astype(bool)
     np.testing.assert_allclose(got[sel], want[sel], atol=2e-4)
     assert _cosine_drift(got[sel], want[sel]) < 1e-3
+
+
+def test_gelu_approx_embedding_drift(bert_pair, rng):
+    """The tanh-gelu fast path must stay deep inside the 1e-3 cosine budget
+    at the embedding level (measured 3e-7 on-chip)."""
+
+    _model, params = bert_pair
+    ids, mask = _token_batch(rng)
+    exact = np.asarray(jbert.minilm_embed(
+        params, jnp.asarray(ids), jnp.asarray(mask),
+        jbert.BertConfig(gelu_approximate=False)))
+    approx = np.asarray(jbert.minilm_embed(
+        params, jnp.asarray(ids), jnp.asarray(mask),
+        jbert.BertConfig(gelu_approximate=True)))
+    assert _cosine_drift(exact, approx) < 1e-5
 
 
 def test_minilm_sentence_embedding_parity(bert_pair, rng):
