@@ -142,6 +142,7 @@ class TpuDefaults:
     """
 
     compute_dtype: str = "bfloat16"  # MXU-native; params kept f32, matmuls bf16
+    index_dtype: str = ""  # vector-slab storage: bfloat16|float32|int8 ("" = compute_dtype)
     param_dtype: str = "float32"
     text_batch_buckets: str = "8,32,128,512"  # static batch sizes for text encoder
     image_batch_buckets: str = "8,32,128"  # static batch sizes for CLIP vision

@@ -55,17 +55,30 @@ def _write_ids(vec: jnp.ndarray, update: jnp.ndarray, start: jnp.ndarray) -> jnp
     return jax.lax.dynamic_update_slice(vec, update, (start,))
 
 
+def _predicate_mask(users, docs, live, user_id, doc_id):
+    """Tenant + optional-document mask, single-query form. The ONE place the
+    isolation predicate lives (int8/exact, single/multi all route here)."""
+
+    return live & (users == user_id) & ((doc_id < 0) | (docs == doc_id))
+
+
+def _predicate_mask_multi(users, docs, live, user_ids, doc_ids):
+    """Per-query (q, n) form of :func:`_predicate_mask`."""
+
+    return (
+        live[None, :]
+        & (users[None, :] == user_ids[:, None])
+        & ((doc_ids[:, None] < 0) | (docs[None, :] == doc_ids[:, None]))
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def _search_multi_int8(
     slab, scales, users, docs, live, queries, user_ids, doc_ids, k
 ):
     from ..ops.topk import _cosine_topk_int8
 
-    mask = (
-        live[None, :]
-        & (users[None, :] == user_ids[:, None])
-        & ((doc_ids[:, None] < 0) | (docs[None, :] == doc_ids[:, None]))
-    )
+    mask = _predicate_mask_multi(users, docs, live, user_ids, doc_ids)
     return _cosine_topk_int8(queries, slab, scales, mask, k)
 
 
@@ -73,7 +86,7 @@ def _search_multi_int8(
 def _search_int8(slab, scales, users, docs, live, queries, user_id, doc_id, k):
     from ..ops.topk import _cosine_topk_int8
 
-    mask = live & (users == user_id) & ((doc_id < 0) | (docs == doc_id))
+    mask = _predicate_mask(users, docs, live, user_id, doc_id)
     return _cosine_topk_int8(queries, slab, scales, mask, k)
 
 
@@ -89,11 +102,7 @@ def _search_multi(
     k: int,
     backend: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    mask = (
-        live[None, :]
-        & (users[None, :] == user_ids[:, None])
-        & ((doc_ids[:, None] < 0) | (docs[None, :] == doc_ids[:, None]))
-    )
+    mask = _predicate_mask_multi(users, docs, live, user_ids, doc_ids)
     return cosine_topk(queries, slab, mask, k, backend)
 
 
@@ -109,7 +118,7 @@ def _search(
     k: int,
     backend: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    mask = live & (users == user_id) & ((doc_id < 0) | (docs == doc_id))
+    mask = _predicate_mask(users, docs, live, user_id, doc_id)
     return cosine_topk(queries, slab, mask, k, backend)
 
 
@@ -121,6 +130,11 @@ class VectorIndex:
     def __init__(self, dim: int, dtype: str = "bfloat16", backend: str = "auto") -> None:
         self.dim = dim
         self.dtype = self._DTYPES.get(dtype, jnp.float32)
+        if self.dtype == jnp.int8 and backend not in ("auto", "xla"):
+            raise ValueError(
+                f"int8 index supports backend auto/xla, not {backend!r} "
+                "(the pallas/approx paths score bf16/f32 slabs)"
+            )
         self.backend = backend  # cosine_topk backend: auto|xla|pallas|approx
         self._scales: Optional[jnp.ndarray] = None  # (capacity,) f32, int8 mode
         self._lock = threading.RLock()
@@ -417,7 +431,7 @@ class VectorIndex:
             live_rows = np.flatnonzero(self._row_live)
             mat = (
                 native.gather_rows(self._host_rows_f32(), live_rows)
-                if self._size
+                if self._size and self.dtype != jnp.int8
                 else np.zeros((0, self.dim), np.float32)
             )
             manifest = {
@@ -426,7 +440,17 @@ class VectorIndex:
                 "user_ids": [self._row_user[i] for i in live_rows],
                 "document_ids": [self._row_doc[i] for i in live_rows],
             }
-            if self.dtype == jnp.bfloat16:
+            if self.dtype == jnp.int8:
+                # lossless: persist the quantized rows + scales directly (4x
+                # smaller than dequantized f32, and no re-quantization drift
+                # across save/load cycles)
+                q_host = np.asarray(self._slab[: self._size])[live_rows]
+                s_host = np.asarray(self._scales[: self._size], np.float32)[live_rows]
+                np.savez(
+                    os.path.join(directory, f"{name}.npz"),
+                    embeddings_int8=q_host, scales=s_host,
+                )
+            elif self.dtype == jnp.bfloat16:
                 # HBM-ready bf16 bits on disk: half the bytes, threaded
                 # native conversion, exact (the slab is already bf16)
                 np.savez(
@@ -440,13 +464,50 @@ class VectorIndex:
                 json.dump(manifest, fh)
             os.replace(tmp, os.path.join(directory, f"{name}.manifest.json"))
 
+    def _install_prequantized(self, chunk_ids, user_ids, doc_ids, q_mat, scales) -> None:
+        """Populate an EMPTY int8 index from persisted quantized rows —
+        bypasses normalize+quantize so save/load roundtrips are bit-exact."""
+
+        with self._lock:
+            assert self._size == 0 and self.dtype == jnp.int8
+            n = len(chunk_ids)
+            if n == 0:
+                return
+            self._ensure_capacity(n)
+            users = np.asarray(
+                [self._intern(self._user_intern, u) for u in user_ids], np.int32
+            )
+            docs = np.asarray(
+                [self._intern(self._doc_intern, d) for d in doc_ids], np.int32
+            )
+            self._slab = _write_rows(self._slab, jnp.asarray(q_mat, jnp.int8), jnp.int32(0))
+            self._scales = _write_ids(self._scales, jnp.asarray(scales, jnp.float32), jnp.int32(0))
+            self._users = _write_ids(self._users, jnp.asarray(users), jnp.int32(0))
+            self._docs = _write_ids(self._docs, jnp.asarray(docs), jnp.int32(0))
+            self._live = _write_ids(self._live, jnp.ones(n, bool), jnp.int32(0))
+            self._chunk_ids = list(chunk_ids)
+            self._row_user = list(user_ids)
+            self._row_doc = list(doc_ids)
+            self._row_live = np.ones(n, dtype=bool)
+            self._chunk_to_row = {c: i for i, c in enumerate(chunk_ids)}
+            self._size = n
+
     @classmethod
     def load(cls, directory: str, name: str, dtype: str = "bfloat16",
              backend: str = "auto") -> "VectorIndex":
         with open(os.path.join(directory, f"{name}.manifest.json")) as fh:
             manifest = json.load(fh)
         with np.load(os.path.join(directory, f"{name}.npz")) as data:
-            if "embeddings_bf16" in data:
+            if "embeddings_int8" in data and dtype == "int8":
+                index = cls(dim=manifest["dim"], dtype=dtype, backend=backend)
+                index._install_prequantized(
+                    manifest["chunk_ids"], manifest["user_ids"],
+                    manifest["document_ids"], data["embeddings_int8"], data["scales"],
+                )
+                return index
+            if "embeddings_int8" in data:  # dtype changed between runs
+                mat = data["embeddings_int8"].astype(np.float32) * data["scales"][:, None]
+            elif "embeddings_bf16" in data:
                 mat = native.bf16_to_f32(data["embeddings_bf16"])
             else:
                 mat = data["embeddings"]

@@ -21,6 +21,25 @@ from jax.experimental.pallas import tpu as pltpu
 _TILE_ROWS = 1024
 
 
+def use_fused_ln(rows: int) -> bool:
+    """Whether encoders should route LayerNorms through the fused kernel.
+
+    Independent of the attention override so the two kernels can be bisected
+    separately: ``MMRAG_LN_IMPL=fused`` forces the kernel (interpret mode on
+    CPU — how tests exercise it), ``MMRAG_LN_IMPL=xla`` forces plain jnp;
+    default is the kernel on accelerators for batches worth a dispatch.
+    """
+
+    import os
+
+    override = os.environ.get("MMRAG_LN_IMPL", "")
+    if override == "fused":
+        return True
+    if override == "xla":
+        return False
+    return jax.default_backend() != "cpu" and rows >= 4096
+
+
 def _add_ln_kernel(x_ref, d_ref, scale_ref, bias_ref, out_ref, *, eps: float):
     x = x_ref[:].astype(jnp.float32) + d_ref[:].astype(jnp.float32)
     mean = jnp.mean(x, axis=-1, keepdims=True)

@@ -87,7 +87,7 @@ def _cosine_topk_xla(
 def quantize_rows_int8(mat: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Symmetric per-row int8 quantization: returns ``(int8 rows, f32 row
     scales)`` with ``row ≈ int8 * scale``. For L2-normalized rows the dot
-    error is ~1%% — an opt-in storage mode (``TPU_COMPUTE_DTYPE=int8``) that
+    error is ~1%% — an opt-in storage mode (``TPU_INDEX_DTYPE=int8``) that
     halves HBM per row vs bf16 and runs the MXU's native int8 path; NOT for
     the ≤1e-3 parity contract."""
 

@@ -46,12 +46,20 @@ def initialize_multihost(
     coordinator_address = coordinator_address or os.environ.get("MMRAG_COORDINATOR")
     if not coordinator_address:
         return False
-    num_processes = num_processes if num_processes is not None else int(
-        os.environ.get("MMRAG_NUM_PROCESSES", "1")
-    )
-    process_id = process_id if process_id is not None else int(
-        os.environ.get("MMRAG_PROCESS_ID", "0")
-    )
+    env_np = os.environ.get("MMRAG_NUM_PROCESSES")
+    env_pid = os.environ.get("MMRAG_PROCESS_ID")
+    if num_processes is None:
+        num_processes = int(env_np) if env_np else None
+    if process_id is None:
+        process_id = int(env_pid) if env_pid else None
+    # defaulting to (1, 0) would make every pod host register as process 0
+    # of a single-process cluster — require both or neither (None lets the
+    # TPU runtime auto-detect on supported platforms)
+    if (num_processes is None) != (process_id is None):
+        raise ValueError(
+            "MMRAG_NUM_PROCESSES and MMRAG_PROCESS_ID must be set together "
+            "(or both omitted for TPU auto-detection)"
+        )
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

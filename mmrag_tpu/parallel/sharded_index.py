@@ -25,14 +25,14 @@ from ..ops.topk import cosine_topk
 from .mesh import DATA_AXIS
 
 
-def sharded_topk_fn(mesh: Mesh, k: int, backend: str = "auto"):
-    """Build a jitted ``(queries, corpus, mask) -> (scores, global_idx)``
-    where ``corpus``/``mask`` are row-sharded over ``data`` and outputs are
-    fully replicated."""
+def _merged_topk_fn(mesh: Mesh, k: int, local_score, n_shard_args: int):
+    """shard_map factory shared by every backend: ``local_score(queries,
+    *shard_args) -> (scores, idx)`` runs per chip; this wraps it with the
+    global-offset + all_gather + k-merge that is identical across backends."""
 
-    def local_topk(queries, corpus_shard, mask_shard):
-        shard_rows = corpus_shard.shape[0]
-        scores, idx = cosine_topk(queries, corpus_shard, mask_shard, k, backend)
+    def local_topk(queries, *shard_args):
+        shard_rows = shard_args[0].shape[0]
+        scores, idx = local_score(queries, *shard_args)
         my_offset = jax.lax.axis_index(DATA_AXIS) * shard_rows
         global_idx = idx + my_offset
         # gather every shard's candidates: (n_shards, q, k) on every device
@@ -49,11 +49,22 @@ def sharded_topk_fn(mesh: Mesh, k: int, backend: str = "auto"):
     mapped = shard_map(
         local_topk,
         mesh=mesh,
-        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+        in_specs=(P(),) + (P(DATA_AXIS),) * n_shard_args,
         out_specs=(P(), P()),
         check_rep=False,
     )
     return jax.jit(mapped)
+
+
+def sharded_topk_fn(mesh: Mesh, k: int, backend: str = "auto"):
+    """Build a jitted ``(queries, corpus, mask) -> (scores, global_idx)``
+    where ``corpus``/``mask`` are row-sharded over ``data`` and outputs are
+    fully replicated."""
+
+    def local_score(queries, corpus_shard, mask_shard):
+        return cosine_topk(queries, corpus_shard, mask_shard, k, backend)
+
+    return _merged_topk_fn(mesh, k, local_score, n_shard_args=2)
 
 
 def sharded_topk(
@@ -93,7 +104,7 @@ def sharded_topk_int8(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Corpus-sharded top-k over int8 shards (the opt-in quantized index in
     its multi-chip form): each chip runs the MXU-native int8 scoring over its
-    HBM shard, the k-merge rides one ``all_gather`` like the exact path."""
+    HBM shard; the merge is the shared all_gather path."""
 
     from ..ops.topk import _cosine_topk_int8
 
@@ -104,28 +115,10 @@ def sharded_topk_int8(
         )
     k_eff = min(k, corpus_q.shape[0] // n_data)
 
-    def local_topk(queries, shard_q, shard_scale, shard_mask):
-        shard_rows = shard_q.shape[0]
-        scores, idx = _cosine_topk_int8(queries, shard_q, shard_scale, shard_mask, k_eff)
-        global_idx = idx + jax.lax.axis_index(DATA_AXIS) * shard_rows
-        all_scores = jax.lax.all_gather(scores, DATA_AXIS)
-        all_idx = jax.lax.all_gather(global_idx, DATA_AXIS)
-        n_shards = all_scores.shape[0]
-        q = queries.shape[0]
-        merged_scores = jnp.transpose(all_scores, (1, 0, 2)).reshape(q, n_shards * k_eff)
-        merged_idx = jnp.transpose(all_idx, (1, 0, 2)).reshape(q, n_shards * k_eff)
-        top_scores, sel = jax.lax.top_k(merged_scores, k_eff)
-        return top_scores, jnp.take_along_axis(merged_idx, sel, axis=-1)
+    def local_score(queries, shard_q, shard_scale, shard_mask):
+        return _cosine_topk_int8(queries, shard_q, shard_scale, shard_mask, k_eff)
 
-    fn = jax.jit(
-        shard_map(
-            local_topk,
-            mesh=mesh,
-            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
-            out_specs=(P(), P()),
-            check_rep=False,
-        )
-    )
+    fn = _merged_topk_fn(mesh, k_eff, local_score, n_shard_args=3)
     corpus_q = jax.device_put(corpus_q, NamedSharding(mesh, P(DATA_AXIS)))
     corpus_scale = jax.device_put(corpus_scale, NamedSharding(mesh, P(DATA_AXIS)))
     mask = jax.device_put(mask, NamedSharding(mesh, P(DATA_AXIS)))

@@ -38,14 +38,17 @@ class RagEngine:
         self.runtime = runtime or get_runtime(self.cfg)
         paths = self.cfg.paths
         os.makedirs(paths.index_dir, exist_ok=True)
+        # index storage dtype is its own knob: TPU_INDEX_DTYPE=int8 must not
+        # downgrade the encoders' compute dtype (review finding)
+        index_dtype = self.cfg.tpu.index_dtype or self.cfg.tpu.compute_dtype
         self.text_index = VectorIndex.load_or_create(
             paths.index_dir, "text_collection",
-            dim=self.runtime.text_dim, dtype=self.cfg.tpu.compute_dtype,
+            dim=self.runtime.text_dim, dtype=index_dtype,
             backend=self.cfg.tpu.topk_backend,
         )
         self.image_index = VectorIndex.load_or_create(
             paths.index_dir, "image_collection",
-            dim=self.runtime.clip_dim, dtype=self.cfg.tpu.compute_dtype,
+            dim=self.runtime.clip_dim, dtype=index_dtype,
             backend=self.cfg.tpu.topk_backend,
         )
         self.metadata = MetadataStore(

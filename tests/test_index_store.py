@@ -302,3 +302,38 @@ def test_concurrent_upsert_search_compact(rng):
     for tid in range(4):
         hits = index.search(vecs[tid * 8], f"u{tid}", k=10)
         assert hits and all(c.startswith(f"t{tid}-") for c, _ in hits)
+
+
+def test_int8_save_load_bit_exact(rng, tmp_path):
+    """Persisted int8 rows+scales reload without requantization drift."""
+
+    import jax.numpy as jnp
+
+    from mmrag_tpu.index.store import VectorIndex
+    from mmrag_tpu.storage.records import VectorRow
+
+    vecs = rng.standard_normal((12, 8)).astype(np.float32)
+    index = VectorIndex(dim=8, dtype="int8")
+    index.upsert([
+        VectorRow(chunk_id=f"c{i}", user_id="u", document_id="d",
+                  modality="text", embedding=vecs[i])
+        for i in range(12)
+    ])
+    index.save(str(tmp_path), "t")
+    with np.load(str(tmp_path / "t.npz")) as data:
+        assert "embeddings_int8" in data and "scales" in data
+    back = VectorIndex.load(str(tmp_path), "t", dtype="int8")
+    np.testing.assert_array_equal(
+        np.asarray(back._slab[:12]), np.asarray(index._slab[:12]))
+    np.testing.assert_array_equal(
+        np.asarray(back._scales[:12]), np.asarray(index._scales[:12]))
+    # and a dtype switch between runs still loads (dequantized)
+    as_f32 = VectorIndex.load(str(tmp_path), "t", dtype="float32")
+    assert len(as_f32) == 12
+
+
+def test_int8_rejects_incompatible_backend():
+    from mmrag_tpu.index.store import VectorIndex
+
+    with pytest.raises(ValueError, match="int8 index supports"):
+        VectorIndex(dim=8, dtype="int8", backend="pallas")

@@ -53,7 +53,9 @@ def test_minilm_forward_with_fused_ln(rng, monkeypatch):
     ids = jnp.asarray(rng.integers(5, 30000, (4, 64)), jnp.int32)
     mask = jnp.ones((4, 64), jnp.int32)
     monkeypatch.setenv("MMRAG_ATTN_IMPL", "xla")
+    monkeypatch.setenv("MMRAG_LN_IMPL", "xla")
     want = np.asarray(bert.minilm_embed(params, ids, mask))
-    monkeypatch.setenv("MMRAG_ATTN_IMPL", "fused")  # forces kernel LN + attn
+    monkeypatch.setenv("MMRAG_ATTN_IMPL", "fused")
+    monkeypatch.setenv("MMRAG_LN_IMPL", "fused")  # both kernels, independently gated
     got = np.asarray(bert.minilm_embed(params, ids, mask))
     np.testing.assert_allclose(got, want, atol=1e-4)

@@ -69,3 +69,12 @@ def test_invalid_env_raises(env):
 def test_tpu_buckets_sorted():
     s = load_settings({"TPU_TEXT_BATCH_BUCKETS": "128,8,32"})
     assert s.tpu.text_batch_buckets == (8, 32, 128)
+
+
+def test_index_dtype_knob_is_independent():
+    from mmrag_tpu.settings import load_settings
+
+    cfg = load_settings({"TPU_INDEX_DTYPE": "int8"})
+    assert cfg.tpu.index_dtype == "int8"
+    assert cfg.tpu.compute_dtype == "bfloat16"  # encoders unaffected
+    assert load_settings({}).tpu.index_dtype == ""  # follows compute_dtype
