@@ -363,6 +363,29 @@ def make_server(
 
 
 def serve_forever(host: str = "0.0.0.0", port: int = 8000) -> None:
+    import signal
+    import threading
+
     server = make_server(host, port)
+    stop = threading.Event()
+
+    def _graceful(signum, _frame):
+        logger.info("signal %s: persisting indexes and shutting down", signum)
+        stop.set()
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, _graceful)
+        except ValueError:  # non-main thread (embedded use)
+            pass
     logger.info("serving on %s:%d", host, port)
-    server.serve_forever()
+    try:
+        server.serve_forever()
+    finally:
+        ctx = server.ctx  # type: ignore[attr-defined]
+        try:
+            ctx.engine.persist_indexes()
+        finally:
+            ctx.engine.close()
+        logger.info("shutdown complete")
