@@ -151,7 +151,9 @@ def fused_cosine_topk(
     q, d = queries.shape
     n = corpus.shape[0]
     k = min(k, n)
-    if n < TILE_N or n % BUCKET != 0:
+    if n < TILE_N:
+        # below one tile the fusion buys nothing; non-tile-multiple n above
+        # that is handled by the padding below (padded rows masked out)
         return _cosine_topk_xla(queries, corpus, valid_mask, k)
 
     qp = max(8, _round_up(q, 8))

@@ -150,6 +150,23 @@ def cosine_topk(
     k_eff = min(k, n)
     if backend not in ("auto", "xla", "pallas", "approx"):
         raise ValueError(f"unknown topk backend {backend!r}")
+    if backend == "auto":
+        # Measured @1M x 384 on v5e: lax.top_k cost scales with the query
+        # count (1 query 1.1 ms -> 16 queries 30.7 ms); the Pallas bucket-max
+        # path reduces the sort width 128x and wins 4.5x for batched queries.
+        # It needs a tile-aligned corpus (padding would copy the whole slab
+        # per call) — index slabs are power-of-two capacity, so this holds.
+        from .pallas_topk import TILE_N
+
+        if (
+            jax.default_backend() != "cpu"
+            and queries.shape[0] >= 8
+            and n >= TILE_N
+            and n % TILE_N == 0
+        ):
+            backend = "pallas"
+        else:
+            backend = "xla"
     if backend == "pallas":
         from .pallas_topk import fused_cosine_topk
 
@@ -159,7 +176,6 @@ def cosine_topk(
         scores, idx = _cosine_topk_approx(queries, corpus, valid_mask, idx_dtype_k)
         idx = idx.astype(jnp.int32)
     else:
-        # auto: exact dense XLA — still the fastest measured path on-chip
         scores, idx = _cosine_topk_xla(queries, corpus, valid_mask, k_eff)
     if k_eff < k:
         pad = k - k_eff
