@@ -95,3 +95,31 @@ def test_approx_backend_high_recall(rng):
     assert recall >= 0.8
     masked = set(np.flatnonzero(~np.asarray(mask)).tolist())
     assert not (set(np.asarray(i_a).ravel().tolist()) & masked)
+
+
+def test_auto_routes_batched_queries_to_pallas(rng, monkeypatch):
+    """auto = pallas for q>=8 on tile-aligned corpora (off-CPU), else xla."""
+
+    import mmrag_tpu.ops.topk as T
+    from mmrag_tpu.ops import pallas_topk as PT
+
+    calls = []
+
+    def spy(queries, corpus, valid_mask, k):
+        # don't run the real kernel: default_backend is patched to "tpu",
+        # which would disable interpret mode on this CPU host
+        calls.append("pallas")
+        return T._cosine_topk_xla(queries, corpus, valid_mask, k)
+
+    monkeypatch.setattr(PT, "fused_cosine_topk", spy)
+    monkeypatch.setattr(T.jax, "default_backend", lambda: "tpu")
+    n = 2 * PT.TILE_N
+    c = l2_normalize(jnp.asarray(rng.standard_normal((n, 64)), jnp.float32))
+    q = l2_normalize(jnp.asarray(rng.standard_normal((8, 64)), jnp.float32))
+    mask = jnp.ones(n, dtype=bool)
+    T.cosine_topk(q, c, mask, 5, backend="auto")
+    assert calls == ["pallas"]
+    # single query or unaligned corpus stays on the dense path
+    T.cosine_topk(q[:1], c, mask, 5, backend="auto")
+    T.cosine_topk(q, c[: n - 5], mask[: n - 5], 5, backend="auto")
+    assert calls == ["pallas"]
