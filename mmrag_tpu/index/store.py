@@ -208,6 +208,32 @@ class VectorIndex:
         for c in chunk_ids:
             self._chunk_to_row.pop(c, None)
 
+    def _search_with_fallback(self, fn, *args):
+        """Run a jitted search; on a runtime TPU failure retry on the dense
+        XLA backend. Observed in practice: the Pallas top-k dispatch can hit
+        an opaque ``INVALID_ARGUMENT: TPU backend error`` after very large
+        unrelated buffers have lived on the chip (allocator-state dependent);
+        exactness is identical on the dense path, so degrade silently-but-
+        logged rather than failing the query."""
+
+        import jax as _jax
+        import logging
+
+        try:
+            scores, idx = fn(*args, self.backend)
+            # force materialization inside the guard: dispatch errors surface
+            # at readback, after the jitted call itself returned
+            return np.asarray(scores), np.asarray(idx)
+        except _jax.errors.JaxRuntimeError:
+            if self.backend == "xla":
+                raise
+            logging.getLogger(__name__).warning(
+                "search backend %r failed at runtime; retrying on dense xla",
+                self.backend,
+            )
+            scores, idx = fn(*args, "xla")
+            return np.asarray(scores), np.asarray(idx)
+
     # -- public API ---------------------------------------------------------
 
     def __len__(self) -> int:
@@ -307,16 +333,11 @@ class VectorIndex:
                     jnp.int32(uid), jnp.int32(did), min(k, self._capacity),
                 )
             else:
-                scores, idx = _search(
-                    self._slab,
-                    self._users,
-                    self._docs,
-                    self._live,
+                scores, idx = self._search_with_fallback(
+                    _search,
+                    self._slab, self._users, self._docs, self._live,
                     jnp.asarray(queries.astype(np.float32)),
-                    jnp.int32(uid),
-                    jnp.int32(did),
-                    min(k, self._capacity),
-                    self.backend,
+                    jnp.int32(uid), jnp.int32(did), min(k, self._capacity),
                 )
             scores = np.asarray(scores)
             idx = np.asarray(idx)
@@ -370,16 +391,11 @@ class VectorIndex:
                     jnp.asarray(uids), jnp.asarray(dids), min(k, self._capacity),
                 )
             else:
-                scores, idx = _search_multi(
-                    self._slab,
-                    self._users,
-                    self._docs,
-                    self._live,
+                scores, idx = self._search_with_fallback(
+                    _search_multi,
+                    self._slab, self._users, self._docs, self._live,
                     jnp.asarray(queries.astype(np.float32)),
-                    jnp.asarray(uids),
-                    jnp.asarray(dids),
-                    min(k, self._capacity),
-                    self.backend,
+                    jnp.asarray(uids), jnp.asarray(dids), min(k, self._capacity),
                 )
             scores = np.asarray(scores)
             idx = np.asarray(idx)

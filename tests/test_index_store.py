@@ -337,3 +337,34 @@ def test_int8_rejects_incompatible_backend():
 
     with pytest.raises(ValueError, match="int8 index supports"):
         VectorIndex(dim=8, dtype="int8", backend="pallas")
+
+
+def test_search_runtime_fallback_to_xla(rng):
+    """A runtime TPU failure on a fancy backend retries on dense xla."""
+
+    import jax
+
+    from mmrag_tpu.index.store import VectorIndex
+
+    index = VectorIndex(dim=4, dtype="float32", backend="pallas")
+    calls = []
+
+    def fake_fn(*args):
+        backend = args[-1]
+        calls.append(backend)
+        if backend != "xla":
+            raise jax.errors.JaxRuntimeError("INVALID_ARGUMENT: TPU backend error")
+        return np.ones((1, 2), np.float32), np.zeros((1, 2), np.int32)
+
+    scores, idx = index._search_with_fallback(fake_fn, "ignored")
+    assert calls == ["pallas", "xla"]
+    assert scores.shape == (1, 2)
+
+    # xla backend re-raises (nothing to fall back to)
+    index_xla = VectorIndex(dim=4, dtype="float32", backend="xla")
+
+    def always_fail(*args):
+        raise jax.errors.JaxRuntimeError("INVALID_ARGUMENT")
+
+    with pytest.raises(jax.errors.JaxRuntimeError):
+        index_xla._search_with_fallback(always_fail, "ignored")
