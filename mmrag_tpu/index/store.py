@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import functools
 import json
+import logging
 import os
 import threading
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -43,6 +44,7 @@ from ..ops.topk import cosine_topk, quantize_rows_int8
 from ..storage.records import VectorRow
 
 _MIN_CAPACITY = 4096
+_logger = logging.getLogger(__name__)
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -216,18 +218,15 @@ class VectorIndex:
         exactness is identical on the dense path, so degrade silently-but-
         logged rather than failing the query."""
 
-        import jax as _jax
-        import logging
-
         try:
             scores, idx = fn(*args, self.backend)
             # force materialization inside the guard: dispatch errors surface
             # at readback, after the jitted call itself returned
             return np.asarray(scores), np.asarray(idx)
-        except _jax.errors.JaxRuntimeError:
+        except jax.errors.JaxRuntimeError:
             if self.backend == "xla":
                 raise
-            logging.getLogger(__name__).warning(
+            _logger.warning(
                 "search backend %r failed at runtime; retrying on dense xla",
                 self.backend,
             )

@@ -46,7 +46,7 @@ def use_fused(batch: int = 1 << 30, seq: int = 0) -> bool:
         return True
     if override == "xla":
         return False
-    return jax.default_backend() != "cpu" and batch * seq >= 4096
+    return jax.default_backend() == "tpu" and batch * seq >= 4096
 
 
 def _batch_tile(seq: int, itemsize: int = 2) -> int:

@@ -37,7 +37,7 @@ def use_fused_ln(rows: int) -> bool:
         return True
     if override == "xla":
         return False
-    return jax.default_backend() != "cpu" and rows >= 4096
+    return jax.default_backend() == "tpu" and rows >= 4096
 
 
 def _add_ln_kernel(x_ref, d_ref, scale_ref, bias_ref, out_ref, *, eps: float):
@@ -68,58 +68,6 @@ def _fused_add_ln(x, delta, scale, bias, eps: float, out_dtype, interpret: bool)
         ),
         interpret=interpret,
     )(x, delta, scale.reshape(1, h), bias.reshape(1, h))
-
-
-def _ln_kernel(x_ref, scale_ref, bias_ref, out_ref, *, eps: float):
-    x = x_ref[:].astype(jnp.float32)
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-    y = (x - mean) * jax.lax.rsqrt(var + eps) * scale_ref[:] + bias_ref[:]
-    out_ref[:] = y.astype(out_ref.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("eps", "out_dtype", "interpret"))
-def _fused_ln(x, scale, bias, eps: float, out_dtype, interpret: bool):
-    rows, h = x.shape
-    tile = min(_TILE_ROWS, rows)
-    grid = (rows // tile,)
-    row_spec = pl.BlockSpec((tile, h), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    vec_spec = pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        functools.partial(_ln_kernel, eps=eps),
-        grid=grid,
-        in_specs=[row_spec, vec_spec, vec_spec],
-        out_specs=row_spec,
-        out_shape=jax.ShapeDtypeStruct((rows, h), out_dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=8 * rows * h,
-            bytes_accessed=(x.dtype.itemsize + jnp.dtype(out_dtype).itemsize) * rows * h,
-            transcendentals=rows,
-        ),
-        interpret=interpret,
-    )(x, scale.reshape(1, h), bias.reshape(1, h))
-
-
-def fused_layer_norm(
-    x: jnp.ndarray,  # (rows, h)
-    scale: jnp.ndarray,
-    bias: jnp.ndarray,
-    eps: float,
-    out_dtype=jnp.float32,
-) -> jnp.ndarray:
-    """Plain ``LayerNorm(x)`` (no residual input) — the pre-LN encoder form
-    (CLIP). f32 statistics; same fallback/interpret rules as the add+LN."""
-
-    rows, h = x.shape
-    tile = min(_TILE_ROWS, rows)
-    if rows % tile or h % 128 or rows % 8:
-        xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-        y = (xf - mean) * jax.lax.rsqrt(var + eps) * scale + bias
-        return y.astype(out_dtype)
-    interpret = jax.default_backend() == "cpu"
-    return _fused_ln(x, scale, bias, eps, jnp.dtype(out_dtype), interpret)
 
 
 def fused_add_layer_norm(

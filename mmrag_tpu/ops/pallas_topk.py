@@ -54,11 +54,19 @@ def _round_up(x: int, m: int) -> int:
 def _bucket_max_kernel(q_ref, c_ref, bias_ref, out_ref):
     """One corpus tile: scores = q @ c.T + bias, reduced to bucket maxima."""
 
+    # same precision contract as _cosine_topk_xla: f32 slabs must not be
+    # silently downcast (<=1e-3 score parity); bf16 takes the native path
+    precision = (
+        jax.lax.Precision.DEFAULT
+        if c_ref.dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
     scores = jax.lax.dot_general(
         q_ref[:],
         c_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=precision,
     )  # (Qp, TILE_N)
     # bias is (1, TILE_N) (shared mask, broadcast) or (Qp, TILE_N) (per-query
     # tenant masks): -1e30 on dead rows
@@ -115,11 +123,17 @@ def _fused_topk(
     rows = bucket_idx[:, :, None] * BUCKET + jnp.arange(BUCKET)[None, None, :]
     rows = rows.reshape(qp, kb * BUCKET)  # (Qp, C) global row ids
     cand = jnp.take(corpus, rows.reshape(-1), axis=0).reshape(qp, kb * BUCKET, d)
+    precision = (
+        jax.lax.Precision.DEFAULT
+        if corpus.dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
     cand_scores = jax.lax.dot_general(
         queries,
         cand,
         dimension_numbers=(((1,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
+        precision=precision,
     )  # (Qp, C)
     if bias.shape[0] == 1:
         cand_bias = jnp.take(bias[0], rows.reshape(-1)).reshape(qp, kb * BUCKET)

@@ -159,7 +159,7 @@ def cosine_topk(
         from .pallas_topk import TILE_N
 
         if (
-            jax.default_backend() != "cpu"
+            jax.default_backend() == "tpu"  # Mosaic kernel; GPU/CPU -> xla
             and queries.shape[0] >= 8
             and n >= TILE_N
             and n % TILE_N == 0

@@ -367,11 +367,9 @@ def serve_forever(host: str = "0.0.0.0", port: int = 8000) -> None:
     import threading
 
     server = make_server(host, port)
-    stop = threading.Event()
 
     def _graceful(signum, _frame):
-        logger.info("signal %s: persisting indexes and shutting down", signum)
-        stop.set()
+        logger.info("signal %s: draining jobs and shutting down", signum)
         threading.Thread(target=server.shutdown, daemon=True).start()
 
     for sig in (signal.SIGTERM, signal.SIGINT):
@@ -385,7 +383,11 @@ def serve_forever(host: str = "0.0.0.0", port: int = 8000) -> None:
     finally:
         ctx = server.ctx  # type: ignore[attr-defined]
         try:
+            # order matters: stop accepting work, drain in-flight ingest jobs
+            # (they mutate the index), THEN snapshot, THEN close the stores
+            ctx.queue.shutdown(wait=True)
             ctx.engine.persist_indexes()
         finally:
             ctx.engine.close()
+            server.server_close()
         logger.info("shutdown complete")

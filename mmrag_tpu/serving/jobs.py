@@ -175,8 +175,11 @@ class LocalJobQueue:
             time.sleep(0.05)
         return self.status(job_id)
 
-    def shutdown(self) -> None:
-        self._pool.shutdown(wait=False, cancel_futures=True)
+    def shutdown(self, wait: bool = False) -> None:
+        """wait=True drains in-flight jobs (graceful server shutdown);
+        wait=False cancels queued work and returns immediately."""
+
+        self._pool.shutdown(wait=wait, cancel_futures=not wait)
         with self._lock:
             self._conn.close()
 

@@ -59,15 +59,3 @@ def test_minilm_forward_with_fused_ln(rng, monkeypatch):
     monkeypatch.setenv("MMRAG_LN_IMPL", "fused")  # both kernels, independently gated
     got = np.asarray(bert.minilm_embed(params, ids, mask))
     np.testing.assert_allclose(got, want, atol=1e-4)
-
-
-def test_plain_fused_layer_norm(rng):
-    from mmrag_tpu.ops.layernorm import fused_layer_norm
-
-    x = jnp.asarray(rng.standard_normal((512, 128)), jnp.float32)
-    scale = jnp.asarray(rng.standard_normal(128), jnp.float32)
-    bias = jnp.asarray(rng.standard_normal(128), jnp.float32)
-    got = fused_layer_norm(x, scale, bias, 1e-5, out_dtype=jnp.bfloat16)
-    assert got.dtype == jnp.bfloat16
-    want = _ref(np.asarray(x), np.zeros_like(x), np.asarray(scale), np.asarray(bias), 1e-5)
-    np.testing.assert_allclose(np.asarray(got, np.float32), want, rtol=2e-2, atol=4e-2)
