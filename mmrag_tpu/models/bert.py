@@ -245,8 +245,17 @@ def bert_encode(
     stream = jnp.dtype(compute_dtype)
     x = x.reshape(b * s, cfg.hidden_size).astype(stream)
     for layer in params["layers"]:
-        attn = _self_attention(layer, x, attention_mask, cfg, compute_dtype, impl=attention_impl)
-        x = _residual_ln(layer["attn_ln"], x, attn.astype(stream), cfg.layer_norm_eps, stream)
+        if _use_fused_attention(attention_impl, b, s):
+            # whole-block kernel: qkv projections + MHA + output projection +
+            # residual LN in one dispatch — q/k/v/ctx never touch HBM
+            from ..ops.attention import fused_attention_block
+
+            x = fused_attention_block(
+                x, layer, cfg.num_heads, s, cfg.layer_norm_eps, attention_mask
+            )
+        else:
+            attn = _self_attention(layer, x, attention_mask, cfg, compute_dtype, impl=attention_impl)
+            x = _residual_ln(layer["attn_ln"], x, attn.astype(stream), cfg.layer_norm_eps, stream)
         inner = jax.nn.gelu(
             _dense(layer["ffn_in"], x, compute_dtype),
             approximate=cfg.gelu_approximate,

@@ -313,3 +313,152 @@ def fused_encoder_attention(
     interpret = jax.default_backend() == "cpu"
     out = _fused_attention(q, k, v, full, num_heads, interpret)
     return out[:b]
+
+
+def _attn_block_kernel(
+    x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
+    lns_ref, lnb_ref, bias_ref, out_ref, *, num_heads: int, seq: int,
+    scale: float, eps: float,
+):
+    """Whole post-LN attention block in VMEM: qkv projections, per-head
+    attention, output projection, residual add, LayerNorm. HBM traffic per
+    tile = read x + weights, write LN(x + attn(x)) — the q/k/v/ctx tensors
+    never leave the chip."""
+
+    rows, h = x_ref.shape
+    tile = rows // seq
+    hd = h // num_heads
+    x = x_ref[:]
+    precision = (
+        jax.lax.Precision.DEFAULT
+        if x.dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
+
+    def proj(w_ref, b_ref):
+        y = jax.lax.dot_general(
+            x, w_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        ) + b_ref[:]
+        return y.astype(x.dtype)
+
+    q = proj(wq_ref, bq_ref)
+    k = proj(wk_ref, bk_ref)
+    v = proj(wv_ref, bv_ref)
+    bias = bias_ref[:]
+    ctx_cols = []
+    for n in range(num_heads):
+        sl = slice(n * hd, (n + 1) * hd)
+        qh = q[:, sl].reshape(tile, seq, hd)
+        kh = k[:, sl].reshape(tile, seq, hd)
+        vh = v[:, sl].reshape(tile, seq, hd)
+        scores = jax.lax.dot_general(
+            qh, kh,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        scores = scores * scale + bias
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(scores - m)
+        p = p * pl.reciprocal(jnp.sum(p, axis=-1, keepdims=True), approx=False)
+        ch = jax.lax.dot_general(
+            p.astype(vh.dtype), vh,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        ctx_cols.append(ch.reshape(rows, hd).astype(x.dtype))
+    ctx = jnp.concatenate(ctx_cols, axis=-1)  # (rows, h)
+    o = jax.lax.dot_general(
+        ctx, wo_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    ) + bo_ref[:]
+    y = x.astype(jnp.float32) + o  # residual in f32
+    mean = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(y - mean), axis=-1, keepdims=True)
+    out = (y - mean) * jax.lax.rsqrt(var + eps) * lns_ref[:] + lnb_ref[:]
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "seq", "eps", "interpret"))
+def _fused_attention_block(
+    x, wq, bq, wk, bk, wv, bv, wo, bo, ln_scale, ln_bias, bias,
+    num_heads: int, seq: int, eps: float, interpret: bool,
+):
+    rows, h = x.shape
+    b = rows // seq
+    hd = h // num_heads
+    _, tile = _select_kernel(seq, hd, x.dtype.itemsize)
+    tile = min(tile, b)
+    grid = (b // tile,)
+    kernel = functools.partial(
+        _attn_block_kernel, num_heads=num_heads, seq=seq,
+        scale=float(hd) ** -0.5, eps=eps,
+    )
+    row_spec = pl.BlockSpec((tile * seq, h), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((h, h), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            row_spec,
+            w_spec, v_spec, w_spec, v_spec, w_spec, v_spec, w_spec, v_spec,
+            v_spec, v_spec,
+            pl.BlockSpec((tile, seq, seq), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((rows, h), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=(8 * rows * h * h) + (4 * rows * num_heads * seq * hd),
+            bytes_accessed=2 * rows * h * x.dtype.itemsize + 4 * h * h * 4,
+            transcendentals=rows * num_heads * seq + rows,
+        ),
+        interpret=interpret,
+    )(x, wq, bq, wk, bk, wv, bv, wo, bo, ln_scale, ln_bias, bias)
+
+
+def fused_attention_block(
+    x: jnp.ndarray,  # (b*s, h) residual stream
+    layer: dict,  # {"q"/"k"/"v"/"attn_out": {kernel,bias}, "attn_ln": {scale,bias}}
+    num_heads: int,
+    seq: int,
+    eps: float,
+    attention_mask: Optional[jnp.ndarray] = None,  # (b, s)
+) -> jnp.ndarray:
+    """One dispatch for ``LN(x + AttnOut(MHA(xWq, xWk, xWv)))`` — the full
+    post-LN attention block with q/k/v/ctx resident in VMEM. Saves the six
+    (b*s, h) HBM round-trips the composed form pays per layer."""
+
+    rows, h = x.shape
+    b = rows // seq
+    if attention_mask is None:
+        bias = jnp.zeros((b, seq, seq), jnp.float32)
+    else:
+        bias = jnp.broadcast_to(
+            (1.0 - attention_mask.astype(jnp.float32))[:, None, :] * -1e9,
+            (b, seq, seq),
+        )
+    _, tile = _select_kernel(seq, h // num_heads, x.dtype.itemsize)
+    tile = min(tile, b)
+    pad = (-b) % tile
+    if pad:
+        x = jnp.pad(x, ((0, pad * seq), (0, 0)))
+        bias = jnp.pad(bias, ((0, pad), (0, 0), (0, 0)))
+    interpret = jax.default_backend() == "cpu"
+    two_d = lambda p: p.reshape(1, -1)
+    out = _fused_attention_block(
+        x,
+        layer["q"]["kernel"].astype(x.dtype), two_d(layer["q"]["bias"]),
+        layer["k"]["kernel"].astype(x.dtype), two_d(layer["k"]["bias"]),
+        layer["v"]["kernel"].astype(x.dtype), two_d(layer["v"]["bias"]),
+        layer["attn_out"]["kernel"].astype(x.dtype), two_d(layer["attn_out"]["bias"]),
+        two_d(layer["attn_ln"]["scale"]), two_d(layer["attn_ln"]["bias"]),
+        bias, num_heads, seq, eps, interpret,
+    )
+    return out[:rows]
