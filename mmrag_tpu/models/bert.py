@@ -247,7 +247,10 @@ def bert_encode(
     for layer in params["layers"]:
         if _use_fused_attention(attention_impl, b, s):
             # whole-block kernel: qkv projections + MHA + output projection +
-            # residual LN in one dispatch — q/k/v/ctx never touch HBM
+            # residual LN in one dispatch — q/k/v/ctx never touch HBM.
+            # (An equivalent FFN block kernel measured perf-NEUTRAL — XLA
+            # already fuses gelu+cast into the matmul epilogues — and was
+            # removed.)
             from ..ops.attention import fused_attention_block
 
             x = fused_attention_block(

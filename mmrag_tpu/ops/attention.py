@@ -462,3 +462,4 @@ def fused_attention_block(
         bias, num_heads, seq, eps, interpret,
     )
     return out[:rows]
+
