@@ -105,3 +105,31 @@ def test_use_fused_override(monkeypatch):
     assert use_fused()
     monkeypatch.setenv("MMRAG_ATTN_IMPL", "xla")
     assert not use_fused()
+
+
+def test_fully_masked_rows_yield_zero_not_nan(rng):
+    # Batch-padding samples have an all-zero attention mask; the one-pass
+    # softmax (no max subtraction) must clamp the zero denominator to give
+    # ctx = 0 rather than 0/0 = NaN (ops/attention.py::_softmax_ctx).
+    b, s, h, nh = 3, 64, 128, 4
+    q = jnp.asarray(rng.standard_normal((b, s, h)), jnp.float32)
+    mask = np.ones((b, s), np.int32)
+    mask[1] = 0  # sample 1 entirely padding
+    got = np.asarray(fused_encoder_attention(q, q, q, nh, attention_mask=jnp.asarray(mask)))
+    assert np.isfinite(got).all()
+    np.testing.assert_array_equal(got[1], np.zeros((s, h), np.float32))
+    want = _sdpa_reference(np.asarray(q), np.asarray(q), np.asarray(q), nh, mask=mask)
+    np.testing.assert_allclose(got[0], want[0], atol=2e-5)
+    np.testing.assert_allclose(got[2], want[2], atol=2e-5)
+
+
+def test_large_logits_stay_finite(rng):
+    # Logits above the _LOGIT_CAP=80 guard must not overflow exp/f32; rows
+    # whose max exceeds the cap degrade to equal weighting of the over-cap
+    # entries instead of producing inf/NaN.
+    b, s, h, nh = 2, 16, 64, 4
+    q = jnp.asarray(rng.standard_normal((b, s, h)) * 40.0, jnp.float32)
+    got = np.asarray(fused_encoder_attention(q, q, q, nh))
+    assert np.isfinite(got).all()
+    # values are convex combinations of v rows, so bounded by max |v|
+    assert np.abs(got).max() <= np.abs(np.asarray(q)).max() + 1e-3
