@@ -27,6 +27,10 @@ class ModelDefaults:
     text: str = "sentence-transformers/all-MiniLM-L6-v2"
     clip: str = "openai/clip-vit-base-patch32"
     reranker: str = "cross-encoder/ms-marco-MiniLM-L-6-v2"
+    # TPU-native ASR for the transcript fallback ladder (the reference loads
+    # torch ``whisper.load_model("small")``, app/ingest/youtube.py:150-166);
+    # runs only when converted weights + vocab.json exist under WEIGHTS_DIR.
+    asr: str = "openai/whisper-base"
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,237 @@
+"""TPU-native Whisper ASR runtime: wav -> TranscriptSegments.
+
+The top rung of the ASR ladder (reference loads torch Whisper on the host,
+``/root/reference/app/ingest/youtube.py:150-209``). Everything after the wav
+read runs jitted on device: log-mel frontend, encoder, and KV-cached greedy
+decode (:mod:`mmrag_tpu.models.whisper`). Audio is split into Whisper's 30 s
+windows, windows are batched into power-of-two buckets so each (batch,)
+shape compiles once, and one dispatch transcribes the whole batch.
+
+Activation requires converted weights + ``vocab.json`` under
+``WEIGHTS_DIR/<MODEL_ASR>/`` (``python -m mmrag_tpu.models.cli
+convert-whisper ...``); otherwise :func:`get_asr_runtime` returns None and
+callers fall through to the torch ladder, matching the reference's
+import-gated degrade behavior.
+
+Segments are emitted per 30 s window (start = window offset, duration =
+audio covered). The reference's torch path yields Whisper's finer internal
+segmentation; window granularity carries the same information into the text
+index, whose nodes are re-chunked anyway (``app/tasks.py:87-106``).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import wave
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+import logging
+
+from ..settings import Settings, settings as _default_settings
+
+logger = logging.getLogger(__name__)
+
+_CHUNK_BUCKETS = (1, 2, 4, 8)
+
+
+def read_wav_mono16k(path: str) -> np.ndarray:
+    """16 kHz mono PCM wav -> float32 waveform in [-1, 1].
+
+    Our ffmpeg extraction step (:func:`mmrag_tpu.ingest.youtube.extract_audio`)
+    always produces this format; anything else is a caller bug, reported
+    loudly rather than resampled silently.
+    """
+
+    with wave.open(path, "rb") as fh:
+        if fh.getframerate() != 16_000 or fh.getnchannels() != 1:
+            raise ValueError(
+                f"{path}: expected 16kHz mono wav, got "
+                f"{fh.getframerate()}Hz x{fh.getnchannels()}"
+            )
+        width = fh.getsampwidth()
+        raw = fh.readframes(fh.getnframes())
+    if width == 2:
+        audio = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+    elif width == 4:
+        audio = np.frombuffer(raw, np.int32).astype(np.float32) / 2147483648.0
+    elif width == 1:
+        audio = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"{path}: unsupported sample width {width}")
+    return audio
+
+
+def _bucket(n: int, buckets=_CHUNK_BUCKETS) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+class WhisperRuntime:
+    """Lazy-loading, bucket-compiled Whisper transcription engine."""
+
+    def __init__(self, cfg: Optional[Settings] = None, max_tokens: int = 224) -> None:
+        self.cfg = cfg or _default_settings
+        self.max_tokens = max_tokens
+        self._lock = threading.RLock()
+        self._params = None
+        self._model_cfg = None
+        self._decoder = None
+        self._fns: Dict[int, Callable] = {}
+
+    # -- loading ------------------------------------------------------------
+
+    def _weights_dir(self) -> str:
+        return os.path.join(
+            self.cfg.paths.weights_dir, self.cfg.models.asr.replace("/", "__")
+        )
+
+    def available(self) -> bool:
+        from ..models import convert
+
+        wdir = self._weights_dir()
+        return convert.params_available(wdir, "model") and os.path.exists(
+            os.path.join(wdir, "vocab.json")
+        )
+
+    def _ensure(self) -> None:
+        with self._lock:
+            if self._params is not None:
+                return
+            from ..models import convert, tokenizer as tok, whisper
+
+            wdir = self._weights_dir()
+            if not self.available():
+                raise FileNotFoundError(
+                    f"no converted whisper weights + vocab.json under {wdir}; "
+                    "run `python -m mmrag_tpu.models.cli convert-whisper <hf_dir>`"
+                )
+            meta_path = os.path.join(wdir, "model.json")
+            meta = {}
+            if os.path.exists(meta_path):
+                import json
+
+                with open(meta_path, encoding="utf-8") as fh:
+                    meta = json.load(fh)
+            if "config" in meta:  # written by cli convert-whisper
+                self._model_cfg = whisper.WhisperConfig(**meta["config"])
+            else:
+                self._model_cfg = whisper.preset(self.cfg.models.asr)
+            params = convert.load_params(wdir, "model")
+            vocab = int(params["decoder"]["token_embedding"].shape[0])
+            if vocab != self._model_cfg.vocab_size:  # .en checkpoints
+                import dataclasses
+
+                self._model_cfg = dataclasses.replace(self._model_cfg, vocab_size=vocab)
+            self._params = params
+            self._decoder = tok.load_whisper_decoder(wdir, self._model_cfg.eot_id)
+            logger.info("whisper ASR loaded from %s (%s)", wdir, self.cfg.models.asr)
+
+    def _transcribe_fn(self, batch: int) -> Callable:
+        """One jitted mel->encode->greedy-decode program per batch bucket."""
+
+        with self._lock:
+            if batch in self._fns:
+                return self._fns[batch]
+            import jax
+            import jax.numpy as jnp
+
+            from ..models import whisper
+
+            mcfg = self._model_cfg
+            compute = (
+                jnp.bfloat16
+                if self.cfg.tpu.compute_dtype == "bfloat16"
+                and jax.default_backend() != "cpu"
+                else jnp.float32
+            )
+
+            def fn(params, audio):
+                mel = whisper.log_mel_spectrogram(audio, mcfg.num_mel_bins)
+                enc = whisper.whisper_encode(params, mel, mcfg, compute_dtype=compute)
+                return whisper.whisper_greedy_decode(
+                    params, enc, mcfg, max_len=self.max_tokens, compute_dtype=compute
+                )
+
+            self._fns[batch] = jax.jit(fn)
+            return self._fns[batch]
+
+    # -- transcription --------------------------------------------------------
+
+    def transcribe_array(self, audio: np.ndarray) -> List[Tuple[float, float, str]]:
+        """float32 16 kHz waveform -> [(start_sec, duration_sec, text)]."""
+
+        from ..models.whisper import HOP_LENGTH, SAMPLE_RATE
+
+        self._ensure()
+        # Whisper's window is max_source_positions encoder states x conv
+        # stride 2 x hop 160 samples = 30 s for real checkpoints; deriving it
+        # from the config keeps reduced test models consistent end-to-end.
+        chunk_samples = self._model_cfg.max_source_positions * 2 * HOP_LENGTH
+        total = len(audio)
+        if total == 0:
+            return []
+        n_chunks = max(1, -(-total // chunk_samples))
+        chunks = np.zeros((n_chunks, chunk_samples), np.float32)
+        for i in range(n_chunks):
+            part = audio[i * chunk_samples : (i + 1) * chunk_samples]
+            chunks[i, : len(part)] = part
+
+        results: List[Tuple[float, float, str]] = []
+        done = 0
+        while done < n_chunks:
+            take = min(n_chunks - done, _CHUNK_BUCKETS[-1])
+            bsz = _bucket(take)
+            batch = np.zeros((bsz, chunk_samples), np.float32)
+            batch[:take] = chunks[done : done + take]
+            tokens, lengths = self._transcribe_fn(bsz)(self._params, batch)
+            tokens = np.asarray(tokens)
+            lengths = np.asarray(lengths)
+            for j in range(take):
+                idx = done + j
+                start = idx * chunk_samples / SAMPLE_RATE
+                covered = min(total - idx * chunk_samples, chunk_samples) / SAMPLE_RATE
+                text = self._decoder.decode(tokens[j, : int(lengths[j])]).strip()
+                if text:
+                    results.append((start, covered, text))
+            done += take
+        return results
+
+    def transcribe_wav(self, wav_path: str):
+        """wav file -> List[TranscriptSegment] (the ladder contract)."""
+
+        from .youtube import TranscriptSegment
+
+        audio = read_wav_mono16k(wav_path)
+        return [
+            TranscriptSegment(text=text, start=start, duration=dur)
+            for start, dur, text in self.transcribe_array(audio)
+        ]
+
+
+_runtime: Optional[WhisperRuntime] = None
+_runtime_lock = threading.Lock()
+
+
+def get_asr_runtime(cfg: Optional[Settings] = None) -> Optional[WhisperRuntime]:
+    """Singleton WhisperRuntime, or None when no converted weights exist
+    (callers fall through to the torch ladder)."""
+
+    global _runtime
+    with _runtime_lock:
+        if _runtime is None:
+            candidate = WhisperRuntime(cfg)
+            if not candidate.available():
+                return None
+            _runtime = candidate
+        return _runtime
+
+
+def reset_asr_runtime() -> None:
+    global _runtime
+    with _runtime_lock:
+        _runtime = None

@@ -174,9 +174,19 @@ def extract_audio(
 
 
 def transcribe_audio(wav_path: str) -> List[TranscriptSegment]:
-    """WhisperX -> Whisper fallback loader + transcription (reference
-    ``:150-209``). Both gated."""
+    """ASR ladder: TPU-native JAX Whisper -> WhisperX -> Whisper (reference
+    ``:150-209`` has only the torch rungs). The JAX rung activates when
+    converted weights exist (:mod:`mmrag_tpu.ingest.asr`); the torch rungs
+    stay import-gated exactly like the reference's."""
 
+    try:
+        from .asr import get_asr_runtime
+
+        runtime = get_asr_runtime()
+        if runtime is not None:
+            return runtime.transcribe_wav(wav_path)
+    except Exception as exc:  # degrade, don't fail the ingest stage
+        logger.warning("JAX whisper ASR failed (%s); trying torch ladder", exc)
     try:
         import whisperx  # type: ignore
 

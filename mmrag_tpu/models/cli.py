@@ -6,6 +6,7 @@ so point at a pre-downloaded directory or hub cache):
     python -m mmrag_tpu.models.cli convert-minilm  <hf_dir_or_id> [--out DIR]
     python -m mmrag_tpu.models.cli convert-clip    <hf_dir_or_id> [--out DIR]
     python -m mmrag_tpu.models.cli convert-reranker <hf_dir_or_id> [--out DIR]
+    python -m mmrag_tpu.models.cli convert-whisper <hf_dir_or_id> [--out DIR]
 
 Writes ``WEIGHTS_DIR/<model-id>/model.npz`` plus tokenizer files
 (``vocab.txt`` or ``vocab.json``+``merges.txt``) so
@@ -86,6 +87,27 @@ def convert_clip(args) -> None:
     print(f"wrote {out}/model.npz")
 
 
+def convert_whisper(args) -> None:
+    from transformers import AutoTokenizer, WhisperForConditionalGeneration
+
+    from . import whisper as jwhisper
+
+    model_id = args.model_id or "openai/whisper-base"
+    cfg = jwhisper.preset(model_id)
+    model = WhisperForConditionalGeneration.from_pretrained(args.source)
+    params = convert.convert_whisper(_state_dict(model), cfg)
+    out = _out_dir(args, model_id)
+    import dataclasses
+
+    convert.save_params(
+        params, out, "model",
+        meta={"arch": "whisper", "config": dataclasses.asdict(cfg)},
+    )
+    tok = AutoTokenizer.from_pretrained(args.source)
+    tok.save_vocabulary(out)  # vocab.json drives ByteLevelBPEDecoder
+    print(f"wrote {out}/model.npz")
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(prog="mmrag_tpu.models.cli")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -93,6 +115,7 @@ def main(argv=None) -> None:
         ("convert-minilm", convert_minilm),
         ("convert-clip", convert_clip),
         ("convert-reranker", convert_reranker),
+        ("convert-whisper", convert_whisper),
     ):
         p = sub.add_parser(name)
         p.add_argument("source", help="HF model id or local checkpoint dir")

@@ -25,6 +25,7 @@ import numpy as np
 
 from .bert import BertConfig
 from .clip import CLIPConfig
+from .whisper import WhisperConfig
 
 Params = Dict[str, Any]
 StateDict = Mapping[str, np.ndarray]
@@ -153,6 +154,76 @@ def convert_clip(sd: StateDict, cfg: CLIPConfig) -> Params:
         "visual_projection": _linear(sd, "visual_projection", bias=False),
         "text_projection": _linear(sd, "text_projection", bias=False),
         "logit_scale": jnp.asarray(sd["logit_scale"]),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Whisper
+# ---------------------------------------------------------------------------
+
+
+def _conv1d_kernel(sd: StateDict, prefix: str) -> Params:
+    """torch ``Conv1d.weight`` (out, in, k) -> our unfold matmul kernel
+    (k*in, out), k-major to match :func:`mmrag_tpu.models.whisper._unfold3`."""
+
+    w = sd[f"{prefix}.weight"]
+    kernel = np.ascontiguousarray(w.transpose(2, 1, 0).reshape(-1, w.shape[0]))
+    return {"kernel": jnp.asarray(kernel), "bias": jnp.asarray(sd[f"{prefix}.bias"])}
+
+
+def _whisper_attn(sd: StateDict, base: str) -> Params:
+    return {
+        "q": _linear(sd, f"{base}.q_proj"),
+        "k": _linear(sd, f"{base}.k_proj", bias=False),
+        "v": _linear(sd, f"{base}.v_proj"),
+        "out": _linear(sd, f"{base}.out_proj"),
+    }
+
+
+def convert_whisper(sd: StateDict, cfg: "WhisperConfig") -> Params:
+    """Convert an HF ``WhisperModel`` / ``WhisperForConditionalGeneration``
+    state dict (``proj_out`` is tied to the token embedding, so it is never
+    read)."""
+
+    if "model.encoder.conv1.weight" in sd:  # ForConditionalGeneration wrapper
+        sd = {k[len("model."):]: v for k, v in sd.items() if k.startswith("model.")}
+
+    enc_layers = []
+    for i in range(cfg.encoder_layers):
+        base = f"encoder.layers.{i}"
+        enc_layers.append({
+            "ln1": _ln(sd, f"{base}.self_attn_layer_norm"),
+            "attn": _whisper_attn(sd, f"{base}.self_attn"),
+            "ln2": _ln(sd, f"{base}.final_layer_norm"),
+            "fc1": _linear(sd, f"{base}.fc1"),
+            "fc2": _linear(sd, f"{base}.fc2"),
+        })
+    dec_layers = []
+    for i in range(cfg.decoder_layers):
+        base = f"decoder.layers.{i}"
+        dec_layers.append({
+            "ln1": _ln(sd, f"{base}.self_attn_layer_norm"),
+            "self_attn": _whisper_attn(sd, f"{base}.self_attn"),
+            "ln_cross": _ln(sd, f"{base}.encoder_attn_layer_norm"),
+            "cross_attn": _whisper_attn(sd, f"{base}.encoder_attn"),
+            "ln2": _ln(sd, f"{base}.final_layer_norm"),
+            "fc1": _linear(sd, f"{base}.fc1"),
+            "fc2": _linear(sd, f"{base}.fc2"),
+        })
+    return {
+        "encoder": {
+            "conv1": _conv1d_kernel(sd, "encoder.conv1"),
+            "conv2": _conv1d_kernel(sd, "encoder.conv2"),
+            "positions": jnp.asarray(sd["encoder.embed_positions.weight"]),
+            "layers": enc_layers,
+            "final_ln": _ln(sd, "encoder.layer_norm"),
+        },
+        "decoder": {
+            "token_embedding": jnp.asarray(sd["decoder.embed_tokens.weight"]),
+            "positions": jnp.asarray(sd["decoder.embed_positions.weight"]),
+            "layers": dec_layers,
+            "final_ln": _ln(sd, "decoder.layer_norm"),
+        },
     }
 
 

@@ -109,6 +109,7 @@ class ModelSettings:
     text: str
     clip: str
     reranker: str
+    asr: str
 
 
 @dataclass(frozen=True)
@@ -257,6 +258,7 @@ def load_settings(env: Optional[Mapping[str, str]] = None) -> Settings:
             text=_read_env(env, "MODEL_TEXT", d.models.text),
             clip=_read_env(env, "MODEL_CLIP", d.models.clip),
             reranker=_read_env(env, "RERANKER_MODEL", d.models.reranker),
+            asr=_read_env(env, "MODEL_ASR", d.models.asr),
         ),
         gemini=GeminiSettings(
             api_key=env.get("GEMINI_API_KEY") or None,

@@ -1,0 +1,303 @@
+"""JAX Whisper: feature-extractor + model parity vs HF torch, decode loop
+self-consistency, detokenizer, and the wav->segments ASR runtime.
+
+Same technique as tests/test_model_parity.py: HF models built offline from
+configs with random init, state dicts converted through
+mmrag_tpu.models.convert, outputs compared in f32. Real checkpoints go
+through the identical code path (models/cli.py convert-whisper).
+"""
+
+import dataclasses
+import json
+import os
+import wave
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mmrag_tpu.models import convert, whisper as jwhisper
+from mmrag_tpu.models.tokenizer import ByteLevelBPEDecoder, _bytes_to_unicode
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+TINY = jwhisper.WhisperConfig(
+    num_mel_bins=80, d_model=64, encoder_layers=2, encoder_heads=4,
+    decoder_layers=2, decoder_heads=4, ffn_dim=128, vocab_size=200,
+    max_source_positions=75, max_target_positions=48,
+)
+
+
+def _hf_config(cfg: jwhisper.WhisperConfig):
+    return transformers.WhisperConfig(
+        vocab_size=cfg.vocab_size,
+        num_mel_bins=cfg.num_mel_bins,
+        encoder_layers=cfg.encoder_layers,
+        encoder_attention_heads=cfg.encoder_heads,
+        decoder_layers=cfg.decoder_layers,
+        decoder_attention_heads=cfg.decoder_heads,
+        encoder_ffn_dim=cfg.ffn_dim,
+        decoder_ffn_dim=cfg.ffn_dim,
+        d_model=cfg.d_model,
+        max_source_positions=cfg.max_source_positions,
+        max_target_positions=cfg.max_target_positions,
+        dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+        pad_token_id=0, bos_token_id=0, eos_token_id=1,
+        decoder_start_token_id=2, suppress_tokens=None,
+        begin_suppress_tokens=None, forced_decoder_ids=None,
+    )
+
+
+@pytest.fixture(scope="module")
+def whisper_pair():
+    torch.manual_seed(0)
+    model = transformers.WhisperModel(_hf_config(TINY)).eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = convert.convert_whisper(sd, TINY)
+    return model, params
+
+
+def _mel_batch(rng, b=2, cfg=TINY):
+    frames = cfg.max_source_positions * 2
+    return rng.standard_normal((b, frames, cfg.num_mel_bins)).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Log-mel frontend vs WhisperFeatureExtractor
+# ---------------------------------------------------------------------------
+
+
+def test_log_mel_matches_hf_feature_extractor(rng):
+    fe = transformers.WhisperFeatureExtractor()  # defaults: 80 mels, 30s pad
+    audio = (rng.standard_normal(int(16000 * 3.7)) * 0.1).astype(np.float32)
+    want = fe(audio, sampling_rate=16000, return_tensors="np").input_features[0]  # (80, 3000)
+    padded = np.zeros((1, jwhisper.CHUNK_SAMPLES), np.float32)
+    padded[0, : len(audio)] = audio
+    got = np.asarray(jax.jit(jwhisper.log_mel_spectrogram)(jnp.asarray(padded)))[0]
+    np.testing.assert_allclose(got.T, want, atol=2e-4)
+
+
+def test_mel_filterbank_matches_hf():
+    from transformers.audio_utils import mel_filter_bank
+
+    want = mel_filter_bank(
+        num_frequency_bins=201, num_mel_filters=80, min_frequency=0.0,
+        max_frequency=8000.0, sampling_rate=16000, norm="slaney",
+        mel_scale="slaney",
+    )
+    got = jwhisper.mel_filterbank()
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Encoder / decoder parity
+# ---------------------------------------------------------------------------
+
+
+def test_encoder_parity(whisper_pair, rng):
+    model, params = whisper_pair
+    mel = _mel_batch(rng)
+    with torch.no_grad():
+        want = model.encoder(
+            input_features=torch.tensor(mel.transpose(0, 2, 1))
+        ).last_hidden_state.numpy()
+    got = np.asarray(jwhisper.whisper_encode(params, jnp.asarray(mel), TINY))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_decoder_logits_parity(whisper_pair, rng):
+    model, params = whisper_pair
+    mel = _mel_batch(rng)
+    ids = rng.integers(0, TINY.vocab_size, (2, 7)).astype(np.int32)
+    with torch.no_grad():
+        enc = model.encoder(input_features=torch.tensor(mel.transpose(0, 2, 1)))
+        hidden = model.decoder(
+            input_ids=torch.tensor(ids.astype(np.int64)),
+            encoder_hidden_states=enc.last_hidden_state,
+        ).last_hidden_state
+        want = (hidden @ model.decoder.embed_tokens.weight.T).numpy()
+    enc_j = jwhisper.whisper_encode(params, jnp.asarray(mel), TINY)
+    got = np.asarray(
+        jwhisper.whisper_decode_logits(params, jnp.asarray(ids), enc_j, TINY)
+    )
+    np.testing.assert_allclose(got, want, atol=3e-3)
+    # token-level agreement is what generation needs
+    assert (got.argmax(-1) == want.argmax(-1)).all()
+
+
+def test_greedy_decode_matches_teacher_forced_loop(whisper_pair, rng):
+    """KV-cached scan decode == naive re-encode-everything argmax loop."""
+
+    _, params = whisper_pair
+    mel = _mel_batch(rng, b=2)
+    enc = jwhisper.whisper_encode(params, jnp.asarray(mel), TINY)
+    prefix = (5, 9)
+    max_len = 12
+    eot = 3
+
+    tokens, lengths = jwhisper.whisper_greedy_decode(
+        params, enc, TINY, forced_prefix=prefix, max_len=max_len, eot_id=eot
+    )
+    tokens = np.asarray(tokens)
+
+    # reference loop: grow the sequence one argmax at a time
+    seq = np.tile(np.asarray(prefix, np.int32), (2, 1))
+    done = np.zeros(2, bool)
+    while seq.shape[1] < max_len:
+        logits = np.asarray(
+            jwhisper.whisper_decode_logits(params, jnp.asarray(seq), enc, TINY)
+        )
+        nxt = logits[:, -1].argmax(-1).astype(np.int32)
+        done |= seq[:, -1] == eot
+        nxt = np.where(done, eot, nxt)
+        seq = np.concatenate([seq, nxt[:, None]], axis=1)
+    want = np.where(
+        np.cumsum(seq == eot, axis=1) > 0, eot, seq
+    )  # scan emits eot from the first eot onward
+    np.testing.assert_array_equal(tokens, want)
+    assert lengths.shape == (2,)
+
+
+def test_greedy_decode_stops_counting_at_eot(whisper_pair, rng):
+    _, params = whisper_pair
+    mel = _mel_batch(rng, b=1)
+    enc = jwhisper.whisper_encode(params, jnp.asarray(mel), TINY)
+    # force eot immediately after the prefix: lengths == len(prefix)
+    tokens, lengths = jwhisper.whisper_greedy_decode(
+        params, enc, TINY, forced_prefix=(5, 3), max_len=8, eot_id=3
+    )
+    assert int(lengths[0]) == 1  # only the '5' before the forced eot
+    assert np.asarray(tokens)[0, 1:].tolist() == [3] * 7
+
+
+# ---------------------------------------------------------------------------
+# Detokenizer
+# ---------------------------------------------------------------------------
+
+
+def test_byte_level_decoder_roundtrip():
+    b2u = _bytes_to_unicode()
+
+    def enc(text):
+        return "".join(b2u[b] for b in text.encode("utf-8"))
+
+    vocab = {enc("hello"): 0, enc(" world"): 1, enc(" → tpu"): 2, "<|eot|>": 3}
+    dec = ByteLevelBPEDecoder(vocab, special_base=3)
+    assert dec.decode([0, 1, 2, 3]) == "hello world → tpu"
+    assert dec.decode([3, 3]) == ""
+
+
+def test_special_token_ids_multilingual_and_en():
+    ml = jwhisper.WHISPER_BASE  # vocab 51865
+    assert (ml.eot_id, ml.sot_id, ml.no_timestamps_id) == (50257, 50258, 50363)
+    assert ml.forced_prefix() == (50258, 50259, 50359, 50363)
+    en = dataclasses.replace(jwhisper.WHISPER_BASE, vocab_size=51864)
+    assert (en.eot_id, en.sot_id) == (50256, 50257)
+    assert not en.multilingual and en.forced_prefix() == (50257, 50362)
+
+
+# ---------------------------------------------------------------------------
+# ASR runtime: wav -> segments through converted tiny weights
+# ---------------------------------------------------------------------------
+
+
+def _write_wav(path, seconds=2.0, sr=16000):
+    t = np.arange(int(sr * seconds)) / sr
+    pcm = (np.sin(2 * np.pi * 440 * t) * 0.3 * 32767).astype(np.int16)
+    with wave.open(str(path), "wb") as fh:
+        fh.setnchannels(1)
+        fh.setsampwidth(2)
+        fh.setframerate(sr)
+        fh.writeframes(pcm.tobytes())
+    return str(path)
+
+
+def test_asr_runtime_end_to_end(tmp_path, whisper_pair, monkeypatch):
+    from mmrag_tpu import settings as settings_mod
+    from mmrag_tpu.ingest import asr
+
+    _, params = whisper_pair
+    model_id = "openai/whisper-testtiny"
+    wdir = tmp_path / "weights" / model_id.replace("/", "__")
+    convert.save_params(
+        params, str(wdir), "model",
+        meta={"arch": "whisper", "config": dataclasses.asdict(TINY)},
+    )
+    b2u = _bytes_to_unicode()
+    vocab = {"".join(b2u[b] for b in f" tok{i}".encode()): i for i in range(TINY.vocab_size)}
+    (wdir / "vocab.json").write_text(json.dumps(vocab))
+
+    cfg = settings_mod.load_settings({
+        "WEIGHTS_DIR": str(tmp_path / "weights"),
+        "MODEL_ASR": model_id,
+    })
+    runtime = asr.WhisperRuntime(cfg, max_tokens=8)
+    assert runtime.available()
+    wav = _write_wav(tmp_path / "a.wav", seconds=2.0)
+    segments = runtime.transcribe_wav(wav)
+    # TINY's window = 75 * 2 * 160 samples = 1.5 s; random weights may emit
+    # anything, so the contract checked here is structural
+    window = TINY.max_source_positions * 2 * 160 / 16000
+    for seg in segments:
+        assert seg.start % window == 0 and 0 < seg.duration <= window and seg.text
+
+    # ladder integration: transcribe_audio prefers the JAX rung
+    asr.reset_asr_runtime()
+    monkeypatch.setattr(asr, "_default_settings", cfg)
+    from mmrag_tpu.ingest import youtube
+
+    got = youtube.transcribe_audio(wav)
+    assert isinstance(got, list)
+    asr.reset_asr_runtime()
+
+
+def test_read_wav_rejects_wrong_rate(tmp_path):
+    from mmrag_tpu.ingest.asr import read_wav_mono16k
+
+    path = tmp_path / "bad.wav"
+    with wave.open(str(path), "wb") as fh:
+        fh.setnchannels(1)
+        fh.setsampwidth(2)
+        fh.setframerate(8000)
+        fh.writeframes(b"\x00\x00" * 100)
+    with pytest.raises(ValueError):
+        read_wav_mono16k(str(path))
+
+
+def test_chunking_covers_long_audio(whisper_pair, tmp_path):
+    """Audio longer than the model window is batched window-by-window with
+    correct (start, duration) bookkeeping, including the ragged tail."""
+
+    from mmrag_tpu import settings as settings_mod
+    from mmrag_tpu.ingest import asr
+
+    _, params = whisper_pair
+    model_id = "openai/whisper-testtiny"
+    wdir = tmp_path / "weights" / model_id.replace("/", "__")
+    convert.save_params(
+        params, str(wdir), "model",
+        meta={"arch": "whisper", "config": dataclasses.asdict(TINY)},
+    )
+    b2u = _bytes_to_unicode()
+    vocab = {"".join(b2u[b] for b in f" tok{i}".encode()): i for i in range(TINY.vocab_size)}
+    (wdir / "vocab.json").write_text(json.dumps(vocab))
+    cfg = settings_mod.load_settings({
+        "WEIGHTS_DIR": str(tmp_path / "weights"), "MODEL_ASR": model_id,
+    })
+    runtime = asr.WhisperRuntime(cfg, max_tokens=4)
+    window = TINY.max_source_positions * 2 * 160  # samples (1.5 s)
+    audio = (
+        np.random.default_rng(0).standard_normal(window * 3 + window // 3)
+        .astype(np.float32) * 0.05
+    )
+    segs = runtime.transcribe_array(audio)
+    for start, dur, text in segs:
+        assert (start * 16000) % window == 0
+        assert 0 < dur <= window / 16000
+        assert text
+    tail = [d for s, d, _ in segs if s * 16000 == window * 3]
+    assert all(abs(d - (window // 3) / 16000) < 1e-6 for d in tail)
