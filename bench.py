@@ -233,6 +233,40 @@ def bench_rerank(quick: bool) -> float:
     return batch / sec
 
 
+def bench_asr(quick: bool) -> float:
+    """Whisper-base ASR real-time factor: audio-seconds transcribed per
+    wall-second for the full on-device path (log-mel -> encoder -> 32-token
+    KV-cached greedy decode) on 30 s windows."""
+
+    import jax
+    import jax.numpy as jnp
+
+    from mmrag_tpu.models import whisper
+
+    cfg = whisper.WHISPER_BASE
+    params = whisper.init_whisper_params(jax.random.PRNGKey(5), cfg)
+    batch = 2 if quick else 8
+    max_tokens = 8 if quick else 32
+    make = jax.jit(lambda key: 0.1 * jax.random.normal(
+        key, (batch, whisper.CHUNK_SAMPLES), jnp.float32))
+    audio = make(jax.random.PRNGKey(6))
+
+    def make_step(k, params, audio):
+        def body(i, acc):
+            wav = audio + 1e-6 * i.astype(jnp.float32)
+            mel = whisper.log_mel_spectrogram(wav)
+            enc = whisper.whisper_encode(params, mel, cfg, compute_dtype=jnp.bfloat16)
+            tokens, lengths = whisper.whisper_greedy_decode(
+                params, enc, cfg, max_len=max_tokens, compute_dtype=jnp.bfloat16)
+            return acc + lengths[0].astype(jnp.float32) + tokens[0, -1].astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+    k1, k2 = (4, 1) if quick else (8, 2)
+    sec = _per_iter_seconds(make_step, k1, k2, params, audio)
+    return batch * whisper.CHUNK_SECONDS / sec  # x real-time
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--platform", default="")
@@ -260,6 +294,7 @@ def main() -> None:
     topk_ms = bench_topk(args.quick)
     topk_int8_ms = bench_topk_int8(args.quick)
     rerank = bench_rerank(args.quick)
+    asr_rtf = bench_asr(args.quick)
 
     print(
         json.dumps(
@@ -277,6 +312,7 @@ def main() -> None:
                     "topk_int8_1m_p50_ms": round(topk_int8_ms, 3),
                     "multitenant_16q_1m_ms": round(multitenant_ms, 3),
                     "rerank_pairs_per_sec": round(rerank, 1),
+                    "whisper_base_asr_x_realtime": round(asr_rtf, 1),
                     "quick": args.quick,
                 },
             }
