@@ -31,6 +31,8 @@ class ModelDefaults:
     # torch ``whisper.load_model("small")``, app/ingest/youtube.py:150-166);
     # runs only when converted weights + vocab.json exist under WEIGHTS_DIR.
     asr: str = "openai/whisper-base"
+    # "auto" detects per file like torch whisper; or a fixed code ("en", ...)
+    asr_language: str = "auto"
 
 
 @dataclass(frozen=True)

@@ -72,16 +72,29 @@ def _bucket(n: int, buckets=_CHUNK_BUCKETS) -> int:
 
 
 class WhisperRuntime:
-    """Lazy-loading, bucket-compiled Whisper transcription engine."""
+    """Lazy-loading, bucket-compiled Whisper transcription engine.
 
-    def __init__(self, cfg: Optional[Settings] = None, max_tokens: int = 224) -> None:
+    ``language`` is a code from :data:`mmrag_tpu.models.whisper.LANGUAGES`
+    or ``"auto"`` (default): detect once per file from the first window —
+    the same behavior as the reference's torch ``model.transcribe``
+    auto-detection (``/root/reference/app/ingest/youtube.py:178-209``).
+    """
+
+    def __init__(
+        self,
+        cfg: Optional[Settings] = None,
+        max_tokens: int = 224,
+        language: Optional[str] = None,
+    ) -> None:
         self.cfg = cfg or _default_settings
         self.max_tokens = max_tokens
+        self.language = language or self.cfg.models.asr_language
         self._lock = threading.RLock()
         self._params = None
         self._model_cfg = None
         self._decoder = None
-        self._fns: Dict[int, Callable] = {}
+        self._fns: Dict[tuple, Callable] = {}
+        self._detect_fn = None
 
     # -- loading ------------------------------------------------------------
 
@@ -128,37 +141,74 @@ class WhisperRuntime:
 
                 self._model_cfg = dataclasses.replace(self._model_cfg, vocab_size=vocab)
             self._params = params
+            # the decode loop cannot run past the learned position table
+            self.max_tokens = min(self.max_tokens, self._model_cfg.max_target_positions)
             self._decoder = tok.load_whisper_decoder(wdir, self._model_cfg.eot_id)
             logger.info("whisper ASR loaded from %s (%s)", wdir, self.cfg.models.asr)
 
-    def _transcribe_fn(self, batch: int) -> Callable:
-        """One jitted mel->encode->greedy-decode program per batch bucket."""
+    def _compute_dtype(self):
+        import jax
+        import jax.numpy as jnp
 
+        return (
+            jnp.bfloat16
+            if self.cfg.tpu.compute_dtype == "bfloat16"
+            and jax.default_backend() != "cpu"
+            else jnp.float32
+        )
+
+    def _transcribe_fn(self, batch: int, prefix: tuple) -> Callable:
+        """One jitted mel->encode->greedy-decode program per (batch bucket,
+        decode prefix) — the prefix is baked in as scan constants."""
+
+        key = (batch, prefix)
         with self._lock:
-            if batch in self._fns:
-                return self._fns[batch]
+            if key in self._fns:
+                return self._fns[key]
             import jax
-            import jax.numpy as jnp
 
             from ..models import whisper
 
             mcfg = self._model_cfg
-            compute = (
-                jnp.bfloat16
-                if self.cfg.tpu.compute_dtype == "bfloat16"
-                and jax.default_backend() != "cpu"
-                else jnp.float32
-            )
+            compute = self._compute_dtype()
 
             def fn(params, audio):
                 mel = whisper.log_mel_spectrogram(audio, mcfg.num_mel_bins)
                 enc = whisper.whisper_encode(params, mel, mcfg, compute_dtype=compute)
                 return whisper.whisper_greedy_decode(
-                    params, enc, mcfg, max_len=self.max_tokens, compute_dtype=compute
+                    params, enc, mcfg, forced_prefix=prefix,
+                    max_len=self.max_tokens, compute_dtype=compute,
                 )
 
-            self._fns[batch] = jax.jit(fn)
-            return self._fns[batch]
+            self._fns[key] = jax.jit(fn)
+            return self._fns[key]
+
+    def _resolve_prefix(self, first_window: np.ndarray) -> tuple:
+        """Decode prefix for this file: fixed language, or one detection
+        dispatch on the first window when ``language == "auto"``."""
+
+        mcfg = self._model_cfg
+        if not mcfg.multilingual:
+            return mcfg.forced_prefix()
+        if self.language != "auto":
+            return mcfg.forced_prefix(language=self.language)
+        import jax
+        import jax.numpy as jnp
+
+        from ..models import whisper
+
+        with self._lock:
+            if self._detect_fn is None:
+                compute = self._compute_dtype()
+
+                def detect(params, audio):
+                    mel = whisper.log_mel_spectrogram(audio, mcfg.num_mel_bins)
+                    enc = whisper.whisper_encode(params, mel, mcfg, compute_dtype=compute)
+                    return whisper.detect_language(params, enc, mcfg, compute)
+
+                self._detect_fn = jax.jit(detect)
+        lang_id = int(self._detect_fn(self._params, jnp.asarray(first_window[None]))[0])
+        return (mcfg.sot_id, lang_id, mcfg.transcribe_id, mcfg.no_timestamps_id)
 
     # -- transcription --------------------------------------------------------
 
@@ -172,23 +222,28 @@ class WhisperRuntime:
         # stride 2 x hop 160 samples = 30 s for real checkpoints; deriving it
         # from the config keeps reduced test models consistent end-to-end.
         chunk_samples = self._model_cfg.max_source_positions * 2 * HOP_LENGTH
+        audio = np.asarray(audio, np.float32)
         total = len(audio)
         if total == 0:
             return []
         n_chunks = max(1, -(-total // chunk_samples))
-        chunks = np.zeros((n_chunks, chunk_samples), np.float32)
-        for i in range(n_chunks):
-            part = audio[i * chunk_samples : (i + 1) * chunk_samples]
-            chunks[i, : len(part)] = part
+
+        first = np.zeros(chunk_samples, np.float32)
+        first[: min(total, chunk_samples)] = audio[:chunk_samples]
+        prefix = self._resolve_prefix(first)
 
         results: List[Tuple[float, float, str]] = []
         done = 0
         while done < n_chunks:
             take = min(n_chunks - done, _CHUNK_BUCKETS[-1])
             bsz = _bucket(take)
+            # slice+pad per batch: peak host memory is one bucket of windows,
+            # not a zero-padded copy of the whole file
             batch = np.zeros((bsz, chunk_samples), np.float32)
-            batch[:take] = chunks[done : done + take]
-            tokens, lengths = self._transcribe_fn(bsz)(self._params, batch)
+            for j in range(take):
+                part = audio[(done + j) * chunk_samples : (done + j + 1) * chunk_samples]
+                batch[j, : len(part)] = part
+            tokens, lengths = self._transcribe_fn(bsz, prefix)(self._params, batch)
             tokens = np.asarray(tokens)
             lengths = np.asarray(lengths)
             for j in range(take):
@@ -219,12 +274,21 @@ _runtime_lock = threading.Lock()
 
 def get_asr_runtime(cfg: Optional[Settings] = None) -> Optional[WhisperRuntime]:
     """Singleton WhisperRuntime, or None when no converted weights exist
-    (callers fall through to the torch ladder)."""
+    (callers fall through to the torch ladder). A call with a *different*
+    Settings (weights dir / model id / language) rebuilds the singleton
+    rather than silently serving the old configuration."""
 
     global _runtime
     with _runtime_lock:
+        wanted = cfg or _default_settings
+        if _runtime is not None and (
+            _runtime.cfg.models.asr != wanted.models.asr
+            or _runtime.cfg.paths.weights_dir != wanted.paths.weights_dir
+            or _runtime.cfg.models.asr_language != wanted.models.asr_language
+        ):
+            _runtime = None
         if _runtime is None:
-            candidate = WhisperRuntime(cfg)
+            candidate = WhisperRuntime(wanted)
             if not candidate.available():
                 return None
             _runtime = candidate

@@ -359,7 +359,9 @@ class ByteLevelBPEDecoder:
             tok = self.id_to_token.get(int(i))
             if tok is not None:
                 chars.append(tok)
-        data = bytes(self._u2b.get(c, ord(" ") & 0xFF) for c in "".join(chars))
+        # chars outside the byte table can only come from a malformed
+        # vocab.json; substitute a space rather than crash the transcript
+        data = bytes(self._u2b.get(c, 32) for c in "".join(chars))
         return data.decode("utf-8", errors="replace")
 
 

@@ -67,64 +67,88 @@ class WhisperConfig:
         return self.d_model // self.encoder_heads
 
     # ---- special token ids -------------------------------------------------
-    # OpenAI's vocab layout: base BPE vocab, then <|endoftext|>,
-    # <|startoftranscript|>, 99+ language tokens, <|translate|>,
+    # OpenAI's vocab layout: ``base`` text tokens (ids 0..base-1), then
+    # <|endoftext|>, <|startoftranscript|>, L language tokens, <|translate|>,
     # <|transcribe|>, <|startoflm|>, <|startofprev|>, <|nospeech|>,
-    # <|notimestamps|>, then 1501 timestamp tokens. Multilingual models have
-    # vocab 51865 (51866 for large-v3's extra language); the .en models drop
-    # one base token, shifting every special id by -1. Encoding that as an
-    # offset keeps one formula for the whole family. Reduced-vocab test
-    # models (vocab < 51864) use the last three ids as eot/sot/notimestamps
-    # so the decode loop and detokenizer stay well-defined.
+    # <|notimestamps|>, and 1501 timestamp tokens — so
+    # ``vocab = base + L + 1509``. Multilingual models: base 50257, L=99
+    # (vocab 51865); large-v3 adds one language (51866); .en models: base
+    # 50256, same specials (51864). Deriving ids structurally covers all of
+    # them with one formula. Reduced-vocab test models (vocab < 51864) use
+    # the last three ids as eot/sot/notimestamps so the decode loop and
+    # detokenizer stay well-defined.
     @property
     def _standard_vocab(self) -> bool:
         return self.vocab_size >= 51_864
 
     @property
-    def _special_offset(self) -> int:
-        return self.vocab_size - 51_865
-
-    @property
-    def eot_id(self) -> int:
-        return 50_257 + self._special_offset if self._standard_vocab else self.vocab_size - 1
-
-    @property
-    def sot_id(self) -> int:
-        return 50_258 + self._special_offset if self._standard_vocab else self.vocab_size - 2
-
-    @property
-    def lang_base_id(self) -> int:  # <|en|> is the first language token
-        return 50_259 + self._special_offset
-
-    @property
-    def transcribe_id(self) -> int:
-        return 50_359 + self._special_offset
-
-    @property
-    def no_timestamps_id(self) -> int:
-        return 50_363 + self._special_offset if self._standard_vocab else self.vocab_size - 3
-
-    @property
-    def timestamp_begin_id(self) -> int:
-        return 50_364 + self._special_offset
-
-    @property
     def multilingual(self) -> bool:
         return self.vocab_size >= 51_865
 
-    def forced_prefix(self, language: str = "en", task: str = "transcribe") -> Tuple[int, ...]:
-        """``<|startoftranscript|>[<|lang|><|task|>]<|notimestamps|>``.
+    @property
+    def eot_id(self) -> int:  # == number of base text tokens
+        if not self._standard_vocab:
+            return self.vocab_size - 1
+        return 50_257 if self.multilingual else 50_256
 
-        Only English is resolvable without the tokenizer's language table;
-        other codes fall back to <|en|> (the reference pipeline is
-        English-transcript-first anyway, ``app/ingest/youtube.py:93-101``).
-        """
+    @property
+    def sot_id(self) -> int:
+        return self.eot_id + 1 if self._standard_vocab else self.vocab_size - 2
+
+    @property
+    def num_languages(self) -> int:
+        return self.vocab_size - self.eot_id - 1509 if self._standard_vocab else 0
+
+    @property
+    def lang_base_id(self) -> int:  # <|en|> is the first language token
+        return self.sot_id + 1
+
+    @property
+    def translate_id(self) -> int:
+        return self.lang_base_id + self.num_languages
+
+    @property
+    def transcribe_id(self) -> int:
+        return self.translate_id + 1
+
+    @property
+    def no_timestamps_id(self) -> int:
+        return self.transcribe_id + 4 if self._standard_vocab else self.vocab_size - 3
+
+    @property
+    def timestamp_begin_id(self) -> int:
+        return self.no_timestamps_id + 1
+
+    def language_id(self, code: str) -> int:
+        """Token id for a language code (OpenAI's canonical ordering)."""
+
+        idx = LANGUAGES.index(code)  # raises ValueError for unknown codes
+        if idx >= self.num_languages:
+            raise ValueError(f"language {code!r} not in this model's vocab")
+        return self.lang_base_id + idx
+
+    def forced_prefix(self, language: str = "en", task: str = "transcribe") -> Tuple[int, ...]:
+        """``<|startoftranscript|>[<|lang|><|task|>]<|notimestamps|>``."""
 
         if not self.multilingual:
             return (self.sot_id, self.no_timestamps_id)
-        lang_id = self.lang_base_id  # "en"
-        task_id = self.transcribe_id if task == "transcribe" else self.transcribe_id - 1
-        return (self.sot_id, lang_id, task_id, self.no_timestamps_id)
+        task_id = self.transcribe_id if task == "transcribe" else self.translate_id
+        return (self.sot_id, self.language_id(language), task_id, self.no_timestamps_id)
+
+
+# OpenAI Whisper's language ordering — token id = lang_base_id + index.
+# The 100th (yue) exists only in large-v3's vocab (num_languages gates it).
+LANGUAGES: Tuple[str, ...] = (
+    "en", "zh", "de", "es", "ru", "ko", "fr", "ja", "pt", "tr", "pl", "ca",
+    "nl", "ar", "sv", "it", "id", "hi", "fi", "vi", "he", "uk", "el", "ms",
+    "cs", "ro", "da", "hu", "ta", "no", "th", "ur", "hr", "bg", "lt", "la",
+    "mi", "ml", "cy", "sk", "te", "fa", "lv", "bn", "sr", "az", "sl", "kn",
+    "et", "mk", "br", "eu", "is", "hy", "ne", "mn", "bs", "kk", "sq", "sw",
+    "gl", "mr", "pa", "si", "km", "sn", "yo", "so", "af", "oc", "ka", "be",
+    "tg", "sd", "gu", "am", "yi", "lo", "uz", "fo", "ht", "ps", "tk", "nn",
+    "mt", "sa", "lb", "my", "bo", "tl", "mg", "as", "tt", "haw", "ln", "ha",
+    "ba", "jw", "su", "yue",
+)
 
 
 WHISPER_TINY = WhisperConfig(d_model=384, encoder_layers=4, encoder_heads=6,
@@ -405,6 +429,28 @@ def whisper_decode_logits(
                    precision=_precision(compute_dtype))
 
 
+def detect_language(
+    params: Params,
+    enc_states: jnp.ndarray,  # (b, 1500, d)
+    cfg: WhisperConfig = WHISPER_BASE,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Language-token ids (b,) — one decoder step on ``<|startoftranscript|>``
+    with the logits restricted to the language-token slice (what the
+    reference's torch ``model.transcribe`` does internally before choosing a
+    decode prefix)."""
+
+    if not cfg.multilingual:
+        raise ValueError("language detection needs a multilingual checkpoint")
+    b = enc_states.shape[0]
+    sot = jnp.full((b, 1), cfg.sot_id, jnp.int32)
+    logits = whisper_decode_logits(params, sot, enc_states, cfg, compute_dtype)
+    lang_slice = jax.lax.dynamic_slice_in_dim(
+        logits[:, 0], cfg.lang_base_id, cfg.num_languages, axis=-1
+    )
+    return (jnp.argmax(lang_slice, axis=-1) + cfg.lang_base_id).astype(jnp.int32)
+
+
 # ---------------------------------------------------------------------------
 # KV-cached greedy decode (lax.scan, static shapes)
 # ---------------------------------------------------------------------------
@@ -436,6 +482,10 @@ def whisper_greedy_decode(
     eot = cfg.eot_id if eot_id is None else eot_id
     prefix = tuple(forced_prefix) if forced_prefix is not None else cfg.forced_prefix()
     assert 0 < len(prefix) <= max_len
+    # past the position table dynamic_slice clamps silently -> degraded decode
+    assert max_len <= cfg.max_target_positions, (
+        f"max_len {max_len} exceeds max_target_positions {cfg.max_target_positions}"
+    )
 
     forced_ids = np.full((max_len,), -1, np.int32)
     forced_ids[: len(prefix)] = prefix

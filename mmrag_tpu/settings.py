@@ -110,6 +110,7 @@ class ModelSettings:
     clip: str
     reranker: str
     asr: str
+    asr_language: str
 
 
 @dataclass(frozen=True)
@@ -259,6 +260,7 @@ def load_settings(env: Optional[Mapping[str, str]] = None) -> Settings:
             clip=_read_env(env, "MODEL_CLIP", d.models.clip),
             reranker=_read_env(env, "RERANKER_MODEL", d.models.reranker),
             asr=_read_env(env, "MODEL_ASR", d.models.asr),
+            asr_language=_read_env(env, "MODEL_ASR_LANGUAGE", d.models.asr_language),
         ),
         gemini=GeminiSettings(
             api_key=env.get("GEMINI_API_KEY") or None,

@@ -194,10 +194,31 @@ def test_byte_level_decoder_roundtrip():
 def test_special_token_ids_multilingual_and_en():
     ml = jwhisper.WHISPER_BASE  # vocab 51865
     assert (ml.eot_id, ml.sot_id, ml.no_timestamps_id) == (50257, 50258, 50363)
+    assert (ml.num_languages, ml.translate_id, ml.transcribe_id) == (99, 50358, 50359)
+    assert ml.timestamp_begin_id == 50364
     assert ml.forced_prefix() == (50258, 50259, 50359, 50363)
+    assert ml.language_id("fr") == 50259 + 6
+    assert ml.forced_prefix(language="de") == (50258, 50261, 50359, 50363)
+    with pytest.raises(ValueError):
+        ml.language_id("yue")  # 100th language: large-v3 only
     en = dataclasses.replace(jwhisper.WHISPER_BASE, vocab_size=51864)
-    assert (en.eot_id, en.sot_id) == (50256, 50257)
+    assert (en.eot_id, en.sot_id, en.no_timestamps_id) == (50256, 50257, 50362)
     assert not en.multilingual and en.forced_prefix() == (50257, 50362)
+    v3 = dataclasses.replace(jwhisper.WHISPER_BASE, vocab_size=51866)
+    assert (v3.eot_id, v3.num_languages, v3.transcribe_id) == (50257, 100, 50360)
+    assert v3.language_id("yue") == 50259 + 99 and v3.timestamp_begin_id == 50365
+
+
+def test_detect_language_returns_language_ids(rng):
+    cfg = dataclasses.replace(
+        TINY, vocab_size=51865, max_source_positions=30, max_target_positions=16
+    )
+    params = jwhisper.init_whisper_params(jax.random.PRNGKey(7), cfg)
+    mel = rng.standard_normal((2, 60, 80)).astype(np.float32)
+    enc = jwhisper.whisper_encode(params, jnp.asarray(mel), cfg)
+    langs = np.asarray(jwhisper.detect_language(params, enc, cfg))
+    assert langs.shape == (2,)
+    assert all(cfg.lang_base_id <= l < cfg.lang_base_id + cfg.num_languages for l in langs)
 
 
 # ---------------------------------------------------------------------------
@@ -253,6 +274,40 @@ def test_asr_runtime_end_to_end(tmp_path, whisper_pair, monkeypatch):
     got = youtube.transcribe_audio(wav)
     assert isinstance(got, list)
     asr.reset_asr_runtime()
+
+
+def test_asr_singleton_rebuilds_on_settings_change(tmp_path, whisper_pair):
+    from mmrag_tpu import settings as settings_mod
+    from mmrag_tpu.ingest import asr
+
+    _, params = whisper_pair
+    for name in ("m1", "m2"):
+        wdir = tmp_path / "w" / f"openai__{name}"
+        convert.save_params(
+            params, str(wdir), "model",
+            meta={"arch": "whisper", "config": dataclasses.asdict(TINY)},
+        )
+        (wdir / "vocab.json").write_text("{}")
+    cfg1 = settings_mod.load_settings({"WEIGHTS_DIR": str(tmp_path / "w"), "MODEL_ASR": "openai/m1"})
+    cfg2 = settings_mod.load_settings({"WEIGHTS_DIR": str(tmp_path / "w"), "MODEL_ASR": "openai/m2"})
+    asr.reset_asr_runtime()
+    r1 = asr.get_asr_runtime(cfg1)
+    assert r1 is not None and r1.cfg.models.asr == "openai/m1"
+    r2 = asr.get_asr_runtime(cfg2)
+    assert r2 is not None and r2.cfg.models.asr == "openai/m2"
+    assert r2 is not r1
+    asr.reset_asr_runtime()
+
+
+def test_greedy_decode_rejects_overlong_max_len(whisper_pair, rng):
+    _, params = whisper_pair
+    mel = _mel_batch(rng, b=1)
+    enc = jwhisper.whisper_encode(params, jnp.asarray(mel), TINY)
+    with pytest.raises(AssertionError):
+        jwhisper.whisper_greedy_decode(
+            params, enc, TINY, forced_prefix=(5,), eot_id=3,
+            max_len=TINY.max_target_positions + 1,
+        )
 
 
 def test_read_wav_rejects_wrong_rate(tmp_path):
