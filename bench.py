@@ -233,6 +233,64 @@ def bench_rerank(quick: bool) -> float:
     return batch / sec
 
 
+def bench_chat_path(quick: bool) -> float:
+    """BASELINE config #3: the full /chat_pro device compute for ONE query —
+    dual query embed (MiniLM + CLIP text tower), masked cosine top-50 over a
+    1M-row text index, top-12 over a 128k-row image index, and the depth-8
+    cross-encoder rerank — chained on device. Host-side fusion/hydration are
+    numpy over <=62 rows (measured sub-ms) and excluded; the axon tunnel's
+    ~29 ms/readback is differenced out, matching a colocated deployment."""
+
+    import jax
+    import jax.numpy as jnp
+
+    from mmrag_tpu.models import bert, clip
+    from mmrag_tpu.ops.topk import cosine_topk, l2_normalize
+
+    bparams = bert.init_bert_params(jax.random.PRNGKey(0))
+    cparams = clip.init_clip_params(jax.random.PRNGKey(1))
+    xparams = bert.init_cross_encoder_params(jax.random.PRNGKey(2))
+    n_text = 131_072 if quick else 1_048_576
+    n_img = 16_384 if quick else 131_072
+    mk = jax.jit(lambda key, n, d: l2_normalize(
+        jax.random.normal(key, (n, d), jnp.float32)).astype(jnp.bfloat16),
+        static_argnums=(1, 2))
+    text_corpus = mk(jax.random.PRNGKey(3), n_text, 384)
+    img_corpus = mk(jax.random.PRNGKey(4), n_img, 512)
+    q_ids = jax.random.randint(jax.random.PRNGKey(5), (1, 64), 5, 30000, jnp.int32)
+    ct_ids = jax.random.randint(jax.random.PRNGKey(6), (1, 77), 5, 49000, jnp.int32)
+    rr_ids = jax.random.randint(jax.random.PRNGKey(7), (8, 256), 5, 30000, jnp.int32)
+    ones = jnp.ones((1, 64), jnp.int32)
+    ones77 = jnp.ones((1, 77), jnp.int32)
+    rr_mask = jnp.ones((8, 256), jnp.int32)
+    rr_tt = jnp.concatenate(
+        [jnp.zeros((8, 128), jnp.int32), jnp.ones((8, 128), jnp.int32)], 1)
+    tmask = jnp.ones((n_text,), bool)
+    imask = jnp.ones((n_img,), bool)
+
+    def make_step(k, bparams, cparams, xparams, text_corpus, img_corpus,
+                  q_ids, ct_ids, rr_ids):
+        def body(i, acc):
+            qi = (q_ids + i) % 30000
+            qt = bert.minilm_embed(bparams, qi, ones, compute_dtype=jnp.bfloat16)
+            qc = bert.l2_normalize(clip.clip_text_features(
+                cparams, (ct_ids + i) % 49000, ones77, compute_dtype=jnp.bfloat16))
+            s1, i1 = cosine_topk(qt, text_corpus, tmask, 50)
+            s2, i2 = cosine_topk(qc.astype(jnp.float32), img_corpus, imask, 12)
+            rr = bert.cross_encoder_score(
+                xparams, (rr_ids + i) % 30000, rr_mask, rr_tt,
+                compute_dtype=jnp.bfloat16)
+            return acc + s1[0, 0] + s2[0, 0] + rr[0] + i1[0, 0].astype(
+                jnp.float32) + i2[0, 0].astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+    k1, k2 = (8, 2) if quick else (16, 4)
+    sec = _per_iter_seconds(make_step, k1, k2, bparams, cparams, xparams,
+                            text_corpus, img_corpus, q_ids, ct_ids, rr_ids)
+    return sec * 1e3  # ms per chat query
+
+
 def bench_asr(quick: bool) -> float:
     """Whisper-base ASR real-time factor: audio-seconds transcribed per
     wall-second for the full on-device path (log-mel -> encoder -> 32-token
@@ -294,6 +352,7 @@ def main() -> None:
     topk_ms = bench_topk(args.quick)
     topk_int8_ms = bench_topk_int8(args.quick)
     rerank = bench_rerank(args.quick)
+    chat_ms = bench_chat_path(args.quick)
     asr_rtf = bench_asr(args.quick)
 
     print(
@@ -312,6 +371,7 @@ def main() -> None:
                     "topk_int8_1m_p50_ms": round(topk_int8_ms, 3),
                     "multitenant_16q_1m_ms": round(multitenant_ms, 3),
                     "rerank_pairs_per_sec": round(rerank, 1),
+                    "chat_device_path_ms": round(chat_ms, 3),
                     "whisper_base_asr_x_realtime": round(asr_rtf, 1),
                     "quick": args.quick,
                 },

@@ -33,6 +33,10 @@ class ModelDefaults:
     asr: str = "openai/whisper-base"
     # "auto" detects per file like torch whisper; or a fixed code ("en", ...)
     asr_language: str = "auto"
+    # decode timestamp tokens into fine-grained segments (like the torch
+    # ladder's per-utterance segments); off = one segment per 30s window,
+    # which is robust for unconstrained greedy decoding
+    asr_timestamps: bool = False
 
 
 @dataclass(frozen=True)

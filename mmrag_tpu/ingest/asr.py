@@ -85,10 +85,14 @@ class WhisperRuntime:
         cfg: Optional[Settings] = None,
         max_tokens: int = 224,
         language: Optional[str] = None,
+        timestamps: Optional[bool] = None,
     ) -> None:
         self.cfg = cfg or _default_settings
         self.max_tokens = max_tokens
         self.language = language or self.cfg.models.asr_language
+        self.timestamps = (
+            self.cfg.models.asr_timestamps if timestamps is None else timestamps
+        )
         self._lock = threading.RLock()
         self._params = None
         self._model_cfg = None
@@ -188,10 +192,15 @@ class WhisperRuntime:
         dispatch on the first window when ``language == "auto"``."""
 
         mcfg = self._model_cfg
+
+        def finish(prefix: tuple) -> tuple:
+            # timestamp mode drops the trailing <|notimestamps|>
+            return prefix[:-1] if self.timestamps else prefix
+
         if not mcfg.multilingual:
-            return mcfg.forced_prefix()
+            return finish(mcfg.forced_prefix())
         if self.language != "auto":
-            return mcfg.forced_prefix(language=self.language)
+            return finish(mcfg.forced_prefix(language=self.language))
         import jax
         import jax.numpy as jnp
 
@@ -208,7 +217,7 @@ class WhisperRuntime:
 
                 self._detect_fn = jax.jit(detect)
         lang_id = int(self._detect_fn(self._params, jnp.asarray(first_window[None]))[0])
-        return (mcfg.sot_id, lang_id, mcfg.transcribe_id, mcfg.no_timestamps_id)
+        return finish((mcfg.sot_id, lang_id, mcfg.transcribe_id, mcfg.no_timestamps_id))
 
     # -- transcription --------------------------------------------------------
 
@@ -250,11 +259,34 @@ class WhisperRuntime:
                 idx = done + j
                 start = idx * chunk_samples / SAMPLE_RATE
                 covered = min(total - idx * chunk_samples, chunk_samples) / SAMPLE_RATE
-                text = self._decoder.decode(tokens[j, : int(lengths[j])]).strip()
-                if text:
-                    results.append((start, covered, text))
+                toks = tokens[j, : int(lengths[j])]
+                results.extend(self._window_segments(toks, start, covered))
             done += take
         return results
+
+    def _window_segments(
+        self, toks: np.ndarray, start: float, covered: float
+    ) -> List[Tuple[float, float, str]]:
+        """One window's tokens -> segments: timestamp-token split when
+        enabled (falling back to the whole window if the decode produced no
+        usable stamps), else one segment per window."""
+
+        if self.timestamps:
+            from ..models.whisper import parse_timestamp_segments
+
+            parsed = parse_timestamp_segments(
+                toks, self._model_cfg, time_offset=start, window_seconds=covered
+            )
+            out = []
+            for seg_start, seg_end, ids in parsed:
+                text = self._decoder.decode(ids).strip()
+                if text:
+                    end = min(seg_end, start + covered)
+                    out.append((seg_start, max(end - seg_start, 0.0), text))
+            if out:
+                return out
+        text = self._decoder.decode(toks).strip()
+        return [(start, covered, text)] if text else []
 
     def transcribe_wav(self, wav_path: str):
         """wav file -> List[TranscriptSegment] (the ladder contract)."""
@@ -285,6 +317,7 @@ def get_asr_runtime(cfg: Optional[Settings] = None) -> Optional[WhisperRuntime]:
             _runtime.cfg.models.asr != wanted.models.asr
             or _runtime.cfg.paths.weights_dir != wanted.paths.weights_dir
             or _runtime.cfg.models.asr_language != wanted.models.asr_language
+            or _runtime.cfg.models.asr_timestamps != wanted.models.asr_timestamps
         ):
             _runtime = None
         if _runtime is None:

@@ -429,6 +429,45 @@ def whisper_decode_logits(
                    precision=_precision(compute_dtype))
 
 
+def parse_timestamp_segments(
+    tokens: Sequence[int],
+    cfg: WhisperConfig,
+    time_offset: float = 0.0,
+    window_seconds: float = float(CHUNK_SECONDS),
+) -> list:
+    """Split a decoded token sequence on Whisper timestamp tokens.
+
+    Input is one window's consumed-token sequence (prefix included) decoded
+    with a timestamp-enabled prefix (no ``<|notimestamps|>``). Timestamp
+    tokens encode ``(id - timestamp_begin) * 0.02`` seconds. Returns
+    ``[(start_sec, end_sec, [text_token_ids])]`` with ``time_offset`` added;
+    parsing is tolerant of the malformed patterns unconstrained greedy can
+    emit (missing closing stamp -> segment ends at the last seen time;
+    consecutive stamps -> no empty segment). An empty result means the
+    window produced no usable timestamps; callers fall back to
+    window-granularity segments.
+    """
+
+    ts_begin, eot = cfg.timestamp_begin_id, cfg.eot_id
+    segments = []
+    start: float | None = None
+    text: list = []
+    for tok in tokens:
+        tok = int(tok)
+        if tok == eot:
+            break
+        if tok >= ts_begin:
+            t = (tok - ts_begin) * 0.02
+            if start is not None and text:
+                segments.append((time_offset + start, time_offset + t, text))
+            start, text = t, []
+        elif tok < eot and start is not None:  # text token inside a segment
+            text.append(tok)
+    if start is not None and text:  # unterminated tail: close at window end
+        segments.append((time_offset + start, time_offset + max(start, window_seconds), text))
+    return segments
+
+
 def detect_language(
     params: Params,
     enc_states: jnp.ndarray,  # (b, 1500, d)

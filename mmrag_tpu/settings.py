@@ -111,6 +111,7 @@ class ModelSettings:
     reranker: str
     asr: str
     asr_language: str
+    asr_timestamps: bool
 
 
 @dataclass(frozen=True)
@@ -261,6 +262,7 @@ def load_settings(env: Optional[Mapping[str, str]] = None) -> Settings:
             reranker=_read_env(env, "RERANKER_MODEL", d.models.reranker),
             asr=_read_env(env, "MODEL_ASR", d.models.asr),
             asr_language=_read_env(env, "MODEL_ASR_LANGUAGE", d.models.asr_language),
+            asr_timestamps=_read_bool(env, "MODEL_ASR_TIMESTAMPS", d.models.asr_timestamps),
         ),
         gemini=GeminiSettings(
             api_key=env.get("GEMINI_API_KEY") or None,

@@ -276,6 +276,55 @@ def test_asr_runtime_end_to_end(tmp_path, whisper_pair, monkeypatch):
     asr.reset_asr_runtime()
 
 
+def test_parse_timestamp_segments():
+    cfg = jwhisper.WHISPER_BASE
+    tsb, eot = cfg.timestamp_begin_id, cfg.eot_id
+
+    def ts(sec):
+        return tsb + int(sec / 0.02)
+
+    prefix = list(cfg.forced_prefix()[:-1])  # timestamp mode: no notimestamps
+    toks = prefix + [ts(0.0), 11, 12, ts(3.5), ts(3.5), 13, ts(7.0), eot, eot]
+    segs = jwhisper.parse_timestamp_segments(toks, cfg, time_offset=30.0)
+    assert segs == [(30.0, 33.5, [11, 12]), (33.5, 37.0, [13])]
+
+    # unterminated tail closes at the window end; nothing before a stamp
+    toks = prefix + [14, ts(1.0), 15, 16]
+    segs = jwhisper.parse_timestamp_segments(toks, cfg, window_seconds=8.0)
+    assert segs == [(1.0, 8.0, [15, 16])]
+
+    # no timestamps at all -> empty (caller falls back to the window)
+    assert jwhisper.parse_timestamp_segments(prefix + [11, 12, eot], cfg) == []
+
+
+def test_window_segments_timestamp_mode_and_fallback():
+    from mmrag_tpu.ingest.asr import WhisperRuntime
+
+    cfg = jwhisper.WHISPER_BASE
+    b2u = _bytes_to_unicode()
+
+    def tok_string(s):
+        return "".join(b2u[b] for b in s.encode())
+
+    runtime = WhisperRuntime.__new__(WhisperRuntime)
+    runtime.timestamps = True
+    runtime._model_cfg = cfg
+    runtime._decoder = ByteLevelBPEDecoder(
+        {tok_string(" alpha"): 11, tok_string(" beta"): 12}, special_base=cfg.eot_id
+    )
+    tsb = cfg.timestamp_begin_id
+    toks = np.asarray(
+        list(cfg.forced_prefix()[:-1]) + [tsb, 11, tsb + 100, tsb + 100, 12, tsb + 200]
+    )
+    segs = runtime._window_segments(toks, start=30.0, covered=30.0)
+    assert segs == [(30.0, 2.0, "alpha"), (32.0, 2.0, "beta")]
+
+    # no stamps in the stream -> whole-window fallback with specials skipped
+    toks = np.asarray(list(cfg.forced_prefix()) + [11, 12])
+    segs = runtime._window_segments(toks, start=0.0, covered=12.5)
+    assert segs == [(0.0, 12.5, "alpha beta")]
+
+
 def test_asr_singleton_rebuilds_on_settings_change(tmp_path, whisper_pair):
     from mmrag_tpu import settings as settings_mod
     from mmrag_tpu.ingest import asr
