@@ -97,11 +97,14 @@ def generate_response(
     results: Sequence[Dict],
     cfg: Optional[Settings] = None,
 ) -> Dict:
-    """Returns ``{"answer", "citations", "abstained", "snippets"}``."""
+    """Returns the reference's ``/chat_pro`` payload shape plus extras:
+    ``response`` and ``citations`` ``{"text": [...], "images": [...]}`` match
+    the reference contract (``generate.py:63-97``); ``answer`` (alias),
+    ``citation_tokens``, ``snippets``, and ``abstained`` are additive."""
 
     cfg = cfg or _default_settings
     results = list(results)
-    citations = [
+    citation_tokens = [
         {
             "token": citation_token(h),
             "chunk_id": h.get("chunk_id"),
@@ -112,6 +115,19 @@ def generate_response(
         }
         for h in results
     ]
+
+    def _meta(h: Dict) -> Dict:
+        return {
+            **(h.get("meta") or {}),
+            "document_id": h.get("document_id"),
+            "chunk_id": h.get("chunk_id"),
+            "media_path": h.get("media_path") or None,
+        }
+
+    citations = {  # reference shape: metadata dicts per modality
+        "text": [_meta(h) for h in results if h.get("modality") == "text"],
+        "images": [_meta(h) for h in results if h.get("modality") == "image"],
+    }
     snippets = [
         {"token": citation_token(h), "text": (h.get("text") or "")[:400]}
         for h in results
@@ -123,19 +139,25 @@ def generate_response(
         for h in results
     ) if results else float("-inf")
 
+    def _payload(answer: str, abstained: bool) -> Dict:
+        return {
+            "response": answer,  # reference key (generate.py:81,97)
+            "answer": answer,
+            "citations": citations,
+            "citation_tokens": citation_tokens,
+            "snippets": snippets,
+            "abstained": abstained,
+        }
+
     # Confidence gate (reference generate.py:56-81)
     if not results or best < cfg.retrieval.confidence_tau:
-        return {
-            "answer": (
-                "I couldn't find confident enough evidence to answer that. "
-                "Here are the closest passages I found."
-                if results
-                else "I couldn't find anything relevant in your indexed documents."
-            ),
-            "citations": citations,
-            "snippets": snippets,
-            "abstained": True,
-        }
+        return _payload(
+            "I couldn't find confident enough evidence to answer that. "
+            "Here are the closest passages I found."
+            if results
+            else "I couldn't find anything relevant in your indexed documents.",
+            abstained=True,
+        )
 
     prompt = build_prompt(query, results)
     image_paths = [
@@ -152,9 +174,4 @@ def generate_response(
             if lead
             else "Relevant visual evidence found; see citations."
         )
-    return {
-        "answer": answer,
-        "citations": citations,
-        "snippets": snippets,
-        "abstained": False,
-    }
+    return _payload(answer, abstained=False)

@@ -118,7 +118,7 @@ async function chat() {
     const out = await api('/chat_pro', {
       method: 'POST', headers: {'Content-Type': 'application/json'},
       body: JSON.stringify({query: q})});
-    const cites = (out.citations || []).map(c => c.token).join(' ');
+    const cites = (out.citation_tokens || []).map(c => c.token).join(' ');
     $('chatlog').innerHTML =
       `<b>${out.abstained ? '(abstained)' : ''}</b> ${out.answer}` +
       `<div class=cite>${cites}</div>`;

@@ -38,6 +38,7 @@ from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, Optional, Tuple
 
+from .. import cache
 from ..rag import generate, index_build, retrieve
 from ..rag.engine import RagEngine, get_engine
 from ..settings import Settings, settings as _default_settings
@@ -327,14 +328,23 @@ class ApiHandler(BaseHTTPRequestHandler):
         video_id = body.get("video_id") or None
         from ..utils.profiling import stage
 
-        with stage("chat.retrieve", self._request_id):
-            retrieved = retrieve.retrieve(
-                user, query, self.ctx.engine, document_id=video_id
-            )
-        with stage("chat.generate", self._request_id):
-            response = generate.generate_response(query, retrieved["results"], self.ctx.cfg)
-        response["results"] = retrieved["results"]
-        response["index_version"] = retrieved["index_version"]
+        engine = self.ctx.engine
+        app_cfg = self.ctx.cfg
+
+        # 60 s whole-response cache keyed (user, normalized query,
+        # index_version, video_id) — the reference's @chat_cache
+        # (api/routes.py:274, app/cache/__init__.py:86-111); saves the
+        # Gemini round-trip, not just retrieval
+        @cache.chat_cache(lambda u: engine.versions.get(u))
+        def _cached_chat(user_id: str, q: str, video_id=None):
+            retrieved = retrieve.retrieve(user_id, q, engine, document_id=video_id)
+            resp = generate.generate_response(q, retrieved["results"], app_cfg)
+            resp["results"] = retrieved["results"]
+            resp["index_version"] = retrieved["index_version"]
+            return resp
+
+        with stage("chat", self._request_id):
+            response = _cached_chat(user, query, video_id=video_id)
         return self._json(200, response)
 
     def _console(self) -> None:

@@ -37,16 +37,21 @@ logger = logging.getLogger(__name__)
 
 TERMINAL_STATES = ("SUCCESS", "FAILURE")
 
-# Celery-style stage -> percent map (reference api/routes.py:201-211)
+# Celery-style stage -> percent map. Our pipeline reports finer-grained
+# stages than the reference; the reference's own stage names
+# (api/routes.py:201-211) are kept as aliases so its clients/dashboards see
+# identical progress values for identical stages.
 STAGE_PCT = {
     "begin": 5,
     "metadata": 15,
     "transcript": 35,
+    "extract": 35,  # reference alias
     "index_text": 55,
     "frames": 70,
     "index_images": 85,
     "notes": 95,
     "done": 100,
+    "ready": 100,  # reference alias
 }
 
 

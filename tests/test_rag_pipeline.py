@@ -146,7 +146,8 @@ def test_generate_abstains_below_tau():
 
 def test_generate_empty_results():
     out = gen.generate_response("q", [])
-    assert out["abstained"] is True and out["citations"] == []
+    assert out["abstained"] is True and out["citation_tokens"] == []
+    assert out["citations"] == {"text": [], "images": []}
 
 
 def test_generate_answers_above_tau_offline():
@@ -158,7 +159,9 @@ def test_generate_answers_above_tau_offline():
     out = gen.generate_response("q", results)
     assert out["abstained"] is False
     assert "[ts:10-25]" in out["answer"]
-    assert out["citations"][0]["token"] == "[ts:10-25]"
+    assert out["response"] == out["answer"]  # reference payload key
+    assert out["citation_tokens"][0]["token"] == "[ts:10-25]"
+    assert out["citations"]["text"][0]["document_id"] == "d"
 
 
 def test_prompt_contains_citations_and_images():

@@ -107,6 +107,35 @@ def test_process_pdf_and_chat(api):
     chat = res.json()
     assert "answer" in chat and "citations" in chat and "abstained" in chat
     assert chat["results"] is not None
+    # reference /chat_pro payload contract (api/routes.py:265-282)
+    assert chat["response"] == chat["answer"]
+    assert set(chat["citations"].keys()) == {"text", "images"}
+
+
+def test_chat_response_cached_for_identical_query(api, monkeypatch):
+    """Second identical request within the TTL returns the cached payload
+    without re-running generation (the reference's @chat_cache)."""
+
+    from mmrag_tpu.rag import generate as gen_mod
+
+    client, _ = api
+    pdf = _make_pdf_bytes(["Golgi apparatus packages proteins"])
+    assert client.post(
+        "/process-pdf/", files={"file": ("g.pdf", pdf, "application/pdf")}
+    ).status_code == 200
+    calls = {"n": 0}
+    real = gen_mod.generate_response
+
+    def counting(*args, **kwargs):
+        calls["n"] += 1
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(gen_mod, "generate_response", counting)
+    q = {"query": "what packages proteins?"}
+    first = client.post("/chat_pro", json=q).json()
+    second = client.post("/chat_pro", json=q).json()
+    assert calls["n"] == 1
+    assert first == second
 
 
 def test_process_pdf_rejects_bad_ext(api):
