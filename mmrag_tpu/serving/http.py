@@ -196,7 +196,17 @@ class ApiHandler(BaseHTTPRequestHandler):
                 return self._json(200, {"video_id": m.group(1), "quiz": quiz})
             m = _STATUS_RE.match(path)
             if m:
-                return self._json(200, self.ctx.queue.status(m.group(1)))
+                status = dict(self.ctx.queue.status(m.group(1)))
+                # reference payload compat (api/routes.py:214-228): meta keys
+                # flattened, progress under "progress_pct", SUCCESS result
+                # merged into the body
+                for k, v in (status.get("meta") or {}).items():
+                    status.setdefault(k, v)
+                status["progress_pct"] = status.get("pct", 0)
+                if status.get("state") == "SUCCESS" and isinstance(status.get("result"), dict):
+                    for k, v in status["result"].items():
+                        status.setdefault(k, v)
+                return self._json(200, status)
             return self._json(404, {"detail": f"no route for {path}"})
         except Exception as exc:
             logger.exception("GET %s failed", path)
@@ -281,9 +291,13 @@ class ApiHandler(BaseHTTPRequestHandler):
             200,
             {
                 "document_id": document_id,
-                "status": "ready",
+                "status": "ok",  # reference payload value (api/routes.py:161)
+                "document_status": "ready",
                 "text_nodes": n_text,
                 "image_nodes": n_images,
+                # reference payload keys (api/routes.py:160-164)
+                "text_chunks_indexed": n_text,
+                "images_indexed": n_images,
             },
         )
 

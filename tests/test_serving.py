@@ -101,7 +101,9 @@ def test_process_pdf_and_chat(api):
     res = client.post("/process-pdf/", files={"file": ("bio.pdf", pdf, "application/pdf")})
     assert res.status_code == 200, res.text
     out = res.json()
-    assert out["status"] == "ready" and out["text_nodes"] >= 1
+    assert out["status"] == "ok" and out["text_nodes"] >= 1  # reference value
+    assert out["text_chunks_indexed"] == out["text_nodes"]
+    assert out["document_status"] == "ready"
     res = client.post("/chat_pro", json={"query": "what is the powerhouse of the cell?"})
     assert res.status_code == 200
     chat = res.json()
@@ -168,6 +170,9 @@ def test_youtube_job_flow_and_notes(api):
 
     st = client.get(f"/yt_status/{job_id}").json()
     assert st["state"] == "SUCCESS" and st["pct"] == 100
+    # reference payload compat: progress_pct + flattened SUCCESS result keys
+    assert st["progress_pct"] == 100
+    assert st["text_nodes"] == 2
     # alias route
     st2 = client.get(f"/ingest/status/{job_id}").json()
     assert st2["state"] == "SUCCESS"
