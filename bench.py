@@ -170,6 +170,40 @@ def bench_topk_int8(quick: bool) -> float:
     return sec * 1e3
 
 
+def bench_topk_10m(quick: bool) -> float:
+    """Capacity headroom: exact masked top-k over a 10M x 384 bf16 corpus
+    (7.7 GB — half of v5e HBM; the reference's LanceDB holds this on disk).
+    Corpus is generated in 1M-row slabs to keep the f32 normalize peak low."""
+
+    import jax
+    import jax.numpy as jnp
+
+    from mmrag_tpu.ops.topk import cosine_topk, l2_normalize
+
+    n_slab, slabs = (131_072, 4) if quick else (1_048_576, 10)
+    d, k = 384, 50
+    make = jax.jit(lambda key: l2_normalize(
+        jax.random.normal(key, (n_slab, d), jnp.float32)).astype(jnp.bfloat16))
+    corpus = jnp.concatenate(
+        [make(jax.random.PRNGKey(i)) for i in range(slabs)], axis=0)
+    n = n_slab * slabs
+    queries = l2_normalize(jax.random.normal(jax.random.PRNGKey(99), (1, d), jnp.float32))
+    mask = jnp.ones((n,), bool)
+
+    def make_step(kk, queries, corpus, mask):
+        def body(i, acc):
+            q = queries + 1e-6 * i
+            scores, idx = cosine_topk(q, corpus, mask, k)
+            return acc + scores[0, 0] + idx[0, 0].astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, kk, body, jnp.float32(0.0))
+
+    k1, k2 = (4, 1) if quick else (8, 2)
+    sec = _per_iter_seconds(make_step, k1, k2, queries, corpus, mask)
+    del corpus  # free 7.7 GB before the next bench allocates
+    return sec * 1e3
+
+
 def bench_multitenant(quick: bool) -> float:
     """BASELINE config #5 core: cross-tenant batched queries over a large
     index — per-query tenant masks inside one scoring dispatch."""
@@ -351,6 +385,7 @@ def main() -> None:
     multitenant_ms = bench_multitenant(args.quick)
     topk_ms = bench_topk(args.quick)
     topk_int8_ms = bench_topk_int8(args.quick)
+    topk_10m_ms = bench_topk_10m(args.quick)
     rerank = bench_rerank(args.quick)
     chat_ms = bench_chat_path(args.quick)
     asr_rtf = bench_asr(args.quick)
@@ -369,6 +404,7 @@ def main() -> None:
                     "topk_1m_p50_ms": round(topk_ms, 3),
                     "topk_vs_target_5ms": round(5.0 / topk_ms, 3) if topk_ms else None,
                     "topk_int8_1m_p50_ms": round(topk_int8_ms, 3),
+                    "topk_10m_p50_ms": round(topk_10m_ms, 3),
                     "multitenant_16q_1m_ms": round(multitenant_ms, 3),
                     "rerank_pairs_per_sec": round(rerank, 1),
                     "chat_device_path_ms": round(chat_ms, 3),
