@@ -204,6 +204,75 @@ def bench_topk_10m(quick: bool) -> float:
     return sec * 1e3
 
 
+def bench_ivf(quick: bool):
+    """IVF ANN (ops/ivf.py) over a clustered 1M x 384 corpus: single-query
+    p50 latency at the default nprobe, plus measured recall@10 vs exact.
+    Returns (latency_ms, recall)."""
+
+    import jax
+    import jax.numpy as jnp
+
+    from mmrag_tpu.ops import ivf as ivf_ops
+    from mmrag_tpu.ops.topk import NEG_INF, cosine_topk, l2_normalize, merge_topk
+
+    n, d = (131_072 if quick else 1_048_576), 384
+    centers = 1024
+
+    @jax.jit
+    def make(key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        mu = l2_normalize(jax.random.normal(k1, (centers, d), jnp.float32))
+        which = jax.random.randint(k2, (n,), 0, centers)
+        # unit-norm noise scaled to 0.3 of the unit centers: same-center
+        # cosine ~0.95, cross-center ~0 — an embedding-like geometry (raw
+        # per-dim sigma would give ||noise|| ~ sigma*sqrt(d) >> 1, i.e.
+        # structureless uniform data)
+        noise = 0.3 * l2_normalize(jax.random.normal(k3, (n, d), jnp.float32))
+        return l2_normalize(mu[which] + noise).astype(jnp.bfloat16)
+
+    corpus = make(jax.random.PRNGKey(0))
+    ivf = ivf_ops.build_ivf(corpus, bucket_factor=1.5)
+    nprobe = min(64, ivf.n_clusters)
+    queries = l2_normalize(
+        jax.random.normal(jax.random.PRNGKey(1), (1, d), jnp.float32))
+    mask = jnp.ones((n,), bool)
+    k = 50
+
+    has_spill = int(ivf.spill.shape[0]) > 0
+
+    def make_step(kk, queries, centroids, buckets, bucket_ids, spill, spill_ids, mask):
+        def body(i, acc):
+            q = queries + 1e-6 * i
+            s, idx = ivf_ops._ivf_probe(
+                q, centroids, buckets, bucket_ids, mask, k, nprobe)
+            if has_spill:
+                s2, i2 = ivf_ops._spill_scores(q, spill, spill_ids, mask, k)
+                s, idx = merge_topk(s, idx, s2, i2, k)
+            return acc + s[0, 0] + idx[0, 0].astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, kk, body, jnp.float32(0.0))
+
+    k1, k2 = (16, 4) if quick else (32, 8)
+    sec = _per_iter_seconds(
+        make_step, k1, k2, queries, ivf.centroids, ivf.buckets, ivf.bucket_ids,
+        ivf.spill, ivf.spill_ids, mask,
+    )
+
+    # recall@10 vs exact: queries perturbed off corpus rows (realistic
+    # near-duplicate queries; a unit-scale perturbation would make them
+    # uniform-random — the structureless worst case, not the workload)
+    noise = 0.15 * l2_normalize(
+        jax.random.normal(jax.random.PRNGKey(2), (16, d), jnp.float32))
+    q16 = l2_normalize(corpus[:16].astype(jnp.float32) + noise)
+    es, ei = cosine_topk(q16, corpus, mask, 10)
+    as_, ai = ivf_ops.ivf_search(ivf, q16, mask, 10, nprobe=nprobe)
+    ei, ai = np.asarray(ei), np.asarray(ai)
+    recall = float(np.mean([
+        len(set(ei[i]) & set(ai[i])) / 10.0 for i in range(16)
+    ]))
+    return sec * 1e3, recall
+
+
 def bench_multitenant(quick: bool) -> float:
     """BASELINE config #5 core: cross-tenant batched queries over a large
     index — per-query tenant masks inside one scoring dispatch."""
@@ -386,6 +455,7 @@ def main() -> None:
     topk_ms = bench_topk(args.quick)
     topk_int8_ms = bench_topk_int8(args.quick)
     topk_10m_ms = bench_topk_10m(args.quick)
+    ivf_ms, ivf_recall = bench_ivf(args.quick)
     rerank = bench_rerank(args.quick)
     chat_ms = bench_chat_path(args.quick)
     asr_rtf = bench_asr(args.quick)
@@ -405,6 +475,8 @@ def main() -> None:
                     "topk_vs_target_5ms": round(5.0 / topk_ms, 3) if topk_ms else None,
                     "topk_int8_1m_p50_ms": round(topk_int8_ms, 3),
                     "topk_10m_p50_ms": round(topk_10m_ms, 3),
+                    "ivf_1m_p50_ms": round(ivf_ms, 3),
+                    "ivf_recall_at_10": round(ivf_recall, 3),
                     "multitenant_16q_1m_ms": round(multitenant_ms, 3),
                     "rerank_pairs_per_sec": round(rerank, 1),
                     "chat_device_path_ms": round(chat_ms, 3),

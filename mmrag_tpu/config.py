@@ -158,7 +158,7 @@ class TpuDefaults:
     image_batch_buckets: str = "8,32,128"  # static batch sizes for CLIP vision
     text_seq_buckets: str = "64,128,256,512"  # padded sequence-length buckets
     rerank_seq_len: int = 256  # cross-encoder pair length (fixed bucket)
-    topk_backend: str = "auto"  # auto|pallas|xla
+    topk_backend: str = "auto"  # auto|pallas|xla|approx|ivf
     index_shard_rows: int = 131072  # rows per device shard slab (static shape)
     index_growth_factor: int = 2  # append-buffer geometric growth
     mesh_data_axis: str = "data"  # batch DP axis name

@@ -132,12 +132,23 @@ class VectorIndex:
     def __init__(self, dim: int, dtype: str = "bfloat16", backend: str = "auto") -> None:
         self.dim = dim
         self.dtype = self._DTYPES.get(dtype, jnp.float32)
+        # backend "ivf" = k-means partitioned ANN (ops/ivf.py, the reference's
+        # LanceDB IVF role): built lazily once the index is large enough,
+        # probed clusters + exact spill/tail, dense scoring below threshold
+        self.use_ivf = backend == "ivf"
+        if self.use_ivf:
+            backend = "auto"
         if self.dtype == jnp.int8 and backend not in ("auto", "xla"):
             raise ValueError(
                 f"int8 index supports backend auto/xla, not {backend!r} "
                 "(the pallas/approx paths score bf16/f32 slabs)"
             )
+        if self.use_ivf and self.dtype == jnp.int8:
+            raise ValueError("ivf backend requires a bf16/f32 index (not int8)")
         self.backend = backend  # cosine_topk backend: auto|xla|pallas|approx
+        self.ivf_nprobe = int(os.environ.get("TPU_IVF_NPROBE", "64"))
+        self.ivf_min_rows = int(os.environ.get("TPU_IVF_MIN_ROWS", "65536"))
+        self._ivf = None  # ops.ivf.IVFData once built
         self._scales: Optional[jnp.ndarray] = None  # (capacity,) f32, int8 mode
         self._lock = threading.RLock()
         self._capacity = 0
@@ -233,6 +244,65 @@ class VectorIndex:
             scores, idx = fn(*args, "xla")
             return np.asarray(scores), np.asarray(idx)
 
+    # -- IVF ANN ------------------------------------------------------------
+
+    def build_ivf(self, n_clusters: Optional[int] = None,
+                  bucket_factor: float = 1.5, iters: int = 8) -> None:
+        """(Re)cluster the current rows into the IVF bucket layout."""
+
+        from ..ops import ivf as ivf_ops
+
+        with self._lock:
+            if self.dtype == jnp.int8:
+                raise ValueError("ivf over int8 slabs is unsupported")
+            if self._size == 0:
+                self._ivf = None
+                return
+            self._ivf = ivf_ops.build_ivf(
+                self._slab[: self._size], n_clusters, bucket_factor, iters
+            )
+            _logger.info(
+                "ivf built: %d rows, %d clusters x %d bucket, %d spill",
+                self._ivf.built_rows, self._ivf.n_clusters,
+                self._ivf.bucket_size, int(self._ivf.spill.shape[0]),
+            )
+
+    def drop_ivf(self) -> None:
+        with self._lock:
+            self._ivf = None
+
+    def _maybe_ivf(self):
+        """Lazily (re)build under the caller's lock; None = use dense path."""
+
+        if not self.use_ivf or self.dtype == jnp.int8:
+            return self._ivf  # explicit build_ivf() still honored
+        if self._ivf is None:
+            if self._size >= self.ivf_min_rows:
+                self.build_ivf()
+            return self._ivf
+        tail = self._size - self._ivf.built_rows
+        if tail > max(self._ivf.built_rows // 2, 4096):
+            self.build_ivf()  # tail grew past half the clustered set
+        return self._ivf
+
+    def _ivf_search(self, ivf, queries_j, mask, k):
+        """Probe clusters + exact spill, then exact-score the append tail
+        (rows written after the build) and merge — correctness of membership
+        never depends on cluster freshness."""
+
+        from ..ops.ivf import ivf_search
+        from ..ops.topk import merge_topk
+
+        scores, idx = ivf_search(ivf, queries_j, mask, k, self.ivf_nprobe)
+        built = ivf.built_rows
+        tail_len = self._capacity - built
+        if tail_len > 0:
+            tail = self._slab[built:]
+            tmask = mask[..., built:]
+            s2, i2 = cosine_topk(queries_j, tail, tmask, min(k, tail_len), "xla")
+            scores, idx = merge_topk(scores, idx, s2, i2 + built, k)
+        return np.asarray(scores), np.asarray(idx)
+
     # -- public API ---------------------------------------------------------
 
     def __len__(self) -> int:
@@ -325,11 +395,20 @@ class VectorIndex:
                 did = self._doc_intern[document_id]
             else:
                 did = -1
+            ivf = self._maybe_ivf()
             if self.dtype == jnp.int8:
                 scores, idx = _search_int8(
                     self._slab, self._scales, self._users, self._docs, self._live,
                     jnp.asarray(queries.astype(np.float32)),
                     jnp.int32(uid), jnp.int32(did), min(k, self._capacity),
+                )
+            elif ivf is not None:
+                mask = _predicate_mask(
+                    self._users, self._docs, self._live, jnp.int32(uid), jnp.int32(did)
+                )
+                scores, idx = self._ivf_search(
+                    ivf, jnp.asarray(queries.astype(np.float32)), mask,
+                    min(k, self._capacity),
                 )
             else:
                 scores, idx = self._search_with_fallback(
@@ -383,11 +462,21 @@ class VectorIndex:
                     # never equal an interned id (negative would mean "no
                     # filter"), so the query matches nothing
                     dids[i] = self._doc_intern.get(d, np.iinfo(np.int32).max)
+            ivf = self._maybe_ivf()
             if self.dtype == jnp.int8:
                 scores, idx = _search_multi_int8(
                     self._slab, self._scales, self._users, self._docs, self._live,
                     jnp.asarray(queries.astype(np.float32)),
                     jnp.asarray(uids), jnp.asarray(dids), min(k, self._capacity),
+                )
+            elif ivf is not None:
+                mask = _predicate_mask_multi(
+                    self._users, self._docs, self._live,
+                    jnp.asarray(uids), jnp.asarray(dids),
+                )
+                scores, idx = self._ivf_search(
+                    ivf, jnp.asarray(queries.astype(np.float32)), mask,
+                    min(k, self._capacity),
                 )
             else:
                 scores, idx = self._search_with_fallback(
@@ -423,6 +512,7 @@ class VectorIndex:
             self._size = 0
             self._slab = self._users = self._docs = self._live = None
             self._scales = None
+            self._ivf = None  # row ids change; rebuilt lazily on next search
             self._chunk_ids, self._row_user, self._row_doc = [], [], []
             self._row_live = np.zeros(0, dtype=bool)
             self._chunk_to_row = {}

@@ -1,0 +1,145 @@
+"""IVF ANN: k-means layout invariants, recall vs exact search, spill/tail
+exactness, tenant-mask isolation, and the VectorIndex ivf backend."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mmrag_tpu.ops import ivf as ivf_ops
+from mmrag_tpu.ops.topk import cosine_topk, l2_normalize
+from mmrag_tpu.storage.records import VectorRow
+
+
+def _corpus(rng, n, d=64):
+    return np.asarray(
+        l2_normalize(jnp.asarray(rng.standard_normal((n, d)).astype(np.float32)))
+    )
+
+
+def test_kmeans_layout_covers_every_row(rng):
+    rows = jnp.asarray(_corpus(rng, 2000))
+    ivf = ivf_ops.build_ivf(rows, n_clusters=16, bucket_factor=1.5)
+    placed = np.asarray(ivf.bucket_ids).reshape(-1)
+    spilled = np.asarray(ivf.spill_ids)
+    all_ids = np.concatenate([placed[placed >= 0], spilled[spilled >= 0]])
+    assert sorted(all_ids.tolist()) == list(range(2000))  # every row, exactly once
+    assert ivf.centroids.shape == (16, 64)
+
+
+def _clustered_corpus(rng, n, d=64, centers=48, sigma=0.15):
+    """Mixture-of-gaussians: the data regime IVF is for (embedding spaces
+    cluster; uniform random gaussian is the structureless worst case where
+    any partitioning scheme degrades toward nprobe/C recall)."""
+
+    mu = rng.standard_normal((centers, d))
+    mu /= np.linalg.norm(mu, axis=1, keepdims=True)
+    pts = mu[rng.integers(0, centers, n)] + sigma * rng.standard_normal((n, d))
+    return np.asarray(l2_normalize(jnp.asarray(pts.astype(np.float32))))
+
+
+def test_ivf_recall_vs_exact(rng):
+    rows = jnp.asarray(_clustered_corpus(rng, 8192))
+    ivf = ivf_ops.build_ivf(rows, n_clusters=64, bucket_factor=1.5)
+    queries = rows[:16] + 0.01 * jnp.asarray(rng.standard_normal((16, 64)), jnp.float32)
+    queries = l2_normalize(queries)
+    mask = jnp.ones((8192,), bool)
+    k = 10
+    es, ei = cosine_topk(queries, rows, mask, k)
+    as_, ai = ivf_ops.ivf_search(ivf, queries, mask, k, nprobe=16)
+    recall = np.mean([
+        len(set(np.asarray(ei)[q]) & set(np.asarray(ai)[q])) / k for q in range(16)
+    ])
+    assert recall >= 0.9, f"recall {recall}"
+    # probing every cluster must be exact
+    fs, fi = ivf_ops.ivf_search(ivf, queries, mask, k, nprobe=64)
+    np.testing.assert_array_equal(np.sort(np.asarray(fi)), np.sort(np.asarray(ei)))
+
+
+def test_ivf_respects_row_mask(rng):
+    rows = jnp.asarray(_corpus(rng, 1024))
+    ivf = ivf_ops.build_ivf(rows, n_clusters=8)
+    queries = rows[:4]
+    mask = jnp.asarray(np.arange(1024) % 2 == 0)  # only even rows allowed
+    _, idx = ivf_ops.ivf_search(ivf, queries, mask, 8, nprobe=8)
+    assert (np.asarray(idx) % 2 == 0).all()
+    # per-query 2-D masks
+    mask2 = jnp.stack([mask, ~mask, mask, ~mask])
+    _, idx2 = ivf_ops.ivf_search(ivf, queries, mask2, 8, nprobe=8)
+    idx2 = np.asarray(idx2)
+    assert (idx2[0] % 2 == 0).all() and (idx2[1] % 2 == 1).all()
+
+
+def test_ivf_small_cluster_count_spills_exactly(rng):
+    """Tiny buckets force heavy spill; full-probe search must stay exact."""
+
+    rows = jnp.asarray(_corpus(rng, 512))
+    ivf = ivf_ops.build_ivf(rows, n_clusters=4, bucket_factor=0.25)
+    assert ivf.spill.shape[0] > 0
+    queries = rows[:3]
+    mask = jnp.ones((512,), bool)
+    es, ei = cosine_topk(queries, rows, mask, 5)
+    as_, ai = ivf_ops.ivf_search(ivf, queries, mask, 5, nprobe=4)
+    np.testing.assert_array_equal(np.asarray(ei), np.asarray(ai))
+
+
+def _rows(mat, user="u1", doc="d1", prefix="c"):
+    return [
+        VectorRow(chunk_id=f"{prefix}{i}", user_id=user, document_id=doc,
+                  modality="text", embedding=v)
+        for i, v in enumerate(np.asarray(mat))
+    ]
+
+
+def test_vector_index_ivf_backend_end_to_end(rng, monkeypatch):
+    from mmrag_tpu.index.store import VectorIndex
+
+    mat = _corpus(rng, 600)
+    idx = VectorIndex(dim=64, dtype="float32", backend="ivf")
+    idx.ivf_min_rows = 256  # build immediately at this size
+    idx.ivf_nprobe = 64
+    idx.upsert(_rows(mat))
+    hits = idx.search(mat[7], "u1", k=3)
+    assert hits and hits[0][0] == "c7" and hits[0][1] > 0.99
+    assert idx._ivf is not None  # lazy build happened
+
+    # append tail after the build: new rows must be findable (exact tail path)
+    tail_mat = _corpus(np.random.default_rng(7), 40)
+    idx.upsert(_rows(tail_mat, prefix="t"))
+    hits = idx.search(tail_mat[11], "u1", k=3)
+    assert hits and hits[0][0] == "t11"
+
+    # tenant isolation through the ivf path
+    other = _corpus(np.random.default_rng(8), 32)
+    idx.upsert(_rows(other, user="u2", doc="d9", prefix="o"))
+    hits = idx.search(other[0], "u1", k=5)
+    assert all(not c.startswith("o") for c, _ in hits)
+    hits = idx.search(other[0], "u2", k=5)
+    assert hits and hits[0][0] == "o0"
+
+    # delete-then-add upsert tombstones reach the ivf path via the live mask
+    idx.upsert(_rows(mat[:1] * 0 + _corpus(np.random.default_rng(9), 1), prefix="c"))
+    hits = idx.search(mat[0], "u1", k=1)
+    assert hits[0][0] != "c0" or hits[0][1] < 0.99
+
+
+def test_vector_index_ivf_rejects_int8():
+    from mmrag_tpu.index.store import VectorIndex
+
+    with pytest.raises(ValueError):
+        VectorIndex(dim=64, dtype="int8", backend="ivf")
+
+
+def test_vector_index_ivf_rebuild_on_large_tail(rng):
+    from mmrag_tpu.index.store import VectorIndex
+
+    idx = VectorIndex(dim=64, dtype="float32", backend="ivf")
+    idx.ivf_min_rows = 128
+    mat = _corpus(rng, 256)
+    idx.upsert(_rows(mat))
+    idx.search(mat[0], "u1", k=1)
+    first_built = idx._ivf.built_rows
+    big_tail = _corpus(np.random.default_rng(3), 5000)
+    idx.upsert(_rows(big_tail, prefix="b"))
+    idx.search(mat[0], "u1", k=1)  # tail > built/2 triggers rebuild
+    assert idx._ivf.built_rows > first_built
