@@ -239,14 +239,22 @@ def bench_ivf(quick: bool):
     k = 50
 
     has_spill = int(ivf.spill.shape[0]) > 0
+    use_pallas = ivf_ops._use_pallas_probe(
+        ivf.bucket_size, d, ivf.buckets.dtype.itemsize)
+    uids = jnp.zeros((1,), jnp.int32)
+    dids = jnp.full((1,), -1, jnp.int32)
 
-    def make_step(kk, queries, centroids, buckets, bucket_ids, spill, spill_ids, mask):
+    def make_step(kk, queries, centroids, buckets, bucket_ids, users_b, docs_b,
+                  live_b, spill, spill_ids, spill_users, spill_docs, spill_live):
         def body(i, acc):
             q = queries + 1e-6 * i
-            s, idx = ivf_ops._ivf_probe(
-                q, centroids, buckets, bucket_ids, mask, k, nprobe)
+            s, idx = ivf_ops._ivf_probe_pred(
+                q, centroids, buckets, bucket_ids, users_b, docs_b, live_b,
+                uids, dids, k, nprobe, use_pallas)
             if has_spill:
-                s2, i2 = ivf_ops._spill_scores(q, spill, spill_ids, mask, k)
+                s2, i2 = ivf_ops._spill_scores_pred(
+                    q, spill, spill_ids, spill_users, spill_docs, spill_live,
+                    uids, dids, k)
                 s, idx = merge_topk(s, idx, s2, i2, k)
             return acc + s[0, 0] + idx[0, 0].astype(jnp.float32)
 
@@ -255,7 +263,8 @@ def bench_ivf(quick: bool):
     k1, k2 = (16, 4) if quick else (32, 8)
     sec = _per_iter_seconds(
         make_step, k1, k2, queries, ivf.centroids, ivf.buckets, ivf.bucket_ids,
-        ivf.spill, ivf.spill_ids, mask,
+        ivf.users_b, ivf.docs_b, ivf.live_b,
+        ivf.spill, ivf.spill_ids, ivf.spill_users, ivf.spill_docs, ivf.spill_live,
     )
 
     # recall@10 vs exact: queries perturbed off corpus rows (realistic
@@ -265,7 +274,9 @@ def bench_ivf(quick: bool):
         jax.random.normal(jax.random.PRNGKey(2), (16, d), jnp.float32))
     q16 = l2_normalize(corpus[:16].astype(jnp.float32) + noise)
     es, ei = cosine_topk(q16, corpus, mask, 10)
-    as_, ai = ivf_ops.ivf_search(ivf, q16, mask, 10, nprobe=nprobe)
+    as_, ai = ivf_ops.ivf_search_pred(
+        ivf, q16, jnp.zeros((16,), jnp.int32), jnp.full((16,), -1, jnp.int32),
+        10, nprobe=nprobe)
     ei, ai = np.asarray(ei), np.asarray(ai)
     recall = float(np.mean([
         len(set(ei[i]) & set(ai[i])) / 10.0 for i in range(16)

@@ -218,6 +218,8 @@ class VectorIndex:
         self._row_live[rows] = False
         idx = jnp.asarray(np.asarray(rows, dtype=np.int32))
         self._live = self._live.at[idx].set(False)
+        if self._ivf is not None:  # keep the bucket-layout liveness in sync
+            self._ivf.mark_dead(np.asarray(rows, dtype=np.int64))
         for c in chunk_ids:
             self._chunk_to_row.pop(c, None)
 
@@ -259,7 +261,10 @@ class VectorIndex:
                 self._ivf = None
                 return
             self._ivf = ivf_ops.build_ivf(
-                self._slab[: self._size], n_clusters, bucket_factor, iters
+                self._slab[: self._size], n_clusters, bucket_factor, iters,
+                users=self._users[: self._size],
+                docs=self._docs[: self._size],
+                live=self._live[: self._size],
             )
             _logger.info(
                 "ivf built: %d rows, %d clusters x %d bucket, %d spill",
@@ -285,21 +290,26 @@ class VectorIndex:
             self.build_ivf()  # tail grew past half the clustered set
         return self._ivf
 
-    def _ivf_search(self, ivf, queries_j, mask, k):
-        """Probe clusters + exact spill, then exact-score the append tail
+    def _ivf_search(self, ivf, queries_j, uids, dids, k):
+        """Predicated probe (tenant/doc/live evaluated in bucket layout,
+        in-kernel on TPU) + exact spill, then exact-score the append tail
         (rows written after the build) and merge — correctness of membership
         never depends on cluster freshness."""
 
-        from ..ops.ivf import ivf_search
+        from ..ops.ivf import ivf_search_pred
         from ..ops.topk import merge_topk
 
-        scores, idx = ivf_search(ivf, queries_j, mask, k, self.ivf_nprobe)
+        scores, idx = ivf_search_pred(ivf, queries_j, uids, dids, k, self.ivf_nprobe)
         built = ivf.built_rows
         tail_len = self._capacity - built
         if tail_len > 0:
-            tail = self._slab[built:]
-            tmask = mask[..., built:]
-            s2, i2 = cosine_topk(queries_j, tail, tmask, min(k, tail_len), "xla")
+            tmask = _predicate_mask_multi(
+                self._users[built:], self._docs[built:], self._live[built:],
+                uids, dids,
+            )
+            s2, i2 = cosine_topk(
+                queries_j, self._slab[built:], tmask, min(k, tail_len), "xla"
+            )
             scores, idx = merge_topk(scores, idx, s2, i2 + built, k)
         return np.asarray(scores), np.asarray(idx)
 
@@ -403,11 +413,10 @@ class VectorIndex:
                     jnp.int32(uid), jnp.int32(did), min(k, self._capacity),
                 )
             elif ivf is not None:
-                mask = _predicate_mask(
-                    self._users, self._docs, self._live, jnp.int32(uid), jnp.int32(did)
-                )
+                q = queries.shape[0]
                 scores, idx = self._ivf_search(
-                    ivf, jnp.asarray(queries.astype(np.float32)), mask,
+                    ivf, jnp.asarray(queries.astype(np.float32)),
+                    jnp.full((q,), uid, jnp.int32), jnp.full((q,), did, jnp.int32),
                     min(k, self._capacity),
                 )
             else:
@@ -470,12 +479,9 @@ class VectorIndex:
                     jnp.asarray(uids), jnp.asarray(dids), min(k, self._capacity),
                 )
             elif ivf is not None:
-                mask = _predicate_mask_multi(
-                    self._users, self._docs, self._live,
-                    jnp.asarray(uids), jnp.asarray(dids),
-                )
                 scores, idx = self._ivf_search(
-                    ivf, jnp.asarray(queries.astype(np.float32)), mask,
+                    ivf, jnp.asarray(queries.astype(np.float32)),
+                    jnp.asarray(uids), jnp.asarray(dids),
                     min(k, self._capacity),
                 )
             else:

@@ -86,13 +86,27 @@ def kmeans(
 
 @dataclass
 class IVFData:
-    """Device-resident IVF layout over a flat row slab."""
+    """Device-resident IVF layout over a flat row slab.
+
+    Tenant/document/liveness predicates are carried in bucket layout
+    (``*_b`` and ``spill_*``) so the probe kernel evaluates them in-place —
+    XLA's element gather for ``mask[row_ids]`` measured ~0.3 ms/query at 1M
+    rows. users/docs are immutable per row; liveness changes flow in through
+    :meth:`mark_dead` (tombstones), keyed by the host-side
+    ``slot_of_row`` map."""
 
     centroids: jnp.ndarray  # (C, d) f32
     buckets: jnp.ndarray  # (C, B, d) slab dtype
-    bucket_ids: jnp.ndarray  # (C, B) int32 global row index, -1 = empty slot
+    bucket_ids: jnp.ndarray  # (C, 1, B) int32 global row index, -1 = empty
+    users_b: jnp.ndarray  # (C, 1, B) int32 tenant id per slot
+    docs_b: jnp.ndarray  # (C, 1, B) int32 document id per slot
+    live_b: jnp.ndarray  # (C, 1, B) int32 0/1
     spill: jnp.ndarray  # (S, d) overflow rows, scored densely (S may be 0)
     spill_ids: jnp.ndarray  # (S,) int32
+    spill_users: jnp.ndarray  # (S,) int32
+    spill_docs: jnp.ndarray  # (S,) int32
+    spill_live: jnp.ndarray  # (S,) int32
+    slot_of_row: np.ndarray  # host (built_rows, 2): (cluster, slot); (-1, s) = spill
     built_rows: int  # rows [0, built_rows) are covered by this layout
 
     @property
@@ -103,12 +117,32 @@ class IVFData:
     def bucket_size(self) -> int:
         return int(self.buckets.shape[1])
 
+    def mark_dead(self, rows: np.ndarray) -> None:
+        """Tombstone clustered/spilled rows (called by the owning index)."""
+
+        rows = np.asarray(rows)
+        rows = rows[rows < self.built_rows]
+        if rows.size == 0:
+            return
+        slots = self.slot_of_row[rows]
+        bucketed = slots[slots[:, 0] >= 0]
+        spilled = slots[slots[:, 0] < 0]
+        if bucketed.size:
+            self.live_b = self.live_b.at[
+                jnp.asarray(bucketed[:, 0]), 0, jnp.asarray(bucketed[:, 1])
+            ].set(0)
+        if spilled.size:
+            self.spill_live = self.spill_live.at[jnp.asarray(spilled[:, 1])].set(0)
+
 
 def build_ivf(
     slab_rows: jnp.ndarray,  # (n, d) L2-normalized rows (a slab prefix)
     n_clusters: Optional[int] = None,
     bucket_factor: float = 1.5,
     iters: int = 8,
+    users: Optional[jnp.ndarray] = None,  # (n,) int32 tenant ids
+    docs: Optional[jnp.ndarray] = None,  # (n,) int32 document ids
+    live: Optional[jnp.ndarray] = None,  # (n,) bool/int
 ) -> IVFData:
     """Cluster rows and lay them out in fixed-size buckets.
 
@@ -116,14 +150,27 @@ def build_ivf(
     bookkeeping (which row lands in which bucket slot), then one device
     gather materializes the bucket tensor. ``bucket_factor`` scales bucket
     capacity above the mean cluster size; rows beyond capacity spill.
+    Predicate arrays default to a single tenant/document, all live.
     """
 
     n, d = slab_rows.shape
+    if users is None:
+        users = jnp.zeros((n,), jnp.int32)
+    if docs is None:
+        docs = jnp.zeros((n,), jnp.int32)
+    if live is None:
+        live = jnp.ones((n,), jnp.int32)
+    users = jnp.asarray(users, jnp.int32)
+    docs = jnp.asarray(docs, jnp.int32)
+    live = jnp.asarray(live).astype(jnp.int32)
     if n_clusters is None:
         # sqrt scaling keeps probe cost ~ O(sqrt n): 1M -> 2048 clusters
         n_clusters = max(8, min(1 << int(np.ceil(np.log2(max(np.sqrt(n) * 2, 8)))), n))
     bucket = int(-(-n * bucket_factor // n_clusters))
-    bucket = max(8, (bucket + 7) // 8 * 8)  # sublane-aligned
+    # lane-aligned buckets (128) keep the Pallas probe kernel eligible; tiny
+    # indexes just need sublane alignment
+    align = 128 if bucket >= 64 else 8
+    bucket = max(8, (bucket + align - 1) // align * align)
 
     centroids, assign = kmeans(slab_rows, n_clusters, iters)
     assign_h = np.asarray(assign)
@@ -142,30 +189,159 @@ def build_ivf(
     if pad_spill:
         spill_ids = np.pad(spill_ids, (0, pad_spill - len(spill_ids)), constant_values=-1)
 
+    slot_of_row = np.full((n, 2), -1, np.int32)
+    slot_of_row[order[fits], 0] = sorted_assign[fits]
+    slot_of_row[order[fits], 1] = pos[fits]
+    if len(spill_ids):
+        real_spill = spill_ids[spill_ids >= 0] if pad_spill else spill_ids
+        slot_of_row[order[~fits], 1] = np.arange(len(real_spill), dtype=np.int32)
+
     ids_dev = jnp.asarray(ids)
+    clipped = jnp.clip(ids_dev, 0, n - 1)
+    in_slot = ids_dev >= 0
     buckets = jnp.where(
-        (ids_dev >= 0)[..., None],
-        slab_rows[jnp.clip(ids_dev, 0, n - 1)],
-        jnp.zeros((), slab_rows.dtype),
+        in_slot[..., None], slab_rows[clipped], jnp.zeros((), slab_rows.dtype)
     )
+    users_b = jnp.where(in_slot, users[clipped], -1).reshape(n_clusters, 1, bucket)
+    docs_b = jnp.where(in_slot, docs[clipped], -1).reshape(n_clusters, 1, bucket)
+    live_b = jnp.where(in_slot, live[clipped], 0).reshape(n_clusters, 1, bucket)
     if pad_spill:
         sid_dev = jnp.asarray(spill_ids)
+        sclip = jnp.clip(sid_dev, 0, n - 1)
+        s_in = sid_dev >= 0
         spill = jnp.where(
-            (sid_dev >= 0)[:, None],
-            slab_rows[jnp.clip(sid_dev, 0, n - 1)],
-            jnp.zeros((), slab_rows.dtype),
+            s_in[:, None], slab_rows[sclip], jnp.zeros((), slab_rows.dtype)
         )
+        spill_users = jnp.where(s_in, users[sclip], -1)
+        spill_docs = jnp.where(s_in, docs[sclip], -1)
+        spill_live = jnp.where(s_in, live[sclip], 0)
     else:
         sid_dev = jnp.zeros((0,), jnp.int32)
         spill = jnp.zeros((0, d), slab_rows.dtype)
+        spill_users = spill_docs = spill_live = jnp.zeros((0,), jnp.int32)
 
     return IVFData(
         centroids=centroids,
         buckets=buckets,
-        bucket_ids=ids_dev,
+        bucket_ids=ids_dev.reshape(n_clusters, 1, bucket),
+        users_b=users_b,
+        docs_b=docs_b,
+        live_b=live_b,
         spill=spill,
         spill_ids=sid_dev,
+        spill_users=spill_users,
+        spill_docs=spill_docs,
+        spill_live=spill_live,
+        slot_of_row=slot_of_row,
         built_rows=n,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pallas probe kernel (scalar-prefetch data-dependent DMA)
+# ---------------------------------------------------------------------------
+#
+# XLA lowers ``buckets[probes]`` (a (nprobe, B, d) gather from (C, B, d)) to
+# a row-wise gather measured at ~3.8 ms for 37 MB of probed data on v5e —
+# 60x over the DMA floor. The kernel fixes it with scalar prefetch: the
+# probe ids arrive before the body runs, the BlockSpec index_map reads them,
+# and the pipeline DMAs exactly the probed (B, d) blocks while the MXU dots
+# the previous one. Row ids ride along as a second gathered output.
+
+
+def _probe_kernel(probe_ref, uid_ref, did_ref, q_ref, bucket_ref, ids_ref,
+                  users_ref, docs_ref, live_ref, scores_ref, ids_out_ref):
+    from jax.experimental import pallas as pl
+
+    del probe_ref  # consumed by the index_maps
+    qi = pl.program_id(0)
+    uid = uid_ref[qi]
+    did = did_ref[qi]
+    scores = jax.lax.dot_general(
+        q_ref[0],  # (1, d): query row selected by the BlockSpec index_map
+        bucket_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (1, B)
+    valid = (
+        (live_ref[0, 0] != 0)
+        & (users_ref[0, 0] == uid)
+        & ((did < 0) | (docs_ref[0, 0] == did))
+    )
+    scores_ref[0, 0, 0, :] = jnp.where(valid, scores[0], jnp.float32(-1e30))
+    ids_out_ref[0, 0, 0, :] = ids_ref[0, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_probe_scores(
+    queries: jnp.ndarray,  # (q, d) f32
+    buckets: jnp.ndarray,  # (C, B, d)
+    bucket_ids: jnp.ndarray,  # (C, 1, B) int32
+    users_b: jnp.ndarray,  # (C, 1, B) int32
+    docs_b: jnp.ndarray,  # (C, 1, B) int32
+    live_b: jnp.ndarray,  # (C, 1, B) int32
+    probes: jnp.ndarray,  # (q, nprobe) int32
+    uids: jnp.ndarray,  # (q,) int32 tenant predicate per query
+    dids: jnp.ndarray,  # (q,) int32 document predicate (-1 = none)
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Masked probe scores + row ids, each (q, nprobe, B).
+
+    The tenant/doc/live predicate evaluates *inside* the kernel on the
+    bucket-layout predicate planes — no element gather ever touches the
+    (n,)-indexed masks. Block shapes obey Mosaic's last-two-dims rule by
+    keeping singleton axes second-minor (queries (q, 1, d), planes
+    (C, 1, B), outputs (q, nprobe, 1, B)); the query row is selected by the
+    BlockSpec index_map, never by in-kernel dynamic slicing (unsupported).
+    """
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    qn, d = queries.shape
+    _, bucket, _ = buckets.shape
+    nprobe = probes.shape[1]
+
+    def by_probe(qi, i, probe_ref, uid_ref, did_ref):
+        return (probe_ref[qi, i], 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(qn, nprobe),
+        in_specs=[
+            pl.BlockSpec((1, 1, d), lambda qi, i, p, u, dd: (qi, 0, 0)),
+            pl.BlockSpec((1, bucket, d), by_probe),
+            pl.BlockSpec((1, 1, bucket), by_probe),
+            pl.BlockSpec((1, 1, bucket), by_probe),
+            pl.BlockSpec((1, 1, bucket), by_probe),
+            pl.BlockSpec((1, 1, bucket), by_probe),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 1, bucket), lambda qi, i, p, u, dd: (qi, i, 0, 0)),
+            pl.BlockSpec((1, 1, 1, bucket), lambda qi, i, p, u, dd: (qi, i, 0, 0)),
+        ],
+    )
+    scores4, ids4 = pl.pallas_call(
+        _probe_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((qn, nprobe, 1, bucket), jnp.float32),
+            jax.ShapeDtypeStruct((qn, nprobe, 1, bucket), jnp.int32),
+        ],
+        interpret=interpret,
+    )(probes, uids, dids, queries.astype(buckets.dtype).reshape(qn, 1, d),
+      buckets, bucket_ids, users_b, docs_b, live_b)
+    return scores4[:, :, 0, :], ids4[:, :, 0, :]
+
+
+def _use_pallas_probe(bucket: int, d: int, itemsize: int = 2) -> bool:
+    import jax as _jax
+
+    return (
+        bucket % 128 == 0
+        and d % 128 == 0
+        and bucket * d * itemsize <= 6 * 1024 * 1024  # VMEM block budget
+        and _jax.default_backend() == "tpu"
     )
 
 
@@ -179,11 +355,13 @@ def _ivf_probe(
     queries: jnp.ndarray,  # (q, d) f32 normalized
     centroids: jnp.ndarray,
     buckets: jnp.ndarray,
-    bucket_ids: jnp.ndarray,
+    bucket_ids: jnp.ndarray,  # (C, 1, B)
     row_mask: jnp.ndarray,  # (n,) or (q, n) bool over GLOBAL row ids
     k: int,
     nprobe: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Generic-mask probe (XLA gather path; CPU / arbitrary row masks)."""
+
     qn, d = queries.shape
     dtype = buckets.dtype
     cscores = jnp.dot(queries, centroids.T, preferred_element_type=jnp.float32)
@@ -204,6 +382,54 @@ def _ivf_probe(
         return s, ids[sel]
 
     return jax.vmap(per_query)(queries.astype(jnp.float32), probes, mask2d)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "use_pallas"))
+def _ivf_probe_pred(
+    queries: jnp.ndarray,  # (q, d) f32 normalized
+    centroids: jnp.ndarray,
+    buckets: jnp.ndarray,
+    bucket_ids: jnp.ndarray,  # (C, 1, B)
+    users_b: jnp.ndarray,
+    docs_b: jnp.ndarray,
+    live_b: jnp.ndarray,
+    uids: jnp.ndarray,  # (q,) int32
+    dids: jnp.ndarray,  # (q,) int32, -1 = no document filter
+    k: int,
+    nprobe: int,
+    use_pallas: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Tenant/doc/live-predicated probe; masking happens in bucket layout
+    (inside the kernel on TPU), so no (n,)-indexed gather exists anywhere."""
+
+    qn, d = queries.shape
+    cscores = jnp.dot(queries, centroids.T, preferred_element_type=jnp.float32)
+    _, probes = jax.lax.top_k(cscores, nprobe)  # (q, nprobe)
+
+    if use_pallas:
+        s3, i3 = pallas_probe_scores(
+            queries, buckets, bucket_ids, users_b, docs_b, live_b,
+            probes, uids, dids,
+        )
+        scores = s3.reshape(qn, -1)
+        ids = i3.reshape(qn, -1)
+    else:  # XLA fallback: gather the (small) predicate planes per probe
+        def per_query(qvec, probe, uid, did):
+            sub = buckets[probe].reshape(-1, d)
+            ids = bucket_ids[probe].reshape(-1)
+            s = jnp.dot(sub, qvec.astype(buckets.dtype),
+                        preferred_element_type=jnp.float32)
+            valid = (
+                (live_b[probe].reshape(-1) != 0)
+                & (users_b[probe].reshape(-1) == uid)
+                & ((did < 0) | (docs_b[probe].reshape(-1) == did))
+            )
+            return jnp.where(valid, s, NEG_INF), ids
+
+        scores, ids = jax.vmap(per_query)(
+            queries.astype(jnp.float32), probes, uids, dids)
+    s, sel = jax.lax.top_k(scores, k)
+    return s, jnp.take_along_axis(ids, sel, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -230,6 +456,44 @@ def _spill_scores(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _spill_scores_pred(
+    queries: jnp.ndarray,
+    spill: jnp.ndarray,
+    spill_ids: jnp.ndarray,
+    spill_users: jnp.ndarray,
+    spill_docs: jnp.ndarray,
+    spill_live: jnp.ndarray,
+    uids: jnp.ndarray,
+    dids: jnp.ndarray,
+    k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    qn = queries.shape[0]
+    scores = jnp.dot(
+        queries.astype(spill.dtype), spill.T, preferred_element_type=jnp.float32
+    )
+    valid = (
+        (spill_live != 0)[None, :]
+        & (spill_users[None, :] == uids[:, None])
+        & ((dids[:, None] < 0) | (spill_docs[None, :] == dids[:, None]))
+    )
+    scores = jnp.where(valid, scores, NEG_INF)
+    kk = min(k, spill.shape[0])
+    s, sel = jax.lax.top_k(scores, kk)
+    return s, jnp.take_along_axis(
+        jnp.broadcast_to(spill_ids[None], (qn, spill_ids.shape[0])), sel, axis=1
+    )
+
+
+def _pad_k(s: jnp.ndarray, i: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    if s.shape[1] >= k:
+        return s, i
+    pad = k - s.shape[1]
+    s = jnp.concatenate([s, jnp.full((s.shape[0], pad), NEG_INF, s.dtype)], axis=1)
+    i = jnp.concatenate([i, jnp.full((i.shape[0], pad), -1, i.dtype)], axis=1)
+    return s, i
+
+
 def ivf_search(
     ivf: IVFData,
     queries: jnp.ndarray,  # (q, d) f32, L2-normalized
@@ -237,18 +501,46 @@ def ivf_search(
     k: int,
     nprobe: int = 64,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Approximate top-k over the clustered rows (+ exact spill)."""
+    """Approximate top-k with an arbitrary row mask (XLA path; prefer
+    :func:`ivf_search_pred` on TPU for the reference's tenant/doc masks)."""
 
     nprobe = min(nprobe, ivf.n_clusters)
     k_eff = min(k, nprobe * ivf.bucket_size)
     s, i = _ivf_probe(
         queries, ivf.centroids, ivf.buckets, ivf.bucket_ids, row_mask, k_eff, nprobe
     )
-    if k_eff < k:  # pad to caller's k
-        pad = k - k_eff
-        s = jnp.concatenate([s, jnp.full((s.shape[0], pad), NEG_INF, s.dtype)], axis=1)
-        i = jnp.concatenate([i, jnp.full((i.shape[0], pad), -1, i.dtype)], axis=1)
+    s, i = _pad_k(s, i, k)
     if ivf.spill.shape[0]:
         s2, i2 = _spill_scores(queries, ivf.spill, ivf.spill_ids, row_mask, k)
+        s, i = merge_topk(s, i, s2, i2, k)
+    return s, i
+
+
+def ivf_search_pred(
+    ivf: IVFData,
+    queries: jnp.ndarray,  # (q, d) f32, L2-normalized
+    uids: jnp.ndarray,  # (q,) int32 tenant per query
+    dids: jnp.ndarray,  # (q,) int32 doc filter per query (-1 = none)
+    k: int,
+    nprobe: int = 64,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Predicated top-k: tenant/doc/live masks evaluate in bucket layout
+    (in-kernel on TPU) — the production search path."""
+
+    nprobe = min(nprobe, ivf.n_clusters)
+    k_eff = min(k, nprobe * ivf.bucket_size)
+    s, i = _ivf_probe_pred(
+        queries, ivf.centroids, ivf.buckets, ivf.bucket_ids,
+        ivf.users_b, ivf.docs_b, ivf.live_b, uids, dids, k_eff, nprobe,
+        use_pallas=_use_pallas_probe(
+            ivf.bucket_size, queries.shape[1], ivf.buckets.dtype.itemsize
+        ),
+    )
+    s, i = _pad_k(s, i, k)
+    if ivf.spill.shape[0]:
+        s2, i2 = _spill_scores_pred(
+            queries, ivf.spill, ivf.spill_ids, ivf.spill_users,
+            ivf.spill_docs, ivf.spill_live, uids, dids, k,
+        )
         s, i = merge_topk(s, i, s2, i2, k)
     return s, i

@@ -83,6 +83,85 @@ def test_ivf_small_cluster_count_spills_exactly(rng):
     np.testing.assert_array_equal(np.asarray(ei), np.asarray(ai))
 
 
+def test_pallas_probe_kernel_matches_gather(rng):
+    """Scalar-prefetch probe kernel (interpret mode on CPU) == XLA gather,
+    including the in-kernel tenant/doc/live predicate."""
+
+    C, B, d, nprobe, qn = 16, 128, 128, 4, 3
+    buckets = jnp.asarray(rng.standard_normal((C, B, d)).astype(np.float32))
+    bucket_ids = jnp.asarray(
+        rng.permutation(C * B).reshape(C, 1, B).astype(np.int32))
+    users_b = jnp.asarray(rng.integers(0, 3, (C, 1, B)).astype(np.int32))
+    docs_b = jnp.asarray(rng.integers(0, 5, (C, 1, B)).astype(np.int32))
+    live_b = jnp.asarray((rng.random((C, 1, B)) > 0.2).astype(np.int32))
+    queries = jnp.asarray(l2_normalize(
+        jnp.asarray(rng.standard_normal((qn, d)).astype(np.float32))))
+    probes = jnp.asarray(rng.integers(0, C, (qn, nprobe)).astype(np.int32))
+    uids = jnp.asarray([0, 1, 2], jnp.int32)
+    dids = jnp.asarray([-1, 2, -1], jnp.int32)
+
+    s, ids = ivf_ops.pallas_probe_scores(
+        queries, buckets, bucket_ids, users_b, docs_b, live_b,
+        probes, uids, dids, interpret=True)
+    p = np.asarray(probes)
+    raw = np.stack([
+        np.asarray(buckets)[p[q]].reshape(-1, d) @ np.asarray(queries)[q]
+        for q in range(qn)
+    ]).reshape(qn, nprobe, B)
+    for q in range(qn):
+        valid = (
+            (np.asarray(live_b)[p[q], 0] != 0)
+            & (np.asarray(users_b)[p[q], 0] == int(uids[q]))
+            & ((int(dids[q]) < 0) | (np.asarray(docs_b)[p[q], 0] == int(dids[q])))
+        )
+        want = np.where(valid, raw[q], -1e30)
+        np.testing.assert_allclose(np.asarray(s)[q], want, atol=1e-4)
+        np.testing.assert_array_equal(
+            np.asarray(ids)[q], np.asarray(bucket_ids)[p[q], 0])
+
+    # generic-mask path still produces valid shapes
+    mask = jnp.asarray(rng.random(C * B) > 0.3)
+    cent = jnp.asarray(rng.standard_normal((C, d)).astype(np.float32))
+    s1, i1 = ivf_ops._ivf_probe(queries, cent, buckets, bucket_ids, mask, 5, nprobe)
+    assert s1.shape == (qn, 5) and i1.shape == (qn, 5)
+
+
+def test_ivf_search_pred_matches_row_mask_path(rng):
+    """Predicated search == generic row-mask search for tenant/doc masks,
+    including after tombstones flow in via mark_dead."""
+
+    rows_np = _clustered_corpus(rng, 2048)
+    users = rng.integers(0, 3, 2048).astype(np.int32)
+    docs = rng.integers(0, 4, 2048).astype(np.int32)
+    live = np.ones(2048, np.int32)
+    ivf = ivf_ops.build_ivf(
+        jnp.asarray(rows_np), n_clusters=16, bucket_factor=1.0,
+        users=jnp.asarray(users), docs=jnp.asarray(docs), live=jnp.asarray(live),
+    )
+    dead = rng.choice(2048, 100, replace=False)
+    ivf.mark_dead(dead)
+    live[dead] = 0
+
+    queries = jnp.asarray(l2_normalize(jnp.asarray(
+        rows_np[:4] + 0.01 * rng.standard_normal((4, 64)).astype(np.float32))))
+    uids = jnp.asarray([0, 1, 2, 0], jnp.int32)
+    dids = jnp.asarray([-1, 1, -1, 3], jnp.int32)
+    mask2d = jnp.asarray(
+        (live != 0)[None]
+        & (users[None] == np.asarray(uids)[:, None])
+        & ((np.asarray(dids)[:, None] < 0) | (docs[None] == np.asarray(dids)[:, None]))
+    )
+    sp, ip = ivf_ops.ivf_search_pred(ivf, queries, uids, dids, 8, nprobe=16)
+    sm, im = ivf_ops.ivf_search(ivf, queries, mask2d, 8, nprobe=16)
+    np.testing.assert_array_equal(np.asarray(ip), np.asarray(im))
+    np.testing.assert_allclose(np.asarray(sp), np.asarray(sm), atol=1e-5)
+    # no dead or wrong-tenant row survives
+    ip = np.asarray(ip)
+    for q in range(4):
+        for row in ip[q][ip[q] >= 0]:
+            assert live[row] == 1 and users[row] == int(uids[q])
+
+
 def _rows(mat, user="u1", doc="d1", prefix="c"):
     return [
         VectorRow(chunk_id=f"{prefix}{i}", user_id=user, document_id=doc,
