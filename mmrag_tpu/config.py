@@ -159,6 +159,8 @@ class TpuDefaults:
     text_seq_buckets: str = "64,128,256,512"  # padded sequence-length buckets
     rerank_seq_len: int = 256  # cross-encoder pair length (fixed bucket)
     topk_backend: str = "auto"  # auto|pallas|xla|approx|ivf
+    ivf_nprobe: int = 64  # clusters probed per query (ivf backend)
+    ivf_min_rows: int = 65536  # rows before the ivf layout is built lazily
     index_shard_rows: int = 131072  # rows per device shard slab (static shape)
     index_growth_factor: int = 2  # append-buffer geometric growth
     mesh_data_axis: str = "data"  # batch DP axis name

@@ -129,7 +129,9 @@ class VectorIndex:
 
     _DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "int8": jnp.int8}
 
-    def __init__(self, dim: int, dtype: str = "bfloat16", backend: str = "auto") -> None:
+    def __init__(self, dim: int, dtype: str = "bfloat16", backend: str = "auto",
+                 ivf_nprobe: Optional[int] = None,
+                 ivf_min_rows: Optional[int] = None) -> None:
         self.dim = dim
         self.dtype = self._DTYPES.get(dtype, jnp.float32)
         # backend "ivf" = k-means partitioned ANN (ops/ivf.py, the reference's
@@ -146,9 +148,14 @@ class VectorIndex:
         if self.use_ivf and self.dtype == jnp.int8:
             raise ValueError("ivf backend requires a bf16/f32 index (not int8)")
         self.backend = backend  # cosine_topk backend: auto|xla|pallas|approx
-        self.ivf_nprobe = int(os.environ.get("TPU_IVF_NPROBE", "64"))
-        self.ivf_min_rows = int(os.environ.get("TPU_IVF_MIN_ROWS", "65536"))
+        # knobs normally flow in from settings (TPU_IVF_NPROBE/TPU_IVF_MIN_ROWS
+        # via the typed loader); constructor defaults serve direct use
+        self.ivf_nprobe = 64 if ivf_nprobe is None else int(ivf_nprobe)
+        self.ivf_min_rows = 65536 if ivf_min_rows is None else int(ivf_min_rows)
         self._ivf = None  # ops.ivf.IVFData once built
+        self._ivf_building = False  # a background (re)build is in flight
+        self.ivf_build_async = True  # tests set False for determinism
+        self._generation = 0  # bumped by compact(); aborts stale installs
         self._scales: Optional[jnp.ndarray] = None  # (capacity,) f32, int8 mode
         self._lock = threading.RLock()
         self._capacity = 0
@@ -250,7 +257,15 @@ class VectorIndex:
 
     def build_ivf(self, n_clusters: Optional[int] = None,
                   bucket_factor: float = 1.5, iters: int = 8) -> None:
-        """(Re)cluster the current rows into the IVF bucket layout."""
+        """(Re)cluster the current rows into the IVF bucket layout.
+
+        k-means + bucket gather run *outside* the lock against an immutable
+        snapshot (the slab's written prefix never mutates in place — appends
+        go past ``size``, deletes flip liveness flags), so searches keep
+        serving the dense/stale path during the build. On install,
+        tombstones that landed mid-build are re-applied wholesale from the
+        host liveness array; a :meth:`compact` mid-build aborts the install
+        (row ids changed)."""
 
         from ..ops import ivf as ivf_ops
 
@@ -260,35 +275,74 @@ class VectorIndex:
             if self._size == 0:
                 self._ivf = None
                 return
-            self._ivf = ivf_ops.build_ivf(
-                self._slab[: self._size], n_clusters, bucket_factor, iters,
-                users=self._users[: self._size],
-                docs=self._docs[: self._size],
-                live=self._live[: self._size],
-            )
+            snap_size = self._size
+            snap_gen = self._generation
+            slab = self._slab
+            users, docs, live = self._users, self._docs, self._live
+
+        data = ivf_ops.build_ivf(
+            slab[:snap_size], n_clusters, bucket_factor, iters,
+            users=users[:snap_size], docs=docs[:snap_size], live=live[:snap_size],
+        )
+
+        with self._lock:
+            if self._generation != snap_gen:
+                _logger.info("ivf build discarded: index compacted mid-build")
+                return
+            dead = np.flatnonzero(~self._row_live[:snap_size])
+            if dead.size:  # tombstones that landed while building
+                data.mark_dead(dead)
+            self._ivf = data
             _logger.info(
                 "ivf built: %d rows, %d clusters x %d bucket, %d spill",
-                self._ivf.built_rows, self._ivf.n_clusters,
-                self._ivf.bucket_size, int(self._ivf.spill.shape[0]),
+                data.built_rows, data.n_clusters,
+                data.bucket_size, int(data.spill.shape[0]),
             )
 
     def drop_ivf(self) -> None:
         with self._lock:
             self._ivf = None
 
+    def _build_ivf_background(self) -> None:
+        if self._ivf_building:
+            return
+        self._ivf_building = True
+
+        def run():
+            try:
+                self.build_ivf()
+            except Exception:
+                _logger.exception("background ivf build failed")
+            finally:
+                self._ivf_building = False
+
+        threading.Thread(target=run, name="ivf-build", daemon=True).start()
+
     def _maybe_ivf(self):
-        """Lazily (re)build under the caller's lock; None = use dense path."""
+        """Return the current layout (possibly stale; the tail scan covers
+        staleness) and kick off a background (re)build when warranted —
+        searches never wait on k-means."""
 
         if not self.use_ivf or self.dtype == jnp.int8:
             return self._ivf  # explicit build_ivf() still honored
+        build = (
+            self._build_ivf_background if self.ivf_build_async else self.build_ivf
+        )
         if self._ivf is None:
             if self._size >= self.ivf_min_rows:
-                self.build_ivf()
+                build()
             return self._ivf
         tail = self._size - self._ivf.built_rows
         if tail > max(self._ivf.built_rows // 2, 4096):
-            self.build_ivf()  # tail grew past half the clustered set
+            build()  # tail grew past half the clustered set
         return self._ivf
+
+    @staticmethod
+    def _pow2(n: int) -> int:
+        p = 1
+        while p < n:
+            p *= 2
+        return p
 
     def _ivf_search(self, ivf, queries_j, uids, dids, k):
         """Predicated probe (tenant/doc/live evaluated in bucket layout,
@@ -301,14 +355,21 @@ class VectorIndex:
 
         scores, idx = ivf_search_pred(ivf, queries_j, uids, dids, k, self.ivf_nprobe)
         built = ivf.built_rows
-        tail_len = self._capacity - built
-        if tail_len > 0:
+        appended = self._size - built
+        if appended > 0:
+            # pad the tail to a power of two (bounded compile set) instead of
+            # scanning to capacity — dead padding is masked either way, but
+            # scanning a whole growth tier was measured dense-scan-sized
+            tail_len = min(self._pow2(max(appended, 4096)), self._capacity - built)
             tmask = _predicate_mask_multi(
-                self._users[built:], self._docs[built:], self._live[built:],
+                self._users[built:built + tail_len],
+                self._docs[built:built + tail_len],
+                self._live[built:built + tail_len],
                 uids, dids,
             )
             s2, i2 = cosine_topk(
-                queries_j, self._slab[built:], tmask, min(k, tail_len), "xla"
+                queries_j, self._slab[built:built + tail_len], tmask,
+                min(k, tail_len), "xla",
             )
             scores, idx = merge_topk(scores, idx, s2, i2 + built, k)
         return np.asarray(scores), np.asarray(idx)
@@ -414,11 +475,23 @@ class VectorIndex:
                 )
             elif ivf is not None:
                 q = queries.shape[0]
-                scores, idx = self._ivf_search(
-                    ivf, jnp.asarray(queries.astype(np.float32)),
-                    jnp.full((q,), uid, jnp.int32), jnp.full((q,), did, jnp.int32),
-                    min(k, self._capacity),
-                )
+                try:
+                    scores, idx = self._ivf_search(
+                        ivf, jnp.asarray(queries.astype(np.float32)),
+                        jnp.full((q,), uid, jnp.int32), jnp.full((q,), did, jnp.int32),
+                        min(k, self._capacity),
+                    )
+                except jax.errors.JaxRuntimeError:
+                    # same degrade contract as _search_with_fallback: the
+                    # Pallas dispatch can fail on allocator state; exactness
+                    # is identical on the dense path
+                    _logger.warning("ivf search failed at runtime; dense xla retry")
+                    scores, idx = self._search_with_fallback(
+                        _search,
+                        self._slab, self._users, self._docs, self._live,
+                        jnp.asarray(queries.astype(np.float32)),
+                        jnp.int32(uid), jnp.int32(did), min(k, self._capacity),
+                    )
             else:
                 scores, idx = self._search_with_fallback(
                     _search,
@@ -479,11 +552,20 @@ class VectorIndex:
                     jnp.asarray(uids), jnp.asarray(dids), min(k, self._capacity),
                 )
             elif ivf is not None:
-                scores, idx = self._ivf_search(
-                    ivf, jnp.asarray(queries.astype(np.float32)),
-                    jnp.asarray(uids), jnp.asarray(dids),
-                    min(k, self._capacity),
-                )
+                try:
+                    scores, idx = self._ivf_search(
+                        ivf, jnp.asarray(queries.astype(np.float32)),
+                        jnp.asarray(uids), jnp.asarray(dids),
+                        min(k, self._capacity),
+                    )
+                except jax.errors.JaxRuntimeError:
+                    _logger.warning("ivf search failed at runtime; dense xla retry")
+                    scores, idx = self._search_with_fallback(
+                        _search_multi,
+                        self._slab, self._users, self._docs, self._live,
+                        jnp.asarray(queries.astype(np.float32)),
+                        jnp.asarray(uids), jnp.asarray(dids), min(k, self._capacity),
+                    )
             else:
                 scores, idx = self._search_with_fallback(
                     _search_multi,
@@ -519,6 +601,7 @@ class VectorIndex:
             self._slab = self._users = self._docs = self._live = None
             self._scales = None
             self._ivf = None  # row ids change; rebuilt lazily on next search
+            self._generation += 1  # aborts any in-flight background build
             self._chunk_ids, self._row_user, self._row_doc = [], [], []
             self._row_live = np.zeros(0, dtype=bool)
             self._chunk_to_row = {}
@@ -605,12 +688,14 @@ class VectorIndex:
 
     @classmethod
     def load(cls, directory: str, name: str, dtype: str = "bfloat16",
-             backend: str = "auto") -> "VectorIndex":
+             backend: str = "auto", ivf_nprobe: Optional[int] = None,
+             ivf_min_rows: Optional[int] = None) -> "VectorIndex":
         with open(os.path.join(directory, f"{name}.manifest.json")) as fh:
             manifest = json.load(fh)
         with np.load(os.path.join(directory, f"{name}.npz")) as data:
             if "embeddings_int8" in data and dtype == "int8":
-                index = cls(dim=manifest["dim"], dtype=dtype, backend=backend)
+                index = cls(dim=manifest["dim"], dtype=dtype, backend=backend,
+                            ivf_nprobe=ivf_nprobe, ivf_min_rows=ivf_min_rows)
                 index._install_prequantized(
                     manifest["chunk_ids"], manifest["user_ids"],
                     manifest["document_ids"], data["embeddings_int8"], data["scales"],
@@ -622,7 +707,8 @@ class VectorIndex:
                 mat = native.bf16_to_f32(data["embeddings_bf16"])
             else:
                 mat = data["embeddings"]
-        index = cls(dim=manifest["dim"], dtype=dtype, backend=backend)
+        index = cls(dim=manifest["dim"], dtype=dtype, backend=backend,
+                    ivf_nprobe=ivf_nprobe, ivf_min_rows=ivf_min_rows)
         rows = [
             VectorRow(
                 chunk_id=c, user_id=u, document_id=d,
@@ -639,8 +725,11 @@ class VectorIndex:
     @classmethod
     def load_or_create(
         cls, directory: str, name: str, dim: int, dtype: str = "bfloat16",
-        backend: str = "auto",
+        backend: str = "auto", ivf_nprobe: Optional[int] = None,
+        ivf_min_rows: Optional[int] = None,
     ) -> "VectorIndex":
         if os.path.exists(os.path.join(directory, f"{name}.manifest.json")):
-            return cls.load(directory, name, dtype, backend)
-        return cls(dim=dim, dtype=dtype, backend=backend)
+            return cls.load(directory, name, dtype, backend,
+                            ivf_nprobe=ivf_nprobe, ivf_min_rows=ivf_min_rows)
+        return cls(dim=dim, dtype=dtype, backend=backend,
+                   ivf_nprobe=ivf_nprobe, ivf_min_rows=ivf_min_rows)

@@ -45,11 +45,15 @@ class RagEngine:
             paths.index_dir, "text_collection",
             dim=self.runtime.text_dim, dtype=index_dtype,
             backend=self.cfg.tpu.topk_backend,
+            ivf_nprobe=self.cfg.tpu.ivf_nprobe,
+            ivf_min_rows=self.cfg.tpu.ivf_min_rows,
         )
         self.image_index = VectorIndex.load_or_create(
             paths.index_dir, "image_collection",
             dim=self.runtime.clip_dim, dtype=index_dtype,
             backend=self.cfg.tpu.topk_backend,
+            ivf_nprobe=self.cfg.tpu.ivf_nprobe,
+            ivf_min_rows=self.cfg.tpu.ivf_min_rows,
         )
         self.metadata = MetadataStore(
             os.path.join(paths.index_dir, "metadata.db")

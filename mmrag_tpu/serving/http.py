@@ -198,14 +198,19 @@ class ApiHandler(BaseHTTPRequestHandler):
             if m:
                 status = dict(self.ctx.queue.status(m.group(1)))
                 # reference payload compat (api/routes.py:214-228): meta keys
-                # flattened, progress under "progress_pct", SUCCESS result
-                # merged into the body
+                # flattened, then SUCCESS result keys OVERWRITE them (the
+                # reference's body.update(meta); body.update(payload) order —
+                # final results must win over stale mid-progress extras),
+                # progress under "progress_pct"; our canonical keys protected
+                core = {"job_id", "state", "meta", "result", "pct"}
                 for k, v in (status.get("meta") or {}).items():
-                    status.setdefault(k, v)
-                status["progress_pct"] = status.get("pct", 0)
+                    if k not in core:
+                        status[k] = v
                 if status.get("state") == "SUCCESS" and isinstance(status.get("result"), dict):
                     for k, v in status["result"].items():
-                        status.setdefault(k, v)
+                        if k not in core:
+                            status[k] = v
+                status["progress_pct"] = status.get("pct", 0)
                 return self._json(200, status)
             return self._json(404, {"detail": f"no route for {path}"})
         except Exception as exc:

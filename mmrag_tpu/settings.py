@@ -205,6 +205,8 @@ class TpuSettings:
     text_seq_buckets: Tuple[int, ...]
     rerank_seq_len: int
     topk_backend: str
+    ivf_nprobe: int
+    ivf_min_rows: int
     index_shard_rows: int
     index_growth_factor: int
     mesh_data_axis: str
@@ -339,6 +341,8 @@ def load_settings(env: Optional[Mapping[str, str]] = None) -> Settings:
             text_seq_buckets=_read_int_csv(env, "TPU_TEXT_SEQ_BUCKETS", d.tpu.text_seq_buckets),
             rerank_seq_len=_read_int(env, "TPU_RERANK_SEQ_LEN", d.tpu.rerank_seq_len),
             topk_backend=_read_env(env, "TPU_TOPK_BACKEND", d.tpu.topk_backend),
+            ivf_nprobe=_read_int(env, "TPU_IVF_NPROBE", d.tpu.ivf_nprobe),
+            ivf_min_rows=_read_int(env, "TPU_IVF_MIN_ROWS", d.tpu.ivf_min_rows),
             index_shard_rows=_read_int(env, "TPU_INDEX_SHARD_ROWS", d.tpu.index_shard_rows),
             index_growth_factor=_read_int(
                 env, "TPU_INDEX_GROWTH_FACTOR", d.tpu.index_growth_factor

@@ -174,8 +174,8 @@ def test_vector_index_ivf_backend_end_to_end(rng, monkeypatch):
     from mmrag_tpu.index.store import VectorIndex
 
     mat = _corpus(rng, 600)
-    idx = VectorIndex(dim=64, dtype="float32", backend="ivf")
-    idx.ivf_min_rows = 256  # build immediately at this size
+    idx = VectorIndex(dim=64, dtype="float32", backend="ivf", ivf_min_rows=256)
+    idx.ivf_build_async = False  # deterministic builds for the test
     idx.ivf_nprobe = 64
     idx.upsert(_rows(mat))
     hits = idx.search(mat[7], "u1", k=3)
@@ -202,6 +202,27 @@ def test_vector_index_ivf_backend_end_to_end(rng, monkeypatch):
     assert hits[0][0] != "c0" or hits[0][1] < 0.99
 
 
+def test_vector_index_ivf_background_build(rng):
+    """Async mode: searches serve the dense path until the background build
+    installs, then switch — and results agree either way."""
+
+    import time
+
+    from mmrag_tpu.index.store import VectorIndex
+
+    idx = VectorIndex(dim=64, dtype="float32", backend="ivf", ivf_min_rows=128)
+    mat = _corpus(rng, 300)
+    idx.upsert(_rows(mat))
+    dense_hits = idx.search(mat[5], "u1", k=3)  # triggers the background build
+    for _ in range(100):
+        if idx._ivf is not None and not idx._ivf_building:
+            break
+        time.sleep(0.05)
+    assert idx._ivf is not None, "background build never installed"
+    ivf_hits = idx.search(mat[5], "u1", k=3)
+    assert dense_hits[0][0] == ivf_hits[0][0] == "c5"
+
+
 def test_vector_index_ivf_rejects_int8():
     from mmrag_tpu.index.store import VectorIndex
 
@@ -212,8 +233,8 @@ def test_vector_index_ivf_rejects_int8():
 def test_vector_index_ivf_rebuild_on_large_tail(rng):
     from mmrag_tpu.index.store import VectorIndex
 
-    idx = VectorIndex(dim=64, dtype="float32", backend="ivf")
-    idx.ivf_min_rows = 128
+    idx = VectorIndex(dim=64, dtype="float32", backend="ivf", ivf_min_rows=128)
+    idx.ivf_build_async = False
     mat = _corpus(rng, 256)
     idx.upsert(_rows(mat))
     idx.search(mat[0], "u1", k=1)
