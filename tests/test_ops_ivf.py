@@ -223,6 +223,31 @@ def test_vector_index_ivf_background_build(rng):
     assert dense_hits[0][0] == ivf_hits[0][0] == "c5"
 
 
+def test_vector_index_ivf_runtime_fallback_to_dense(rng, monkeypatch):
+    """A runtime failure in the IVF dispatch degrades to the dense path
+    (same contract as _search_with_fallback) instead of failing the query."""
+
+    import jax
+
+    from mmrag_tpu.index.store import VectorIndex
+
+    idx = VectorIndex(dim=64, dtype="float32", backend="ivf", ivf_min_rows=64)
+    idx.ivf_build_async = False
+    mat = _corpus(rng, 200)
+    idx.upsert(_rows(mat))
+    assert idx.search(mat[3], "u1", k=1)[0][0] == "c3"  # ivf path works
+    assert idx._ivf is not None
+
+    def boom(*a, **k):
+        raise jax.errors.JaxRuntimeError("INVALID_ARGUMENT: TPU backend error")
+
+    monkeypatch.setattr(idx, "_ivf_search", boom)
+    hits = idx.search(mat[3], "u1", k=1)
+    assert hits and hits[0][0] == "c3"  # dense fallback answered
+    hits = idx.search_batch_multi(mat[:2], ["u1", "u1"], k=1)
+    assert hits[0][0][0] == "c0" and hits[1][0][0] == "c1"
+
+
 def test_vector_index_ivf_rejects_int8():
     from mmrag_tpu.index.store import VectorIndex
 
