@@ -212,3 +212,58 @@ def test_sharded_topk_int8(rng):
     # each query finds itself despite int8 quantization
     assert (np.asarray(idx)[:, 0] == np.arange(3)).all()
     assert float(np.asarray(scores)[:, 0].min()) > 0.97
+
+
+@pytest.mark.parametrize("model_parallel", [1, 2])
+def test_minilm_train_step_runs_and_learns(model_parallel, rng):
+    from mmrag_tpu.models import bert as jbert
+    from mmrag_tpu.parallel.training import (
+        make_minilm_train_step, minilm_train_state_init,
+    )
+
+    cfg = jbert.BertConfig(
+        vocab_size=512, hidden_size=32, num_layers=2, num_heads=4,
+        intermediate_size=64, max_position=32,
+    )
+    mesh = build_mesh(model_parallel=model_parallel)
+    params, opt_state, tx = minilm_train_state_init(
+        jax.random.PRNGKey(0), mesh, cfg, learning_rate=1e-3)
+    step = make_minilm_train_step(mesh, tx, cfg)
+    b, s = 8, 12
+    q_ids = jnp.asarray(rng.integers(1, 500, (b, s)), jnp.int32)
+    p_ids = jnp.asarray(rng.integers(1, 500, (b, s)), jnp.int32)
+    ones = jnp.ones((b, s), jnp.int32)
+    losses = []
+    for _ in range(15):
+        params, opt_state, loss = step(params, opt_state, q_ids, ones, p_ids, ones)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert min(losses[-3:]) < losses[0]  # memorizes the fixed batch
+
+
+def test_cross_encoder_train_step_runs_and_learns(rng):
+    from mmrag_tpu.models import bert as jbert
+    from mmrag_tpu.parallel.training import (
+        cross_encoder_train_state_init, make_cross_encoder_train_step,
+    )
+
+    cfg = jbert.BertConfig(
+        vocab_size=512, hidden_size=32, num_layers=2, num_heads=4,
+        intermediate_size=64, max_position=32,
+    )
+    mesh = build_mesh()
+    params, opt_state, tx = cross_encoder_train_state_init(
+        jax.random.PRNGKey(1), mesh, cfg, learning_rate=1e-3)
+    step = make_cross_encoder_train_step(mesh, tx, cfg)
+    b, s = 8, 16
+    ids = jnp.asarray(rng.integers(1, 500, (b, s)), jnp.int32)
+    mask = jnp.ones((b, s), jnp.int32)
+    tt = jnp.concatenate(
+        [jnp.zeros((b, s // 2), jnp.int32), jnp.ones((b, s // 2), jnp.int32)], 1)
+    labels = jnp.asarray(rng.integers(0, 2, (b,)), jnp.float32)
+    losses = []
+    for _ in range(15):
+        params, opt_state, loss = step(params, opt_state, ids, mask, tt, labels)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert min(losses[-3:]) < losses[0]
