@@ -63,7 +63,9 @@ def index_text_nodes(
         doc_id = meta.get("document_id") or node.get("document_id") or "unknown"
         pieces = sentence_split(text, cfg.split_tokens, cfg.split_overlap_tokens) or [text]
         for j, piece in enumerate(pieces):
-            chunk_id = node.get("id") or f"{doc_id}-t{len(chunks)}"
+            # len(pending) (not the result list, which is still empty here):
+            # id-less nodes must not collide on one chunk_id
+            chunk_id = node.get("id") or f"{doc_id}-t{len(pending)}"
             if len(pieces) > 1:
                 chunk_id = f"{chunk_id}#{j}"
             texts.append(_metadata_text(piece, meta))

@@ -224,8 +224,11 @@ def retrieve(
     engine = engine or get_engine()
     version = engine.versions.get(user_id)
     # normalize before appending the doc-filter suffix so whitespace/case
-    # variants of the query share one cache entry
-    cache_key_query = f"{cache.normalize_query(query)}\x00doc={document_id}"
+    # variants of the query share one cache entry; the doc id is hex-encoded
+    # because the cache layer lowercases keys and video ids are
+    # case-sensitive ("AbC" and "abc" are different videos)
+    doc_tag = document_id.encode().hex() if document_id else "None"
+    cache_key_query = f"{cache.normalize_query(query)}\x00doc={doc_tag}"
     cached = cache.get_retrieval_results(user_id, cache_key_query, version)
     if cached is not None:
         return cached

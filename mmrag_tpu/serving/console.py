@@ -58,6 +58,8 @@ CONSOLE_HTML = """<!doctype html>
 
 <script>
 const $ = id => document.getElementById(id);
+const esc = (t) => String(t ?? '').replace(/[&<>"']/g,
+  ch => ({'&':'&amp;','<':'&lt;','>':'&gt;','"':'&quot;',"'":'&#39;'}[ch]));
 const key = () => localStorage.getItem('apikey') || '';
 function saveKey() {
   localStorage.setItem('apikey', $('apikey').value);
@@ -81,7 +83,7 @@ async function uploadPdf() {
     const out = await api('/process-pdf/', {method: 'POST', body: fd});
     $('pdfstate').textContent =
       `ready: ${out.text_nodes} text + ${out.image_nodes} image nodes`;
-  } catch (e) { $('pdfstate').innerHTML = `<span class=err>${e.message}</span>`; }
+  } catch (e) { $('pdfstate').innerHTML = `<span class=err>${esc(e.message)}</span>`; }
 }
 let pollTimer = null;
 async function enqueueYt() {
@@ -94,7 +96,7 @@ async function enqueueYt() {
     $('ytstate').textContent = `job ${out.job_id} queued`;
     clearInterval(pollTimer);
     pollTimer = setInterval(() => poll(out.job_id), 4000);
-  } catch (e) { $('ytstate').innerHTML = `<span class=err>${e.message}</span>`; }
+  } catch (e) { $('ytstate').innerHTML = `<span class=err>${esc(e.message)}</span>`; }
 }
 async function poll(jobId) {
   try {
@@ -106,7 +108,7 @@ async function poll(jobId) {
       clearInterval(pollTimer);
       if (st.state === 'SUCCESS') listVideos();
       if (st.state === 'FAILURE')
-        $('ytstate').innerHTML = `<span class=err>${st.meta.error || 'failed'}</span>`;
+        $('ytstate').innerHTML = `<span class=err>${esc(st.meta.error || 'failed')}</span>`;
     }
   } catch (e) { clearInterval(pollTimer); }
 }
@@ -119,17 +121,19 @@ async function chat() {
       method: 'POST', headers: {'Content-Type': 'application/json'},
       body: JSON.stringify({query: q})});
     const cites = (out.citation_tokens || []).map(c => c.token).join(' ');
+    // esc(): answers embed indexed document text; titles come from YouTube
+    // metadata — untrusted content must never reach innerHTML unescaped
     $('chatlog').innerHTML =
-      `<b>${out.abstained ? '(abstained)' : ''}</b> ${out.answer}` +
-      `<div class=cite>${cites}</div>`;
-  } catch (e) { $('chatlog').innerHTML = `<span class=err>${e.message}</span>`; }
+      `<b>${out.abstained ? '(abstained)' : ''}</b> ${esc(out.answer)}` +
+      `<div class=cite>${esc(cites)}</div>`;
+  } catch (e) { $('chatlog').innerHTML = `<span class=err>${esc(e.message)}</span>`; }
 }
 async function listVideos() {
   try {
     const out = await api('/videos/');
     $('videos').innerHTML = (out.videos || []).map(v =>
-      `<div>${v.video_id} — ${v.title || ''}</div>`).join('') || '(none)';
-  } catch (e) { $('videos').innerHTML = `<span class=err>${e.message}</span>`; }
+      `<div>${esc(v.video_id)} — ${esc(v.title || '')}</div>`).join('') || '(none)';
+  } catch (e) { $('videos').innerHTML = `<span class=err>${esc(e.message)}</span>`; }
 }
 </script>
 </body>

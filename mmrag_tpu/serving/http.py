@@ -97,6 +97,11 @@ class ApiContext:
         return self.cfg.api.api_keys.get(api_key)
 
 
+class _BodyTooLarge(Exception):
+    def __init__(self, length: int) -> None:
+        super().__init__(f"request body of {length} bytes exceeds the limit")
+
+
 _VIDEO_NOTES_RE = re.compile(r"^/videos/([^/]+)/notes/?$")
 _VIDEO_QUIZ_RE = re.compile(r"^/videos/([^/]+)/quiz/?$")
 _STATUS_RE = re.compile(r"^/(?:yt_status|ingest/status)/([^/]+)/?$")
@@ -120,8 +125,13 @@ class ApiHandler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
+    _MAX_BODY_BYTES = 64 * 1024 * 1024  # one request can't exhaust memory
+
+
     def _read_body(self) -> bytes:
         length = int(self.headers.get("Content-Length") or 0)
+        if length > self._MAX_BODY_BYTES:
+            raise _BodyTooLarge(length)
         return self.rfile.read(length) if length else b""
 
     def _auth(self) -> Optional[str]:
@@ -145,19 +155,26 @@ class ApiHandler(BaseHTTPRequestHandler):
         body = self._read_body()
         parts: Dict[str, Tuple[str, bytes]] = {}
         for chunk in body.split(b"--" + boundary):
-            chunk = chunk.strip(b"\r\n")
-            if not chunk or chunk == b"--":
+            # strip exactly the framing CRLFs, never payload bytes: each part
+            # is "\r\n<headers>\r\n\r\n<data>\r\n" (a trailing-newline PDF
+            # must round-trip byte-identical)
+            if chunk.startswith(b"\r\n"):
+                chunk = chunk[2:]
+            if not chunk or chunk.rstrip(b"\r\n-") == b"":
                 continue
             if b"\r\n\r\n" not in chunk:
                 continue
             header_blob, data = chunk.split(b"\r\n\r\n", 1)
+            if data.endswith(b"\r\n"):
+                data = data[:-2]
             headers = header_blob.decode(errors="ignore")
             name_m = re.search(r'name="([^"]+)"', headers)
             file_m = re.search(r'filename="([^"]*)"', headers)
             if name_m:
-                parts[name_m.group(1)] = (
-                    file_m.group(1) if file_m else "", data,
-                )
+                # basename strips path-traversal components from the
+                # client-controlled filename (../../ or absolute paths)
+                fname = os.path.basename((file_m.group(1) if file_m else "").replace("\\", "/"))
+                parts[name_m.group(1)] = (fname, data)
         return parts
 
     # -- request entry ------------------------------------------------------
@@ -238,6 +255,8 @@ class ApiHandler(BaseHTTPRequestHandler):
             if path in ("/chat_pro", "/chat", "/chat/"):
                 return self._chat(user)
             return self._json(404, {"detail": f"no route for {path}"})
+        except _BodyTooLarge as exc:
+            return self._json(413, {"detail": str(exc)})
         except Exception as exc:
             logger.exception("POST %s failed", path)
             return self._json(500, {"detail": str(exc)})
@@ -286,10 +305,16 @@ class ApiHandler(BaseHTTPRequestHandler):
         except PdfExtractionError as exc:
             engine.metadata.set_document_status(document_id, "failed")
             return self._json(400, {"detail": str(exc)})
-        with stage("pdf.index_text", self._request_id):
-            n_text = index_build.index_text_nodes(user, text_nodes, engine)
-        with stage("pdf.index_images", self._request_id):
-            n_images = index_build.index_image_nodes(user, image_nodes, engine)
+        try:
+            with stage("pdf.index_text", self._request_id):
+                n_text = index_build.index_text_nodes(user, text_nodes, engine)
+            with stage("pdf.index_images", self._request_id):
+                n_images = index_build.index_image_nodes(user, image_nodes, engine)
+        except Exception:
+            # never leave the catalog stuck in "processing" (the 500 from
+            # do_POST carries the error to the client)
+            engine.metadata.set_document_status(document_id, "failed")
+            raise
         engine.metadata.set_document_status(document_id, "ready")
         engine.persist_indexes()
         return self._json(
@@ -324,9 +349,18 @@ class ApiHandler(BaseHTTPRequestHandler):
 
         idem = self.headers.get("Idempotency-Key")
         if idem:
+            # atomic reservation (SETNX) closes the get-then-set race the
+            # reference has (api/routes.py:171-184): exactly one concurrent
+            # retry wins and enqueues; losers replay the winner's payload
             idem_key = f"idem:{user}:{idem}"
-            existing = self.ctx.kv.get(idem_key)
-            if existing:
+            reserved = json.dumps({"state": "PENDING", "reserved": True})
+            if not self.ctx.kv.set_if_absent(idem_key, 3600.0, reserved):
+                existing = reserved
+                for _ in range(100):  # winner is mid-enqueue; wait <=1 s
+                    existing = self.ctx.kv.get(idem_key) or reserved
+                    if not json.loads(existing).get("reserved"):
+                        break
+                    time.sleep(0.01)
                 return self._json(202, json.loads(existing))
         job_id = self.ctx.queue.enqueue(
             "ingest_youtube", {"user_id": user, "url": url}

@@ -67,6 +67,7 @@ class LocalJobQueue:
         directory = os.path.dirname(os.path.abspath(db_path))
         os.makedirs(directory, exist_ok=True)
         self._lock = threading.RLock()
+        self._closed = False
         self._conn = sqlite3.connect(db_path, check_same_thread=False)
         self._conn.execute("PRAGMA journal_mode=WAL")
         with self._lock, self._conn:
@@ -99,6 +100,12 @@ class LocalJobQueue:
         self, job_id: str, state: str, meta: Optional[Dict] = None,
         result: Optional[Dict] = None,
     ) -> None:
+        with self._lock:
+            if self._closed:
+                # shutdown(wait=False) left this job running on purpose; its
+                # remaining state writes are droppable, not crashes
+                logger.warning("job %s state %s dropped: queue closed", job_id, state)
+                return
         with self._lock, self._conn:
             self._conn.execute(
                 "UPDATE jobs SET state=?, meta=COALESCE(?, meta), "
@@ -186,6 +193,7 @@ class LocalJobQueue:
 
         self._pool.shutdown(wait=wait, cancel_futures=not wait)
         with self._lock:
+            self._closed = True
             self._conn.close()
 
 

@@ -72,6 +72,20 @@ def ingest_youtube_task(
         )
     )
 
+    try:
+        return _run_pipeline(
+            user_id, url, video_id, document_id, title, engine, cfg, kv,
+            dedup_key, progress, ladder_fn, frames_fn,
+        )
+    except Exception:
+        # the job records FAILURE (jobs.py), but the catalog row must not
+        # stay "processing" forever (review finding)
+        engine.metadata.set_document_status(document_id, "failed")
+        raise
+
+
+def _run_pipeline(user_id, url, video_id, document_id, title, engine, cfg, kv,
+                  dedup_key, progress, ladder_fn, frames_fn):
     progress("transcript")
     work_dir = f"{cfg.paths.ingest_cache_dir}/videos/{user_id}/{video_id}"
     ladder = ladder_fn(url, work_dir, cfg)

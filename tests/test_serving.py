@@ -5,6 +5,7 @@ the live-path version of the reference's stale TestClient suite
 (tests/test_main.py, SURVEY §4)."""
 
 import json
+import os
 import threading
 import zlib
 
@@ -138,6 +139,61 @@ def test_chat_response_cached_for_identical_query(api, monkeypatch):
     second = client.post("/chat_pro", json=q).json()
     assert calls["n"] == 1
     assert first == second
+
+
+def test_process_pdf_sanitizes_traversal_filename(api, tmp_path):
+    """A ../-laden multipart filename must not escape the upload dir."""
+
+    client, _ = api
+    pdf = _make_pdf_bytes(["escape attempt"])
+    res = client.post(
+        "/process-pdf/",
+        files={"file": ("../../../../tmp/evil-escape.pdf", pdf, "application/pdf")},
+    )
+    assert res.status_code == 200  # basename'd, processed normally
+    assert not os.path.exists("/tmp/evil-escape.pdf")
+
+
+def test_process_pdf_preserves_trailing_newlines(api, monkeypatch):
+    """Multipart framing must strip only its own CRLF, not payload bytes —
+    a PDF ending in newlines has to round-trip byte-identical to disk."""
+
+    from mmrag_tpu.ingest import pdf as pdf_mod
+
+    client, _ = api
+    payload = _make_pdf_bytes(["newline tail"]) + b"\r\n\r\n\n"
+    seen = {}
+    real = pdf_mod.extract_pdf_nodes
+
+    def capture(user, doc, path, cfg):
+        seen["bytes"] = open(path, "rb").read()
+        return real(user, doc, path, cfg)
+
+    monkeypatch.setattr(pdf_mod, "extract_pdf_nodes", capture)
+    res = client.post(
+        "/process-pdf/", files={"file": ("t.pdf", payload, "application/pdf")}
+    )
+    assert res.status_code == 200
+    assert seen["bytes"] == payload
+
+
+def test_request_body_size_limit(api):
+    """An over-limit Content-Length is rejected with 413 before any read
+    (raw socket: httpx would recompute the header from the actual body)."""
+
+    import socket
+
+    client, _ = api
+    host, port = client.base_url.host, client.base_url.port
+    with socket.create_connection((host, port), timeout=10) as sock:
+        sock.sendall(
+            b"POST /chat_pro HTTP/1.1\r\n"
+            b"Host: x\r\nX-API-Key: test-key\r\n"
+            b"Content-Type: application/json\r\n"
+            b"Content-Length: 209715200\r\n\r\n"
+        )
+        status = sock.recv(4096).split(b"\r\n", 1)[0]
+    assert b"413" in status
 
 
 def test_process_pdf_rejects_bad_ext(api):
