@@ -277,12 +277,19 @@ class VectorIndex:
                 return
             snap_size = self._size
             snap_gen = self._generation
-            slab = self._slab
-            users, docs, live = self._users, self._docs, self._live
+            # slice (= copy into fresh buffers) UNDER the lock: upsert's
+            # donated writes (_write_rows donate_argnums) invalidate the
+            # original arrays, so holding bare references across the unlock
+            # races with concurrent appends ("Array has been deleted")
+            slab = self._slab[:snap_size]
+            users = self._users[:snap_size]
+            docs = self._docs[:snap_size]
+            live = self._live[:snap_size]
+            jax.block_until_ready(slab)
 
         data = ivf_ops.build_ivf(
-            slab[:snap_size], n_clusters, bucket_factor, iters,
-            users=users[:snap_size], docs=docs[:snap_size], live=live[:snap_size],
+            slab, n_clusters, bucket_factor, iters,
+            users=users, docs=docs, live=live,
         )
 
         with self._lock:
@@ -386,13 +393,15 @@ class VectorIndex:
         if not rows:
             return 0
         with self._lock:
+            # validate BEFORE tombstoning: a rejected upsert must not delete
+            # the rows it failed to replace
+            mat = np.stack([r.embedding for r in rows]).astype(np.float32)
+            if mat.shape[1] != self.dim:
+                raise ValueError(f"dim mismatch: index {self.dim}, rows {mat.shape[1]}")
             self._tombstone([r.chunk_id for r in rows])
             n = len(rows)
             start = self._size
             self._ensure_capacity(start + n)
-            mat = np.stack([r.embedding for r in rows]).astype(np.float32)
-            if mat.shape[1] != self.dim:
-                raise ValueError(f"dim mismatch: index {self.dim}, rows {mat.shape[1]}")
             # normalize on write (reference lancedb_store.py:63-69)
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
             mat = mat / np.maximum(norms, 1e-12)
@@ -620,6 +629,11 @@ class VectorIndex:
     # -- persistence --------------------------------------------------------
 
     def save(self, directory: str, name: str) -> None:
+        """Atomic snapshot: row ids ride INSIDE the .npz (string arrays), so
+        one ``os.replace`` commits data+ids together — a crash can never pair
+        new embeddings with a stale manifest row-by-row. The manifest stays
+        as a human-readable summary and legacy-load fallback."""
+
         with self._lock:
             os.makedirs(directory, exist_ok=True)
             live_rows = np.flatnonzero(self._row_live)
@@ -628,31 +642,41 @@ class VectorIndex:
                 if self._size and self.dtype != jnp.int8
                 else np.zeros((0, self.dim), np.float32)
             )
+            # fixed-width unicode arrays: pickle-free, loadable without
+            # allow_pickle
+            ids_arrays = {
+                "chunk_ids": np.asarray([self._chunk_ids[i] for i in live_rows], dtype=np.str_),
+                "user_ids": np.asarray([self._row_user[i] for i in live_rows], dtype=np.str_),
+                "document_ids": np.asarray([self._row_doc[i] for i in live_rows], dtype=np.str_),
+            }
             manifest = {
                 "dim": self.dim,
+                "rows": int(live_rows.size),
                 "chunk_ids": [self._chunk_ids[i] for i in live_rows],
                 "user_ids": [self._row_user[i] for i in live_rows],
                 "document_ids": [self._row_doc[i] for i in live_rows],
             }
+            npz_tmp = os.path.join(directory, f"{name}.npz.tmp")
             if self.dtype == jnp.int8:
                 # lossless: persist the quantized rows + scales directly (4x
                 # smaller than dequantized f32, and no re-quantization drift
                 # across save/load cycles)
-                q_host = np.asarray(self._slab[: self._size])[live_rows]
-                s_host = np.asarray(self._scales[: self._size], np.float32)[live_rows]
-                np.savez(
-                    os.path.join(directory, f"{name}.npz"),
-                    embeddings_int8=q_host, scales=s_host,
-                )
+                if self._size:
+                    q_host = np.asarray(self._slab[: self._size])[live_rows]
+                    s_host = np.asarray(self._scales[: self._size], np.float32)[live_rows]
+                else:  # empty index: nothing quantized yet
+                    q_host = np.zeros((0, self.dim), np.int8)
+                    s_host = np.zeros((0,), np.float32)
+                payload = {"embeddings_int8": q_host, "scales": s_host}
             elif self.dtype == jnp.bfloat16:
                 # HBM-ready bf16 bits on disk: half the bytes, threaded
                 # native conversion, exact (the slab is already bf16)
-                np.savez(
-                    os.path.join(directory, f"{name}.npz"),
-                    embeddings_bf16=native.f32_to_bf16(mat),
-                )
+                payload = {"embeddings_bf16": native.f32_to_bf16(mat)}
             else:
-                np.savez(os.path.join(directory, f"{name}.npz"), embeddings=mat)
+                payload = {"embeddings": mat}
+            with open(npz_tmp, "wb") as fh:
+                np.savez(fh, **payload, **ids_arrays)
+            os.replace(npz_tmp, os.path.join(directory, f"{name}.npz"))
             tmp = os.path.join(directory, f"{name}.manifest.json.tmp")
             with open(tmp, "w") as fh:
                 json.dump(manifest, fh)
@@ -693,12 +717,22 @@ class VectorIndex:
         with open(os.path.join(directory, f"{name}.manifest.json")) as fh:
             manifest = json.load(fh)
         with np.load(os.path.join(directory, f"{name}.npz")) as data:
+            # ids embedded in the npz commit atomically with the embeddings;
+            # the manifest is only the legacy fallback (pre-atomic snapshots)
+            if "chunk_ids" in data:
+                chunk_ids = data["chunk_ids"].tolist()
+                user_ids = data["user_ids"].tolist()
+                document_ids = data["document_ids"].tolist()
+            else:
+                chunk_ids = manifest["chunk_ids"]
+                user_ids = manifest["user_ids"]
+                document_ids = manifest["document_ids"]
             if "embeddings_int8" in data and dtype == "int8":
                 index = cls(dim=manifest["dim"], dtype=dtype, backend=backend,
                             ivf_nprobe=ivf_nprobe, ivf_min_rows=ivf_min_rows)
                 index._install_prequantized(
-                    manifest["chunk_ids"], manifest["user_ids"],
-                    manifest["document_ids"], data["embeddings_int8"], data["scales"],
+                    chunk_ids, user_ids, document_ids,
+                    data["embeddings_int8"], data["scales"],
                 )
                 return index
             if "embeddings_int8" in data:  # dtype changed between runs
@@ -707,6 +741,11 @@ class VectorIndex:
                 mat = native.bf16_to_f32(data["embeddings_bf16"])
             else:
                 mat = data["embeddings"]
+        if len(chunk_ids) != len(mat):
+            raise ValueError(
+                f"{name}: snapshot ids ({len(chunk_ids)}) and embeddings "
+                f"({len(mat)}) disagree — refusing to zip mismatched rows"
+            )
         index = cls(dim=manifest["dim"], dtype=dtype, backend=backend,
                     ivf_nprobe=ivf_nprobe, ivf_min_rows=ivf_min_rows)
         rows = [
@@ -714,9 +753,7 @@ class VectorIndex:
                 chunk_id=c, user_id=u, document_id=d,
                 modality="text" if manifest["dim"] != 512 else "image", embedding=e,
             )
-            for c, u, d, e in zip(
-                manifest["chunk_ids"], manifest["user_ids"], manifest["document_ids"], mat
-            )
+            for c, u, d, e in zip(chunk_ids, user_ids, document_ids, mat)
         ]
         if rows:
             index.upsert(rows)

@@ -65,10 +65,9 @@ def read_wav_mono16k(path: str) -> np.ndarray:
 
 
 def _bucket(n: int, buckets=_CHUNK_BUCKETS) -> int:
-    for b in buckets:
-        if n <= b:
-            return b
-    return buckets[-1]
+    from ..models.runtime import _bucket as _impl  # single shared definition
+
+    return _impl(n, buckets)
 
 
 class WhisperRuntime:

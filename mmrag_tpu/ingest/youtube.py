@@ -140,13 +140,19 @@ def download_video(
         try:
             with yt_dlp.YoutubeDL(opts) as ydl:
                 info = ydl.extract_info(url, download=True)
+            # prepare_filename ignores the merge step (video+audio streams
+            # can merge into .mkv); yt-dlp records the real path here
+            reqs = (info or {}).get("requested_downloads") or []
+            if reqs and reqs[0].get("filepath"):
+                return reqs[0]["filepath"]
             return ydl.prepare_filename(info)
         except Exception as exc:  # yt-dlp raises many error types
             last_exc = exc
-            wait = (attempt + 1) * 2.0
-            logger.warning("download attempt %d failed (%s); retrying in %.0fs",
-                           attempt + 1, exc, wait)
-            time.sleep(wait)
+            if attempt < cfg.youtube.retries:  # no pointless terminal sleep
+                wait = (attempt + 1) * 2.0
+                logger.warning("download attempt %d failed (%s); retrying in %.0fs",
+                               attempt + 1, exc, wait)
+                time.sleep(wait)
     raise YouTubeIngestError(f"download failed after retries: {last_exc}")
 
 
@@ -238,9 +244,10 @@ def transcript_or_fallback(
             if segments:
                 return {"video_id": video_id, "segments": segments,
                         "source": "transcript"}
-        except YouTubeIngestError:
-            raise
         except Exception as exc:
+            # EVERY transcript failure — including a missing
+            # youtube-transcript-api package — falls through to the
+            # download+ASR rung; only the ASR rung's errors are terminal
             logger.warning("transcript fetch failed (%s); falling back to ASR", exc)
     video_path = download_fn(url, work_dir, cfg)
     wav_path = audio_fn(video_path, cfg)

@@ -278,7 +278,9 @@ def mean_pool(hidden: jnp.ndarray, attention_mask: jnp.ndarray) -> jnp.ndarray:
 
 
 def l2_normalize(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
-    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
+    from ..ops.topk import l2_normalize as _impl  # single shared definition
+
+    return _impl(x, axis=-1, eps=eps)
 
 
 def minilm_embed(

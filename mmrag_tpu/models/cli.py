@@ -29,8 +29,7 @@ from . import clip as jclip
 from . import convert
 
 
-def _sanitize(model_id: str) -> str:
-    return model_id.replace("/", "__")
+from .runtime import _sanitize  # single shared definition
 
 
 def _state_dict(model):

@@ -190,7 +190,12 @@ class EncoderRuntime:
             tokenized = [self._bert_tok.tokenize_ids(t) for t in chunk]
             longest = max((len(t) for t in tokenized), default=1) + 2
             seq = _bucket(longest, tpu.text_seq_buckets)
-            ids, mask = self._bert_tok.encode(chunk, seq)
+            # pad the already-tokenized ids directly — calling encode() here
+            # would re-run WordPiece over every text (2x host cost on the
+            # ingest/query hot path)
+            btok = self._bert_tok
+            seqs = [[btok.cls_id, *t[: seq - 2], btok.sep_id] for t in tokenized]
+            ids, mask = tok._pad_batch(seqs, seq, btok.pad_id)
             bsz = _bucket(n, tpu.text_batch_buckets)
             ids, mask = _pad_rows(ids, bsz), _pad_rows(mask, bsz)
             # padded rows are all-pad-token; mean_pool guards div-by-zero

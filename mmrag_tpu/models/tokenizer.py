@@ -158,10 +158,12 @@ class WordPieceTokenizer:
 # CLIP BPE
 # ---------------------------------------------------------------------------
 
+# HF CLIPTokenizer's pattern uses \p{L}/\p{N}; stdlib `re` equivalents:
+# [^\W\d_] matches unicode letters, \d unicode digits, and the final class
+# re-admits "_" (a letter/number/space in neither alphabet)
 _CLIP_PAT = re.compile(
-    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"
-    if False
-    else r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+",
+    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+    r"|[^\W\d_]+|\d|(?:[^\s\w]|_)+",
     re.IGNORECASE,
 )
 
@@ -186,6 +188,9 @@ class ClipBPETokenizer:
         self.eot_id = vocab["<|endoftext|>"]
         self.pad_id = 0
         self.cache: Dict[str, List[str]] = {}
+        # GPT-2/CLIP byte-level mapping: BPE operates on byte-mapped unicode
+        # symbols, so non-ASCII text ("café") tokenizes exactly like HF
+        self._b2u = _bytes_to_unicode()
 
     @classmethod
     def from_files(cls, vocab_json: str, merges_txt: str) -> "ClipBPETokenizer":
@@ -226,7 +231,8 @@ class ClipBPETokenizer:
     def tokenize_ids(self, text: str) -> List[int]:
         ids: List[int] = []
         for tok in _CLIP_PAT.findall(_clip_clean(text)):
-            for piece in self._bpe(tok):
+            mapped = "".join(self._b2u[b] for b in tok.encode("utf-8"))
+            for piece in self._bpe(mapped):
                 ids.append(self.vocab.get(piece, self.vocab.get("</w>", 0)))
         return ids
 

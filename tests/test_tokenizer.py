@@ -98,3 +98,40 @@ def test_loader_reads_vocab_file(tmp_path):
     tk = load_bert_tokenizer(str(tmp_path))
     assert isinstance(tk, WordPieceTokenizer)
     assert tk.tokenize_ids("hello") == [4]
+
+
+def test_clip_bpe_matches_hf_on_unicode(tmp_path):
+    """Byte-level mapping parity vs HF CLIPTokenizer built from the same
+    generated vocab/merges files — exercises non-ASCII ("café", "→")."""
+
+    import json
+
+    transformers = pytest.importorskip("transformers")
+    from mmrag_tpu.models.tokenizer import _bytes_to_unicode
+
+    b2u = _bytes_to_unicode()
+    symbols = list(b2u.values())
+    vocab = {}
+    for s in symbols:
+        vocab[s] = len(vocab)
+    for s in symbols:
+        vocab[s + "</w>"] = len(vocab)
+    merges = [("c", "a"), ("ca", "f"), ("1", "2</w>")]
+    for a, b in merges:
+        if a + b not in vocab:
+            vocab[a + b] = len(vocab)
+    vocab["<|startoftext|>"] = len(vocab)
+    vocab["<|endoftext|>"] = len(vocab)
+    (tmp_path / "vocab.json").write_text(json.dumps(vocab))
+    (tmp_path / "merges.txt").write_text(
+        "#version: 0.2\n" + "\n".join(f"{a} {b}" for a, b in merges) + "\n")
+
+    hf = transformers.CLIPTokenizer(
+        str(tmp_path / "vocab.json"), str(tmp_path / "merges.txt"))
+    ours = ClipBPETokenizer.from_files(
+        str(tmp_path / "vocab.json"), str(tmp_path / "merges.txt"))
+
+    for text in ["cafe 12", "café über", "naïve → tpu!", "héllo wörld 7"]:
+        want = hf(text)["input_ids"]
+        got = [ours.bos_id, *ours.tokenize_ids(text), ours.eot_id]
+        assert got == want, (text, got, want)
