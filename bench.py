@@ -25,7 +25,6 @@ Usage: python bench.py [--platform cpu] [--quick]
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import statistics
 import time
@@ -57,9 +56,17 @@ def _per_iter_seconds(make_step, k1: int, k2: int, *data, repeats: int = 3) -> f
     import jax.numpy as jnp
 
     f = jax.jit(make_step)
-    t1 = _timed_readback(f, jnp.int32(k1), *data, repeats=repeats)
-    t2 = _timed_readback(f, jnp.int32(k2), *data, repeats=repeats)
-    return max((t1 - t2) / (k1 - k2), 1e-9)
+    for attempt in range(3):
+        t1 = _timed_readback(f, jnp.int32(k1), *data, repeats=repeats)
+        t2 = _timed_readback(f, jnp.int32(k2), *data, repeats=repeats)
+        if t1 > t2:
+            return (t1 - t2) / (k1 - k2)
+        # tunnel jitter made the bigger K measure faster — remeasure rather
+        # than publish an absurd clamped throughput
+        repeats += 2
+    # persistent inversion: report the conservative upper bound (includes
+    # dispatch+readback overhead) instead of a silently-wrong number
+    return t1 / k1
 
 
 def bench_minilm(quick: bool) -> float:

@@ -119,7 +119,8 @@ def chat_cache(version_fn: Callable[[str], int]) -> Callable:
         @functools.wraps(fn)
         def wrapper(user_id: str, query: str, *args: Any, **kwargs: Any) -> Any:
             version = version_fn(user_id)
-            key = (user_id, normalize_query(query), version, repr(sorted(kwargs.items())))
+            key = (user_id, normalize_query(query), version,
+                   repr(args), repr(sorted(kwargs.items())))
             cached = _chat_cache.get(key)
             if cached is not None:
                 return cached

@@ -96,18 +96,24 @@ def load() -> Optional[ctypes.CDLL]:
         if needs_build and not _compile():
             _build_failed = True
             return None
-        try:
-            # AttributeError covers a stale .so missing newly bound symbols
-            # (the ABI-version check can't run until binding succeeds)
-            lib = _bind(ctypes.CDLL(_SO))
-            if lib.mmrag_abi_version() != _ABI_VERSION:
+        for attempt in range(2):
+            try:
+                # AttributeError covers a stale .so missing newly bound
+                # symbols (the ABI check can't run until binding succeeds)
+                lib = _bind(ctypes.CDLL(_SO))
+                if lib.mmrag_abi_version() != _ABI_VERSION:
+                    raise OSError("ABI version mismatch")
+                _lib = lib
+                return _lib
+            except (OSError, AttributeError):
+                # a stale-but-newer .so (fresh clone, partial copy) binds
+                # badly even though the source compiles — rebuild once from
+                # source before giving up on native for the process lifetime
+                if attempt == 0 and os.path.exists(_SRC) and _compile():
+                    continue
                 _build_failed = True
                 return None
-            _lib = lib
-        except (OSError, AttributeError):
-            _build_failed = True
-            return None
-        return _lib
+        return None
 
 
 def available() -> bool:
@@ -148,6 +154,14 @@ def gather_rows(src: np.ndarray, rows: np.ndarray) -> np.ndarray:
 
     src = np.ascontiguousarray(src, dtype=np.float32)
     rows = np.ascontiguousarray(rows, dtype=np.int64)
+    # the native path is unchecked pointer arithmetic — reject out-of-range
+    # ids (including numpy's negative wrap, which no caller intends) before
+    # they read arbitrary memory
+    if rows.size and (rows.min() < 0 or rows.max() >= src.shape[0]):
+        raise IndexError(
+            f"gather_rows: ids outside [0, {src.shape[0]}) "
+            f"(min {int(rows.min())}, max {int(rows.max())})"
+        )
     lib = load()
     if lib is None or src.ndim != 2:
         return src[rows]

@@ -143,10 +143,14 @@ void mmrag_merge_topk(const float* scores, const int64_t* ids, int64_t shards,
         for (int64_t j = 0; j < k; ++j) heap.emplace_back(sc[j], id[j]);
       }
       int64_t kk = std::min<int64_t>(k, static_cast<int64_t>(heap.size()));
+      // NaN scores (a poisoned embedding upstream) must not break the
+      // comparator's strict weak ordering (UB in partial_sort): order them
+      // as -inf so they sink to the tail deterministically.
+      auto key = [](float v) { return std::isnan(v) ? -INFINITY : v; };
       std::partial_sort(heap.begin(), heap.begin() + kk, heap.end(),
-                        [](const auto& x, const auto& y) {
-                          return x.first > y.first ||
-                                 (x.first == y.first && x.second < y.second);
+                        [&key](const auto& x, const auto& y) {
+                          const float a = key(x.first), b = key(y.first);
+                          return a > b || (a == b && x.second < y.second);
                         });
       for (int64_t j = 0; j < kk; ++j) {
         out_scores[qi * k + j] = heap[j].first;

@@ -13,7 +13,6 @@ map them back to chunk ids exactly as in the single-chip path.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax
@@ -32,6 +31,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.topk import cosine_topk
 from .mesh import DATA_AXIS
+
+
+def _pad_to_k(scores: jnp.ndarray, idx: jnp.ndarray, k: int):
+    """Pad a clamped result back to the caller's k with -1e30/-1 fillers
+    (same contract as ``merge_topk``) so tiny shards never shrink shapes."""
+
+    if scores.shape[-1] >= k:
+        return scores, idx
+    pad = k - scores.shape[-1]
+    scores = jnp.concatenate(
+        [scores, jnp.full((*scores.shape[:-1], pad), -1e30, scores.dtype)], axis=-1)
+    idx = jnp.concatenate(
+        [idx, jnp.full((*idx.shape[:-1], pad), -1, idx.dtype)], axis=-1)
+    return scores, idx
 
 
 def _merged_topk_fn(mesh: Mesh, k: int, local_score, n_shard_args: int):
@@ -100,7 +113,8 @@ def sharded_topk(
     corpus = jax.device_put(corpus, NamedSharding(mesh, P(DATA_AXIS)))
     mask = jax.device_put(mask, NamedSharding(mesh, P(DATA_AXIS)))
     queries = jax.device_put(queries, NamedSharding(mesh, P()))
-    return fn(queries, corpus, mask)
+    scores, idx = fn(queries, corpus, mask)
+    return _pad_to_k(scores, idx, k)
 
 
 def sharded_topk_int8(
@@ -132,7 +146,8 @@ def sharded_topk_int8(
     corpus_scale = jax.device_put(corpus_scale, NamedSharding(mesh, P(DATA_AXIS)))
     mask = jax.device_put(mask, NamedSharding(mesh, P(DATA_AXIS)))
     queries = jax.device_put(queries, NamedSharding(mesh, P()))
-    return fn(queries, corpus_q, corpus_scale, mask)
+    scores, idx = fn(queries, corpus_q, corpus_scale, mask)
+    return _pad_to_k(scores, idx, k)
 
 
 def merge_slices_host(slice_scores, slice_ids, k: int):

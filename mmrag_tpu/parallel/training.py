@@ -43,10 +43,10 @@ def clip_contrastive_loss(
     cfg: jclip.CLIPConfig,
     compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
-    img = jclip.clip_image_features(params, images, cfg, compute_dtype)
-    txt = jclip.clip_text_features(params, input_ids, attention_mask, cfg, compute_dtype)
-    img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
-    txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
+    from ..ops.topk import l2_normalize  # zero-safe (eps-guarded) variant
+
+    img = l2_normalize(jclip.clip_image_features(params, images, cfg, compute_dtype))
+    txt = l2_normalize(jclip.clip_text_features(params, input_ids, attention_mask, cfg, compute_dtype))
     scale = jnp.exp(params["logit_scale"])
     logits = scale * img @ txt.T  # (b, b) global similarity
     labels = jnp.arange(logits.shape[0])

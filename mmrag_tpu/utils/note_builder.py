@@ -62,14 +62,23 @@ def heuristic_notes(
     quiz = []
     for i, text in enumerate(texts[: quiz_questions * 2]):
         words = [w for w in text.split() if len(w) > 4]
-        if not words:
-            continue
-        answer = max(words, key=len)
-        question = text.replace(answer, "_____", 1)
+        answer = max(words, key=len) if words else ""
         distractors = [w for w in words if w != answer][:3]
+        if not distractors:  # a one-option quiz gives the answer away
+            continue
+        question = text.replace(answer, "_____", 1)
+        # truncate around the blank, not blindly from the front — the blank
+        # must survive into the rendered question
+        blank_at = question.find("_____")
+        start = max(0, min(blank_at - 60, len(question) - 160))
+        question = question[start : start + 160]
+        # deterministic per-question rotation: correct answer is not always
+        # listed first
         options = [answer, *distractors]
+        rot = (i + 1) % len(options)
+        options = options[rot:] + options[:rot]
         quiz.append(
-            {"question": f"Fill in the blank: {question[:160]}",
+            {"question": f"Fill in the blank: {question}",
              "options": options, "answer": answer}
         )
         if len(quiz) >= quiz_questions:
