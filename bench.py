@@ -462,42 +462,61 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     backend = jax.default_backend()
 
-    minilm = bench_minilm(args.quick)
-    clip_im = bench_clip_images(args.quick)
+    def run(fn, default=None):
+        """One retry, then degrade to ``default`` — the tunnel chip
+        sporadically throws an opaque TPU InvalidArgument dependent on
+        allocator state; one flaky step must not zero out the whole
+        benchmark record."""
+
+        import sys
+        import traceback
+
+        for attempt in range(2):
+            try:
+                return fn(args.quick)
+            except Exception:
+                print(f"bench step {fn.__name__} attempt {attempt + 1} failed:",
+                      file=sys.stderr)
+                traceback.print_exc()
+        return default
+
+    minilm = run(bench_minilm)
+    clip_im = run(bench_clip_images)
     # multitenant (Pallas bucket-max path) runs BEFORE the dense top-k
     # benches: after their 1M-row corpora have lived on this chip the pallas
     # dispatch fails with an opaque TPU InvalidArgument (allocator state);
     # running it first is deterministic and measures the same thing
-    multitenant_ms = bench_multitenant(args.quick)
-    topk_ms = bench_topk(args.quick)
-    topk_int8_ms = bench_topk_int8(args.quick)
-    topk_10m_ms = bench_topk_10m(args.quick)
-    ivf_ms, ivf_recall = bench_ivf(args.quick)
-    rerank = bench_rerank(args.quick)
-    chat_ms = bench_chat_path(args.quick)
-    asr_rtf = bench_asr(args.quick)
+    multitenant_ms = run(bench_multitenant)
+    topk_ms = run(bench_topk)
+    topk_int8_ms = run(bench_topk_int8)
+    topk_10m_ms = run(bench_topk_10m)
+    ivf_ms, ivf_recall = run(bench_ivf, default=(None, None))
+    rerank = run(bench_rerank)
+    chat_ms = run(bench_chat_path)
+    asr_rtf = run(bench_asr)
 
+    rnd = lambda v, p=3: round(v, p) if v is not None else None  # noqa: E731
     print(
         json.dumps(
             {
                 "metric": "minilm_embeds_per_sec_per_chip",
-                "value": round(minilm, 1),
+                "value": rnd(minilm, 1),
                 "unit": "embeds/s",
-                "vs_baseline": round(minilm / 50_000.0, 3),
+                "vs_baseline": rnd(minilm / 50_000.0 if minilm else None),
                 "extra": {
                     "backend": backend,
-                    "clip_image_embeds_per_sec": round(clip_im, 1),
-                    "clip_vs_target_10k": round(clip_im / 10_000.0, 3),
-                    "topk_1m_p50_ms": round(topk_ms, 3),
-                    "topk_vs_target_5ms": round(5.0 / topk_ms, 3) if topk_ms else None,
-                    "topk_int8_1m_p50_ms": round(topk_int8_ms, 3),
-                    "topk_10m_p50_ms": round(topk_10m_ms, 3),
-                    "ivf_1m_p50_ms": round(ivf_ms, 3),
-                    "ivf_recall_at_10": round(ivf_recall, 3),
-                    "multitenant_16q_1m_ms": round(multitenant_ms, 3),
-                    "rerank_pairs_per_sec": round(rerank, 1),
-                    "chat_device_path_ms": round(chat_ms, 3),
-                    "whisper_base_asr_x_realtime": round(asr_rtf, 1),
+                    "clip_image_embeds_per_sec": rnd(clip_im, 1),
+                    "clip_vs_target_10k": rnd(clip_im / 10_000.0 if clip_im else None),
+                    "topk_1m_p50_ms": rnd(topk_ms),
+                    "topk_vs_target_5ms": rnd(5.0 / topk_ms if topk_ms else None),
+                    "topk_int8_1m_p50_ms": rnd(topk_int8_ms),
+                    "topk_10m_p50_ms": rnd(topk_10m_ms),
+                    "ivf_1m_p50_ms": rnd(ivf_ms),
+                    "ivf_recall_at_10": rnd(ivf_recall),
+                    "multitenant_16q_1m_ms": rnd(multitenant_ms),
+                    "rerank_pairs_per_sec": rnd(rerank, 1),
+                    "chat_device_path_ms": rnd(chat_ms),
+                    "whisper_base_asr_x_realtime": rnd(asr_rtf, 1),
                     "quick": args.quick,
                 },
             }
