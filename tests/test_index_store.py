@@ -368,3 +368,51 @@ def test_search_runtime_fallback_to_xla(rng):
 
     with pytest.raises(jax.errors.JaxRuntimeError):
         index_xla._search_with_fallback(always_fail, "ignored")
+
+
+def test_upsert_validation_precedes_tombstone(index):
+    """A rejected upsert must not delete the rows it failed to replace."""
+
+    import numpy as np
+
+    from mmrag_tpu.storage.records import VectorRow
+
+    index.upsert([VectorRow(chunk_id="keep", user_id="u", document_id="d",
+                            modality="text", embedding=np.ones(index.dim, np.float32))])
+    bad = [VectorRow(chunk_id="keep", user_id="u", document_id="d",
+                     modality="text", embedding=np.ones(index.dim + 8, np.float32))]
+    with pytest.raises(ValueError):
+        index.upsert(bad)
+    hits = index.search(np.ones(index.dim, np.float32), "u", k=1)
+    assert hits and hits[0][0] == "keep"  # original row survived
+
+
+def test_load_refuses_mismatched_snapshot(tmp_path, index):
+    """Ids/embeddings length disagreement (legacy crash artifact) raises
+    instead of silently zipping wrong rows to wrong tenants."""
+
+    import json
+
+    import numpy as np
+
+    from mmrag_tpu.index.store import VectorIndex
+    from mmrag_tpu.storage.records import VectorRow
+
+    rng = np.random.default_rng(0)
+    rows = [VectorRow(chunk_id=f"c{i}", user_id="u", document_id="d",
+                      modality="text",
+                      embedding=rng.standard_normal(index.dim).astype(np.float32))
+            for i in range(4)]
+    index.upsert(rows)
+    index.save(str(tmp_path), "snap")
+    # simulate the pre-atomic failure mode: stale manifest, fewer ids
+    npz = dict(np.load(tmp_path / "snap.npz"))
+    for key in ("chunk_ids", "user_ids", "document_ids"):
+        del npz[key]  # legacy snapshot: ids only in the manifest
+    np.savez(tmp_path / "snap.npz", **npz)
+    manifest = json.loads((tmp_path / "snap.manifest.json").read_text())
+    for key in ("chunk_ids", "user_ids", "document_ids"):
+        manifest[key] = manifest[key][:2]  # stale: 2 ids vs 4 embeddings
+    (tmp_path / "snap.manifest.json").write_text(json.dumps(manifest))
+    with pytest.raises(ValueError, match="refusing"):
+        VectorIndex.load(str(tmp_path), "snap", dtype="float32")

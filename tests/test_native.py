@@ -113,3 +113,22 @@ def test_l2_normalize_rows(rng):
     np.testing.assert_allclose(got, fb, atol=1e-6)
     norms = np.linalg.norm(got, axis=1)
     assert abs(norms[0] - 1.0) < 1e-5 and norms[7] == 0.0
+
+
+def test_gather_rows_rejects_out_of_range(rng):
+    src = rng.standard_normal((10, 4)).astype(np.float32)
+    with pytest.raises(IndexError):
+        native.gather_rows(src, np.asarray([0, -1], np.int64))
+    with pytest.raises(IndexError):
+        native.gather_rows(src, np.asarray([10], np.int64))
+
+
+def test_merge_topk_nan_scores_sink(rng):
+    """NaN scores (poisoned embeddings) order as -inf instead of invoking
+    UB in the native comparator."""
+
+    scores = np.asarray([[[np.nan, 0.5, 0.1]], [[0.9, np.nan, 0.2]]], np.float32)
+    ids = np.asarray([[[1, 2, 3]], [[4, 5, 6]]], np.int64)
+    out_s, out_i = native.merge_topk(scores, ids, 3)
+    assert out_i[0].tolist() == [4, 2, 6]
+    assert np.all(np.isfinite(out_s[0]) | (out_s[0] <= -1e29) | np.isnan(out_s[0]))
