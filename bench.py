@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import statistics
 import time
 
@@ -449,6 +450,9 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--platform", default="")
     parser.add_argument("--quick", action="store_true")
+    parser.add_argument("--steps", default="",
+                        help="internal: run these bench steps in-process, "
+                             "streaming RESULT lines (child mode)")
     args = parser.parse_args()
     if args.platform:
         import jax
@@ -462,38 +466,85 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     backend = jax.default_backend()
 
-    def run(fn, default=None):
-        """One retry, then degrade to ``default`` — the tunnel chip
-        sporadically throws an opaque TPU InvalidArgument dependent on
-        allocator state; one flaky step must not zero out the whole
-        benchmark record."""
+    # step order: multitenant (Pallas bucket-max) before the dense 1M benches
+    # — the historical deterministic ordering for the allocator-state hazard
+    steps = ["minilm", "clip_images", "multitenant", "topk", "topk_int8",
+             "topk_10m", "ivf", "rerank", "chat_path", "asr"]
 
+    if args.steps:
+        # child mode: run the listed steps in THIS process, streaming one
+        # "RESULT <name> <json>" line per completed step (flushed, so the
+        # parent keeps everything finished before a crash)
         import sys
-        import traceback
 
-        for attempt in range(2):
+        for step in args.steps.split(","):
+            value = globals()[f"bench_{step}"](args.quick)
+            print(f"RESULT {step} " + json.dumps(value), flush=True)
+        return
+
+    def run_all():
+        """The tunnel chip sporadically throws an opaque TPU InvalidArgument
+        that poisons the whole process's TPU client (even PRNGKey fails
+        afterwards), so the benches run in a child process streaming per-step
+        results; when the child dies, a FRESH child resumes from the failed
+        step (which normally succeeds with a clean client). A step that
+        crashes twice as a child's first step is recorded as null."""
+
+        import subprocess
+        import sys
+
+        results = {}
+        start = 0
+        first_step_failures = 0
+        while start < len(steps):
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--steps", ",".join(steps[start:])]
+            if args.quick:
+                cmd.append("--quick")
+            if args.platform:
+                cmd += ["--platform", args.platform]
             try:
-                return fn(args.quick)
-            except Exception:
-                print(f"bench step {fn.__name__} attempt {attempt + 1} failed:",
-                      file=sys.stderr)
-                traceback.print_exc()
-        return default
+                proc = subprocess.run(
+                    cmd, capture_output=True, text=True, timeout=1800)
+                stdout, stderr = proc.stdout, proc.stderr
+            except subprocess.TimeoutExpired as exc:
+                stdout = (exc.stdout or b"").decode() if isinstance(exc.stdout, bytes) else (exc.stdout or "")
+                stderr = "child timed out"
+            done_before = len(results)
+            for line in stdout.splitlines():
+                if line.startswith("RESULT "):
+                    _, name, payload = line.split(" ", 2)
+                    results[name] = json.loads(payload)
+            remaining = [s for s in steps[start:] if s not in results]
+            if not remaining:
+                break
+            crashed = remaining[0]
+            print(f"bench child died at step {crashed}: {stderr[-1500:]}",
+                  file=sys.stderr)
+            if len(results) == done_before:  # crashed on its FIRST step
+                first_step_failures += 1
+                if first_step_failures >= 2:  # fails even with a clean client
+                    results[crashed] = None
+                    first_step_failures = 0
+                    start = steps.index(crashed) + 1
+                    continue
+            else:
+                first_step_failures = 0
+            start = steps.index(crashed)  # fresh child resumes here
+        return results
 
-    minilm = run(bench_minilm)
-    clip_im = run(bench_clip_images)
-    # multitenant (Pallas bucket-max path) runs BEFORE the dense top-k
-    # benches: after their 1M-row corpora have lived on this chip the pallas
-    # dispatch fails with an opaque TPU InvalidArgument (allocator state);
-    # running it first is deterministic and measures the same thing
-    multitenant_ms = run(bench_multitenant)
-    topk_ms = run(bench_topk)
-    topk_int8_ms = run(bench_topk_int8)
-    topk_10m_ms = run(bench_topk_10m)
-    ivf_ms, ivf_recall = run(bench_ivf, default=(None, None))
-    rerank = run(bench_rerank)
-    chat_ms = run(bench_chat_path)
-    asr_rtf = run(bench_asr)
+    r = run_all()
+    minilm = r.get("minilm")
+    clip_im = r.get("clip_images")
+    multitenant_ms = r.get("multitenant")
+    topk_ms = r.get("topk")
+    topk_int8_ms = r.get("topk_int8")
+    topk_10m_ms = r.get("topk_10m")
+    ivf_pair = r.get("ivf") or (None, None)
+    ivf_ms, ivf_recall = ivf_pair
+    rerank = r.get("rerank")
+    chat_ms = r.get("chat_path")
+    asr_rtf = r.get("asr")
 
     rnd = lambda v, p=3: round(v, p) if v is not None else None  # noqa: E731
     print(

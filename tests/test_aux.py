@@ -115,3 +115,25 @@ def test_stage_context_feeds_metrics():
     assert s["counters"]["stage.unit-test-stage"] == 1
     assert s["latency_ms"]["stage.unit-test-stage"]["p50"] >= 8.0
     global_metrics.reset()
+
+
+def test_bench_child_step_smoke():
+    """bench.py --step runs one benchmark in a child process and prints a
+    parseable RESULT line (the driver's whole-bench record depends on it)."""
+
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py"),
+         "--steps", "topk", "--quick", "--platform", "cpu"],
+        capture_output=True, text=True, timeout=480,
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("RESULT topk ")]
+    assert lines, proc.stdout
+    value = json.loads(lines[0][len("RESULT topk "):])
+    assert isinstance(value, float) and value > 0
