@@ -346,17 +346,23 @@ class VectorIndex:
 
     @staticmethod
     def _pow2(n: int) -> int:
-        p = 1
-        while p < n:
-            p *= 2
-        return p
+        return 1 << max(n - 1, 0).bit_length()
 
-    def _ivf_search(self, ivf, queries_j, uids, dids, k):
+    def _ivf_search(self, ivf, queries_j, uids, dids, k, fallback):
         """Predicated probe (tenant/doc/live evaluated in bucket layout,
         in-kernel on TPU) + exact spill, then exact-score the append tail
         (rows written after the build) and merge — correctness of membership
-        never depends on cluster freshness."""
+        never depends on cluster freshness. A runtime TPU failure degrades to
+        ``fallback()`` (the dense path — same contract as
+        :meth:`_search_with_fallback`)."""
 
+        try:
+            return self._ivf_search_inner(ivf, queries_j, uids, dids, k)
+        except jax.errors.JaxRuntimeError:
+            _logger.warning("ivf search failed at runtime; dense xla retry")
+            return fallback()
+
+    def _ivf_search_inner(self, ivf, queries_j, uids, dids, k):
         from ..ops.ivf import ivf_search_pred
         from ..ops.topk import merge_topk
 
@@ -484,23 +490,17 @@ class VectorIndex:
                 )
             elif ivf is not None:
                 q = queries.shape[0]
-                try:
-                    scores, idx = self._ivf_search(
-                        ivf, jnp.asarray(queries.astype(np.float32)),
-                        jnp.full((q,), uid, jnp.int32), jnp.full((q,), did, jnp.int32),
-                        min(k, self._capacity),
-                    )
-                except jax.errors.JaxRuntimeError:
-                    # same degrade contract as _search_with_fallback: the
-                    # Pallas dispatch can fail on allocator state; exactness
-                    # is identical on the dense path
-                    _logger.warning("ivf search failed at runtime; dense xla retry")
-                    scores, idx = self._search_with_fallback(
+                scores, idx = self._ivf_search(
+                    ivf, jnp.asarray(queries.astype(np.float32)),
+                    jnp.full((q,), uid, jnp.int32), jnp.full((q,), did, jnp.int32),
+                    min(k, self._capacity),
+                    fallback=lambda: self._search_with_fallback(
                         _search,
                         self._slab, self._users, self._docs, self._live,
                         jnp.asarray(queries.astype(np.float32)),
                         jnp.int32(uid), jnp.int32(did), min(k, self._capacity),
-                    )
+                    ),
+                )
             else:
                 scores, idx = self._search_with_fallback(
                     _search,
@@ -561,20 +561,17 @@ class VectorIndex:
                     jnp.asarray(uids), jnp.asarray(dids), min(k, self._capacity),
                 )
             elif ivf is not None:
-                try:
-                    scores, idx = self._ivf_search(
-                        ivf, jnp.asarray(queries.astype(np.float32)),
-                        jnp.asarray(uids), jnp.asarray(dids),
-                        min(k, self._capacity),
-                    )
-                except jax.errors.JaxRuntimeError:
-                    _logger.warning("ivf search failed at runtime; dense xla retry")
-                    scores, idx = self._search_with_fallback(
+                scores, idx = self._ivf_search(
+                    ivf, jnp.asarray(queries.astype(np.float32)),
+                    jnp.asarray(uids), jnp.asarray(dids),
+                    min(k, self._capacity),
+                    fallback=lambda: self._search_with_fallback(
                         _search_multi,
                         self._slab, self._users, self._docs, self._live,
                         jnp.asarray(queries.astype(np.float32)),
                         jnp.asarray(uids), jnp.asarray(dids), min(k, self._capacity),
-                    )
+                    ),
+                )
             else:
                 scores, idx = self._search_with_fallback(
                     _search_multi,
@@ -649,13 +646,10 @@ class VectorIndex:
                 "user_ids": np.asarray([self._row_user[i] for i in live_rows], dtype=np.str_),
                 "document_ids": np.asarray([self._row_doc[i] for i in live_rows], dtype=np.str_),
             }
-            manifest = {
-                "dim": self.dim,
-                "rows": int(live_rows.size),
-                "chunk_ids": [self._chunk_ids[i] for i in live_rows],
-                "user_ids": [self._row_user[i] for i in live_rows],
-                "document_ids": [self._row_doc[i] for i in live_rows],
-            }
+            # ids live in the npz (atomic with the data); the manifest is a
+            # small human-readable summary — legacy manifests with full id
+            # lists are still honored by load()
+            manifest = {"dim": self.dim, "rows": int(live_rows.size)}
             npz_tmp = os.path.join(directory, f"{name}.npz.tmp")
             if self.dtype == jnp.int8:
                 # lossless: persist the quantized rows + scales directly (4x

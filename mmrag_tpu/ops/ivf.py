@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .topk import NEG_INF, l2_normalize, merge_topk
+from .topk import NEG_INF, l2_normalize, merge_topk, pad_topk as _pad_k
 
 
 # ---------------------------------------------------------------------------
@@ -485,13 +485,6 @@ def _spill_scores_pred(
     )
 
 
-def _pad_k(s: jnp.ndarray, i: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    if s.shape[1] >= k:
-        return s, i
-    pad = k - s.shape[1]
-    s = jnp.concatenate([s, jnp.full((s.shape[0], pad), NEG_INF, s.dtype)], axis=1)
-    i = jnp.concatenate([i, jnp.full((i.shape[0], pad), -1, i.dtype)], axis=1)
-    return s, i
 
 
 def ivf_search(

@@ -184,6 +184,22 @@ def cosine_topk(
     return scores, idx
 
 
+def pad_topk(
+    scores: jnp.ndarray, idx: jnp.ndarray, k: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pad clamped top-k lists back to ``k`` with the standard -1e30/-1
+    fillers (shared by the IVF and sharded paths)."""
+
+    if scores.shape[-1] >= k:
+        return scores, idx
+    pad = k - scores.shape[-1]
+    scores = jnp.concatenate(
+        [scores, jnp.full((*scores.shape[:-1], pad), NEG_INF, scores.dtype)], axis=-1)
+    idx = jnp.concatenate(
+        [idx, jnp.full((*idx.shape[:-1], pad), -1, idx.dtype)], axis=-1)
+    return scores, idx
+
+
 def merge_topk(
     scores_a: jnp.ndarray,
     idx_a: jnp.ndarray,

@@ -29,22 +29,8 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.topk import cosine_topk
+from ..ops.topk import cosine_topk, pad_topk as _pad_to_k
 from .mesh import DATA_AXIS
-
-
-def _pad_to_k(scores: jnp.ndarray, idx: jnp.ndarray, k: int):
-    """Pad a clamped result back to the caller's k with -1e30/-1 fillers
-    (same contract as ``merge_topk``) so tiny shards never shrink shapes."""
-
-    if scores.shape[-1] >= k:
-        return scores, idx
-    pad = k - scores.shape[-1]
-    scores = jnp.concatenate(
-        [scores, jnp.full((*scores.shape[:-1], pad), -1e30, scores.dtype)], axis=-1)
-    idx = jnp.concatenate(
-        [idx, jnp.full((*idx.shape[:-1], pad), -1, idx.dtype)], axis=-1)
-    return scores, idx
 
 
 def _merged_topk_fn(mesh: Mesh, k: int, local_score, n_shard_args: int):

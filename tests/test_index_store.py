@@ -410,9 +410,12 @@ def test_load_refuses_mismatched_snapshot(tmp_path, index):
     for key in ("chunk_ids", "user_ids", "document_ids"):
         del npz[key]  # legacy snapshot: ids only in the manifest
     np.savez(tmp_path / "snap.npz", **npz)
+    # legacy snapshots carried ids in the manifest; simulate one that is
+    # stale (2 ids vs 4 embeddings)
     manifest = json.loads((tmp_path / "snap.manifest.json").read_text())
-    for key in ("chunk_ids", "user_ids", "document_ids"):
-        manifest[key] = manifest[key][:2]  # stale: 2 ids vs 4 embeddings
+    manifest["chunk_ids"] = ["c0", "c1"]
+    manifest["user_ids"] = ["u", "u"]
+    manifest["document_ids"] = ["d", "d"]
     (tmp_path / "snap.manifest.json").write_text(json.dumps(manifest))
     with pytest.raises(ValueError, match="refusing"):
         VectorIndex.load(str(tmp_path), "snap", dtype="float32")

@@ -241,7 +241,7 @@ def test_vector_index_ivf_runtime_fallback_to_dense(rng, monkeypatch):
     def boom(*a, **k):
         raise jax.errors.JaxRuntimeError("INVALID_ARGUMENT: TPU backend error")
 
-    monkeypatch.setattr(idx, "_ivf_search", boom)
+    monkeypatch.setattr(idx, "_ivf_search_inner", boom)
     hits = idx.search(mat[3], "u1", k=1)
     assert hits and hits[0][0] == "c3"  # dense fallback answered
     hits = idx.search_batch_multi(mat[:2], ["u1", "u1"], k=1)
