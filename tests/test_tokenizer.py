@@ -135,3 +135,29 @@ def test_clip_bpe_matches_hf_on_unicode(tmp_path):
         want = hf(text)["input_ids"]
         got = [ours.bos_id, *ours.tokenize_ids(text), ours.eot_id]
         assert got == want, (text, got, want)
+
+
+def test_wordpiece_matches_hf_bert_tokenizer(tmp_path):
+    """WordPiece parity vs HF BertTokenizer built from the same generated
+    vocab.txt — covers lowercasing, accent stripping, and punct splitting."""
+
+    transformers = pytest.importorskip("transformers")
+
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+             "the", "cafe", "over", "##flow", "runs", "!", ",", "fast",
+             "un", "##der", "##dog", "2", "##3"]
+    (tmp_path / "vocab.txt").write_text("\n".join(vocab) + "\n")
+    hf = transformers.BertTokenizer(str(tmp_path / "vocab.txt"), do_lower_case=True)
+    from mmrag_tpu.models.tokenizer import WordPieceTokenizer
+
+    ours = WordPieceTokenizer.from_vocab_file(str(tmp_path / "vocab.txt"))
+    for text in [
+        "The Café overflow runs fast!",
+        "UNDERDOG, the underdog runs",
+        "café 23 OVER##flow",  # literal ## chars in input, digits
+        "the é́ runs",  # stacked combining accents
+    ]:
+        want = hf(text)["input_ids"]
+        ids, mask = ours.encode([text], max_len=32)
+        got = [int(t) for t in ids[0][: int(mask[0].sum())]]
+        assert got == want, (text, got, want)
