@@ -354,6 +354,36 @@ def bench_rerank(quick: bool) -> float:
     return batch / sec
 
 
+def bench_rerank64(quick: bool) -> float:
+    """Coalesced rerank (8 concurrent chat requests x depth 8 = 64 pairs in
+    one dispatch, the serving MicroBatcher shape): crosses the fused
+    attention gate — measured 3.6x over the XLA path at this shape."""
+
+    import jax
+    import jax.numpy as jnp
+
+    from mmrag_tpu.models import bert
+
+    params = bert.init_cross_encoder_params(jax.random.PRNGKey(2))
+    batch, seq = (32 if quick else 64), 256
+    ids = jax.random.randint(jax.random.PRNGKey(4), (batch, seq), 5, 30000, jnp.int32)
+    mask = jnp.ones((batch, seq), jnp.int32)
+    tt = jnp.concatenate(
+        [jnp.zeros((batch, seq // 2), jnp.int32), jnp.ones((batch, seq // 2), jnp.int32)], 1)
+
+    def make_step(k, params, ids, mask, tt):
+        def body(i, acc):
+            scores = bert.cross_encoder_score(
+                params, (ids + i) % 30000, mask, tt, compute_dtype=jnp.bfloat16)
+            return acc + scores[0]
+
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+    k1, k2 = (8, 2) if quick else (16, 4)
+    sec = _per_iter_seconds(make_step, k1, k2, params, ids, mask, tt)
+    return batch / sec
+
+
 def bench_chat_path(quick: bool) -> float:
     """BASELINE config #3: the full /chat_pro device compute for ONE query —
     dual query embed (MiniLM + CLIP text tower), masked cosine top-50 over a
@@ -469,7 +499,7 @@ def main() -> None:
     # step order: multitenant (Pallas bucket-max) before the dense 1M benches
     # — the historical deterministic ordering for the allocator-state hazard
     steps = ["minilm", "clip_images", "multitenant", "topk", "topk_int8",
-             "topk_10m", "ivf", "rerank", "chat_path", "asr"]
+             "topk_10m", "ivf", "rerank", "rerank64", "chat_path", "asr"]
 
     if args.steps:
         # child mode: run the listed steps in THIS process, streaming one
@@ -543,6 +573,7 @@ def main() -> None:
     ivf_pair = r.get("ivf") or (None, None)
     ivf_ms, ivf_recall = ivf_pair
     rerank = r.get("rerank")
+    rerank64 = r.get("rerank64")
     chat_ms = r.get("chat_path")
     asr_rtf = r.get("asr")
 
@@ -566,6 +597,7 @@ def main() -> None:
                     "ivf_recall_at_10": rnd(ivf_recall),
                     "multitenant_16q_1m_ms": rnd(multitenant_ms),
                     "rerank_pairs_per_sec": rnd(rerank, 1),
+                    "rerank_pairs_per_sec_batch64": rnd(rerank64, 1),
                     "chat_device_path_ms": rnd(chat_ms),
                     "whisper_base_asr_x_realtime": rnd(asr_rtf, 1),
                     "quick": args.quick,

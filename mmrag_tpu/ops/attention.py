@@ -35,10 +35,14 @@ def use_fused(batch: int = 1 << 30, seq: int = 0) -> bool:
     Default: fused on accelerators when the batch carries enough parallel
     work (``batch * seq >= 4096``) — below that (e.g. rerank depth-8 pairs,
     single-query serving) the XLA einsum path measures faster because the
-    kernel's per-head loop can't fill the chip. Always XLA on CPU
-    (interpret-mode Pallas would be pure overhead for real serving).
-    ``MMRAG_ATTN_IMPL=fused`` forces the kernel (interpret mode on CPU — how
-    tests exercise it); ``MMRAG_ATTN_IMPL=xla`` forces the einsum path.
+    kernel's per-head loop can't fill the chip — and the sequence fits the
+    short-seq regime (``seq <= 256``): at seq 512 the tile-2 block kernel
+    compiles but measured 4% slower than XLA (8.0k vs 8.4k embeds/s at
+    batch 64), while seq 256 wins 3.6x (19.8k vs 5.5k rerank pairs/s at
+    batch 64). Always XLA on CPU (interpret-mode Pallas would be pure
+    overhead for real serving). ``MMRAG_ATTN_IMPL=fused`` forces the kernel
+    (interpret mode on CPU — how tests exercise it); ``MMRAG_ATTN_IMPL=xla``
+    forces the einsum path.
     """
 
     override = os.environ.get("MMRAG_ATTN_IMPL", "")
@@ -46,7 +50,9 @@ def use_fused(batch: int = 1 << 30, seq: int = 0) -> bool:
         return True
     if override == "xla":
         return False
-    return jax.default_backend() == "tpu" and batch * seq >= 4096
+    return (
+        jax.default_backend() == "tpu" and batch * seq >= 4096 and seq <= 256
+    )
 
 
 # exp-overflow guard for the no-max-subtraction softmax (see _softmax_ctx):
@@ -100,13 +106,17 @@ def _batch_tile(seq: int, itemsize: int = 2) -> int:
     # with seq, and halve for f32 inputs (a 16-tile f32 MiniLM block compiles
     # to 34 MB scoped VMEM vs the 16 MB limit). tile=32 bf16 at seq 64
     # measured the same speed but sat within 56KB of the cliff — 16 keeps
-    # headroom.
+    # headroom. At seq 256 the whole-block kernel needs a SMALL tile: tile 8
+    # measured 24.9 MB scoped VMEM and tile 4 18.1 MB vs the 16 MB limit —
+    # and the remote compiler's scoped accounting varies run to run (tile 4
+    # compiled once at 19.8k pairs/s, then OOM'd on a later identical
+    # compile), so only tile 2's ~11 MB leaves real margin.
     if seq <= 128:
         tile = 16
     elif seq <= 256:
-        tile = 8
+        tile = 2
     else:
-        tile = 4
+        tile = 2
     if itemsize > 2:
         tile = max(1, tile // 2)
     return tile
