@@ -165,6 +165,10 @@ class TpuDefaults:
     index_growth_factor: int = 2  # append-buffer geometric growth
     mesh_data_axis: str = "data"  # batch DP axis name
     mesh_model_axis: str = "model"  # corpus-shard / TP axis name
+    # multi-chip engine mode: "auto" = data-parallel over every visible device
+    # when >1 (index slabs row-sharded, encoder batches DP-sharded), "off" =
+    # force single-device, or an integer = use the first N devices
+    data_parallel: str = "auto"
     profile_dir: str = ""  # jax.profiler trace dir ("" = disabled)
     microbatch_window_ms: float = 4.0  # cross-request query coalescing (0 = off)
     microbatch_max: int = 16  # max queries per coalesced device step

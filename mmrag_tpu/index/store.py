@@ -40,7 +40,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import native
-from ..ops.topk import cosine_topk, quantize_rows_int8
+from ..ops.topk import (
+    cosine_topk,
+    predicate_mask as _predicate_mask,
+    predicate_mask_multi as _predicate_mask_multi,
+    quantize_rows_int8,
+)
 from ..storage.records import VectorRow
 
 _MIN_CAPACITY = 4096
@@ -55,23 +60,6 @@ def _write_rows(slab: jnp.ndarray, update: jnp.ndarray, start: jnp.ndarray) -> j
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _write_ids(vec: jnp.ndarray, update: jnp.ndarray, start: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.dynamic_update_slice(vec, update, (start,))
-
-
-def _predicate_mask(users, docs, live, user_id, doc_id):
-    """Tenant + optional-document mask, single-query form. The ONE place the
-    isolation predicate lives (int8/exact, single/multi all route here)."""
-
-    return live & (users == user_id) & ((doc_id < 0) | (docs == doc_id))
-
-
-def _predicate_mask_multi(users, docs, live, user_ids, doc_ids):
-    """Per-query (q, n) form of :func:`_predicate_mask`."""
-
-    return (
-        live[None, :]
-        & (users[None, :] == user_ids[:, None])
-        & ((doc_ids[:, None] < 0) | (docs[None, :] == doc_ids[:, None]))
-    )
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -131,8 +119,25 @@ class VectorIndex:
 
     def __init__(self, dim: int, dtype: str = "bfloat16", backend: str = "auto",
                  ivf_nprobe: Optional[int] = None,
-                 ivf_min_rows: Optional[int] = None) -> None:
+                 ivf_min_rows: Optional[int] = None,
+                 mesh=None) -> None:
         self.dim = dim
+        # Multi-chip production mode (SURVEY §2c "LanceDB internal ANN
+        # threading" row, lancedb_store.py:103-123): with a mesh, the slab and
+        # its predicate columns live row-sharded over the `data` axis and every
+        # search routes through the shard_map local-topk + all_gather merge
+        # (parallel/sharded_index.py). Single-device behavior is unchanged.
+        self.mesh = mesh
+        self._sharding = None
+        self._n_data = 1
+        if mesh is not None:
+            from ..parallel.mesh import DATA_AXIS, row_sharded
+
+            n_data = mesh.shape[DATA_AXIS]
+            if n_data > 1:
+                self._sharding = row_sharded(mesh)
+                self._n_data = n_data
+        self._shard_fn_cache: Dict = {}
         self.dtype = self._DTYPES.get(dtype, jnp.float32)
         # backend "ivf" = k-means partitioned ANN (ops/ivf.py, the reference's
         # LanceDB IVF role): built lazily once the index is large enough,
@@ -181,12 +186,21 @@ class VectorIndex:
             table[key] = len(table)
         return table[key]
 
+    def _place(self, arr: jnp.ndarray) -> jnp.ndarray:
+        """Row-shard a device array over the data axis in multi-chip mode."""
+
+        if self._sharding is None:
+            return arr
+        return jax.device_put(arr, self._sharding)
+
     def _ensure_capacity(self, needed: int) -> None:
         if needed <= self._capacity:
             return
         new_cap = max(_MIN_CAPACITY, self._capacity or _MIN_CAPACITY)
         while new_cap < needed:
             new_cap *= 2
+        if new_cap % self._n_data:  # non-power-of-two meshes
+            new_cap += self._n_data - new_cap % self._n_data
         new_slab = jnp.zeros((new_cap, self.dim), dtype=self.dtype)
         new_users = jnp.full((new_cap,), -1, dtype=jnp.int32)
         new_docs = jnp.full((new_cap,), -1, dtype=jnp.int32)
@@ -202,9 +216,10 @@ class VectorIndex:
             if new_scales is not None:
                 new_scales = new_scales.at[: self._size].set(self._scales[: self._size])
         self._slab, self._users, self._docs, self._live = (
-            new_slab, new_users, new_docs, new_live,
+            self._place(new_slab), self._place(new_users),
+            self._place(new_docs), self._place(new_live),
         )
-        self._scales = new_scales
+        self._scales = self._place(new_scales) if new_scales is not None else None
         self._capacity = new_cap
 
     def _host_rows_f32(self) -> np.ndarray:
@@ -253,6 +268,50 @@ class VectorIndex:
             scores, idx = fn(*args, "xla")
             return np.asarray(scores), np.asarray(idx)
 
+    # -- multi-chip (row-sharded slab) dispatch ------------------------------
+
+    def _sharded_fn(self, k: int, backend: str):
+        key = (k, backend)
+        fn = self._shard_fn_cache.get(key)
+        if fn is None:
+            from ..parallel.sharded_index import (
+                sharded_search_fn,
+                sharded_search_int8_fn,
+            )
+
+            if self.dtype == jnp.int8:
+                fn = sharded_search_int8_fn(self.mesh, k)
+            else:
+                fn = sharded_search_fn(self.mesh, k, backend)
+            self._shard_fn_cache[key] = fn
+        return fn
+
+    def _dispatch_sharded(self, queries_j, uids, dids, k: int):
+        """Multi-chip search: per-shard predicated top-k + all_gather merge.
+        Same runtime-failure degrade contract as :meth:`_search_with_fallback`.
+        """
+
+        def run(backend):
+            fn = self._sharded_fn(k, backend)
+            if self.dtype == jnp.int8:
+                s, i = fn(queries_j, uids, dids, self._slab, self._scales,
+                          self._users, self._docs, self._live)
+            else:
+                s, i = fn(queries_j, uids, dids, self._slab,
+                          self._users, self._docs, self._live)
+            return np.asarray(s), np.asarray(i)
+
+        try:
+            return run(self.backend)
+        except jax.errors.JaxRuntimeError:
+            if self.backend == "xla" or self.dtype == jnp.int8:
+                raise
+            _logger.warning(
+                "sharded search backend %r failed at runtime; retrying on dense xla",
+                self.backend,
+            )
+            return run("xla")
+
     # -- IVF ANN ------------------------------------------------------------
 
     def build_ivf(self, n_clusters: Optional[int] = None,
@@ -268,6 +327,13 @@ class VectorIndex:
         (row ids changed)."""
 
         from ..ops import ivf as ivf_ops
+
+        if self._sharding is not None:
+            # each chip already scans only 1/n of the corpus; the bucketed
+            # layout does not compose with row sharding — dense sharded scan
+            # is the multi-chip ANN mode
+            _logger.warning("ivf build skipped: index is mesh-sharded")
+            return
 
         with self._lock:
             if self.dtype == jnp.int8:
@@ -330,6 +396,8 @@ class VectorIndex:
         staleness) and kick off a background (re)build when warranted —
         searches never wait on k-means."""
 
+        if self._sharding is not None:
+            return None  # multi-chip mode: dense per-shard scan (see build_ivf)
         if not self.use_ivf or self.dtype == jnp.int8:
             return self._ivf  # explicit build_ivf() still honored
         build = (
@@ -482,7 +550,15 @@ class VectorIndex:
             else:
                 did = -1
             ivf = self._maybe_ivf()
-            if self.dtype == jnp.int8:
+            if self._sharding is not None:
+                q = queries.shape[0]
+                scores, idx = self._dispatch_sharded(
+                    jnp.asarray(queries.astype(np.float32)),
+                    jnp.full((q,), uid, jnp.int32),
+                    jnp.full((q,), did, jnp.int32),
+                    min(k, self._capacity),
+                )
+            elif self.dtype == jnp.int8:
                 scores, idx = _search_int8(
                     self._slab, self._scales, self._users, self._docs, self._live,
                     jnp.asarray(queries.astype(np.float32)),
@@ -554,7 +630,13 @@ class VectorIndex:
                     # filter"), so the query matches nothing
                     dids[i] = self._doc_intern.get(d, np.iinfo(np.int32).max)
             ivf = self._maybe_ivf()
-            if self.dtype == jnp.int8:
+            if self._sharding is not None:
+                scores, idx = self._dispatch_sharded(
+                    jnp.asarray(queries.astype(np.float32)),
+                    jnp.asarray(uids), jnp.asarray(dids),
+                    min(k, self._capacity),
+                )
+            elif self.dtype == jnp.int8:
                 scores, idx = _search_multi_int8(
                     self._slab, self._scales, self._users, self._docs, self._live,
                     jnp.asarray(queries.astype(np.float32)),
@@ -707,7 +789,7 @@ class VectorIndex:
     @classmethod
     def load(cls, directory: str, name: str, dtype: str = "bfloat16",
              backend: str = "auto", ivf_nprobe: Optional[int] = None,
-             ivf_min_rows: Optional[int] = None) -> "VectorIndex":
+             ivf_min_rows: Optional[int] = None, mesh=None) -> "VectorIndex":
         with open(os.path.join(directory, f"{name}.manifest.json")) as fh:
             manifest = json.load(fh)
         with np.load(os.path.join(directory, f"{name}.npz")) as data:
@@ -723,7 +805,8 @@ class VectorIndex:
                 document_ids = manifest["document_ids"]
             if "embeddings_int8" in data and dtype == "int8":
                 index = cls(dim=manifest["dim"], dtype=dtype, backend=backend,
-                            ivf_nprobe=ivf_nprobe, ivf_min_rows=ivf_min_rows)
+                            ivf_nprobe=ivf_nprobe, ivf_min_rows=ivf_min_rows,
+                            mesh=mesh)
                 index._install_prequantized(
                     chunk_ids, user_ids, document_ids,
                     data["embeddings_int8"], data["scales"],
@@ -741,7 +824,7 @@ class VectorIndex:
                 f"({len(mat)}) disagree — refusing to zip mismatched rows"
             )
         index = cls(dim=manifest["dim"], dtype=dtype, backend=backend,
-                    ivf_nprobe=ivf_nprobe, ivf_min_rows=ivf_min_rows)
+                    ivf_nprobe=ivf_nprobe, ivf_min_rows=ivf_min_rows, mesh=mesh)
         rows = [
             VectorRow(
                 chunk_id=c, user_id=u, document_id=d,
@@ -757,10 +840,11 @@ class VectorIndex:
     def load_or_create(
         cls, directory: str, name: str, dim: int, dtype: str = "bfloat16",
         backend: str = "auto", ivf_nprobe: Optional[int] = None,
-        ivf_min_rows: Optional[int] = None,
+        ivf_min_rows: Optional[int] = None, mesh=None,
     ) -> "VectorIndex":
         if os.path.exists(os.path.join(directory, f"{name}.manifest.json")):
             return cls.load(directory, name, dtype, backend,
-                            ivf_nprobe=ivf_nprobe, ivf_min_rows=ivf_min_rows)
+                            ivf_nprobe=ivf_nprobe, ivf_min_rows=ivf_min_rows,
+                            mesh=mesh)
         return cls(dim=dim, dtype=dtype, backend=backend,
-                   ivf_nprobe=ivf_nprobe, ivf_min_rows=ivf_min_rows)
+                   ivf_nprobe=ivf_nprobe, ivf_min_rows=ivf_min_rows, mesh=mesh)

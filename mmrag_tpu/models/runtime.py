@@ -58,10 +58,25 @@ class EncoderRuntime:
         cfg: Optional[Settings] = None,
         bert_cfg: bert.BertConfig = bert.MINILM_L6,
         clip_cfg: clip.CLIPConfig = clip.CLIP_VIT_B32,
+        mesh=None,
     ) -> None:
         self.cfg = cfg or _default_settings
         self.bert_cfg = bert_cfg
         self.clip_cfg = clip_cfg
+        # Multi-chip engine mode (SURVEY §2c "torch minibatching" row): with
+        # >1 device, every bucketed dispatch runs data-parallel — params
+        # replicated, batch rows sharded over the `data` axis, no collectives
+        # on the forward path. Controlled by TPU_DATA_PARALLEL.
+        if mesh is None:
+            from ..parallel.mesh import engine_data_mesh
+
+            mesh = engine_data_mesh(self.cfg)
+        self.mesh = mesh
+        self._n_data = 1
+        if mesh is not None:
+            from ..parallel.mesh import DATA_AXIS
+
+            self._n_data = mesh.shape[DATA_AXIS]
         self.text_dim = bert_cfg.hidden_size
         self.clip_dim = clip_cfg.projection_dim
         # RLock: _ensure_cross reuses _ensure_minilm's tokenizer under the lock
@@ -137,12 +152,38 @@ class EncoderRuntime:
 
     # -- jitted kernels (cached per shape by jax.jit) -----------------------
 
+    def _jit(self, fn, n_batch_args: int):
+        """jit with DP shardings in multi-chip mode: params replicated, the
+        ``n_batch_args`` batch arrays (and the output) row-sharded over the
+        data axis (:mod:`mmrag_tpu.parallel.inference` semantics, wired into
+        the production runtime)."""
+
+        if self.mesh is None:
+            return jax.jit(fn)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import DATA_AXIS
+
+        repl = NamedSharding(self.mesh, P())
+        rows = NamedSharding(self.mesh, P(DATA_AXIS))
+        return jax.jit(
+            fn, in_shardings=(repl,) + (rows,) * n_batch_args, out_shardings=rows
+        )
+
+    def _round_batch(self, bsz: int) -> int:
+        """Pad the bucket size up to a multiple of the data-axis size so the
+        batch dim shards evenly (single-device: identity)."""
+
+        if bsz % self._n_data:
+            bsz += self._n_data - bsz % self._n_data
+        return bsz
+
     @functools.cached_property
     def _minilm_fn(self):
-        return jax.jit(
+        return self._jit(
             lambda p, ids, mask: bert.minilm_embed(
                 p, ids, mask, self.bert_cfg, compute_dtype=self.compute_dtype
-            )
+            ),
+            n_batch_args=2,
         )
 
     @functools.cached_property
@@ -154,7 +195,7 @@ class EncoderRuntime:
             feats = clip.clip_image_features(p, pixels, self.clip_cfg, compute_dtype=self.compute_dtype)
             return bert.l2_normalize(feats)
 
-        return jax.jit(fn)
+        return self._jit(fn, n_batch_args=1)
 
     @functools.cached_property
     def _clip_text_fn(self):
@@ -162,14 +203,15 @@ class EncoderRuntime:
             feats = clip.clip_text_features(p, ids, mask, self.clip_cfg, compute_dtype=self.compute_dtype)
             return bert.l2_normalize(feats)
 
-        return jax.jit(fn)
+        return self._jit(fn, n_batch_args=2)
 
     @functools.cached_property
     def _cross_fn(self):
-        return jax.jit(
+        return self._jit(
             lambda p, ids, mask, tt: bert.cross_encoder_score(
                 p, ids, mask, tt, self.bert_cfg, compute_dtype=self.compute_dtype
-            )
+            ),
+            n_batch_args=3,
         )
 
     # -- public API (reference embed_* signatures) --------------------------
@@ -196,7 +238,7 @@ class EncoderRuntime:
             btok = self._bert_tok
             seqs = [[btok.cls_id, *t[: seq - 2], btok.sep_id] for t in tokenized]
             ids, mask = tok._pad_batch(seqs, seq, btok.pad_id)
-            bsz = _bucket(n, tpu.text_batch_buckets)
+            bsz = self._round_batch(_bucket(n, tpu.text_batch_buckets))
             ids, mask = _pad_rows(ids, bsz), _pad_rows(mask, bsz)
             # padded rows are all-pad-token; mean_pool guards div-by-zero
             emb = self._minilm_fn(params, jnp.asarray(ids), jnp.asarray(mask))
@@ -233,7 +275,7 @@ class EncoderRuntime:
             chunk = images[start : start + max_batch]
             n = len(chunk)
             batch = stack_square_crops(chunk, canvas=224)
-            bsz = _bucket(n, tpu.image_batch_buckets)
+            bsz = self._round_batch(_bucket(n, tpu.image_batch_buckets))
             batch = _pad_rows(batch, bsz)
             yield self._clip_image_fn(params, jnp.asarray(batch)), n
 
@@ -268,7 +310,7 @@ class EncoderRuntime:
         for start in range(0, len(queries), max_batch):
             chunk = list(queries[start : start + max_batch])
             ids, mask = self._clip_tok.encode(chunk, max_len=77)
-            bsz = _bucket(len(chunk), buckets)
+            bsz = self._round_batch(_bucket(len(chunk), buckets))
             ids, mask = _pad_rows(ids, bsz), _pad_rows(mask, bsz)
             emb = self._clip_text_fn(params, jnp.asarray(ids), jnp.asarray(mask))
             out.append(np.asarray(emb[: len(chunk)], dtype=np.float32))
@@ -301,7 +343,7 @@ class EncoderRuntime:
             qs = list(queries[start : start + max_batch])
             ps = list(passages[start : start + max_batch])
             ids, mask, tt = self._bert_tok.encode_pairs(qs, ps, seq)
-            bsz = _bucket(len(ps), tpu.text_batch_buckets)
+            bsz = self._round_batch(_bucket(len(ps), tpu.text_batch_buckets))
             ids, mask, tt = _pad_rows(ids, bsz), _pad_rows(mask, bsz), _pad_rows(tt, bsz)
             scores = self._cross_fn(
                 params, jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(tt)

@@ -39,6 +39,24 @@ def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndar
     return x / jnp.maximum(norm, eps)
 
 
+def predicate_mask(users, docs, live, user_id, doc_id):
+    """Tenant + optional-document mask, single-query form. The ONE place the
+    isolation predicate lives — single/multi, int8/exact, single-chip and the
+    per-shard form inside ``shard_map`` all route here."""
+
+    return live & (users == user_id) & ((doc_id < 0) | (docs == doc_id))
+
+
+def predicate_mask_multi(users, docs, live, user_ids, doc_ids):
+    """Per-query ``(q, n)`` form of :func:`predicate_mask`."""
+
+    return (
+        live[None, :]
+        & (users[None, :] == user_ids[:, None])
+        & ((doc_ids[:, None] < 0) | (docs[None, :] == doc_ids[:, None]))
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("k", "recall_target"))
 def _cosine_topk_approx(
     queries: jnp.ndarray,

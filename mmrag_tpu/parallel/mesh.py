@@ -16,6 +16,7 @@ the mesh spans all processes' devices and XLA keeps collectives on ICI
 
 from __future__ import annotations
 
+import threading
 from typing import Optional, Tuple
 
 import jax
@@ -83,6 +84,40 @@ def build_mesh(
         raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
     grid = np.asarray(devices).reshape(n // model_parallel, model_parallel)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+_engine_meshes: dict = {}
+_engine_mesh_lock = threading.Lock()
+
+
+def engine_data_mesh(cfg=None) -> Optional[Mesh]:
+    """The mesh the *production engine* runs on (or ``None`` single-device).
+
+    Reads ``cfg.tpu.data_parallel`` (``TPU_DATA_PARALLEL``): ``auto`` uses
+    every visible device when there is more than one, ``off`` forces the
+    single-device paths, an integer uses the first N devices. The mesh is
+    data-axis-only (model_parallel=1 — encoder params are replicated; TP is
+    the training path's concern) and cached per device count so every
+    :class:`~mmrag_tpu.index.store.VectorIndex` /
+    :class:`~mmrag_tpu.models.runtime.EncoderRuntime` in the process shares
+    one mesh object (and therefore one jit cache per sharding).
+    """
+
+    setting = "auto"
+    if cfg is not None:
+        setting = cfg.tpu.data_parallel
+    if setting == "off":
+        return None
+    avail = len(jax.devices())
+    n = avail if setting == "auto" else min(int(setting), avail)
+    if n < 2:
+        return None
+    with _engine_mesh_lock:
+        mesh = _engine_meshes.get(n)
+        if mesh is None:
+            mesh = build_mesh(n_devices=n, model_parallel=1)
+            _engine_meshes[n] = mesh
+        return mesh
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

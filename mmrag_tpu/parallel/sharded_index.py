@@ -29,39 +29,80 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.topk import cosine_topk, pad_topk as _pad_to_k
+from ..ops.topk import (
+    cosine_topk,
+    pad_topk as _pad_to_k,
+    predicate_mask_multi,
+)
 from .mesh import DATA_AXIS
 
 
-def _merged_topk_fn(mesh: Mesh, k: int, local_score, n_shard_args: int):
-    """shard_map factory shared by every backend: ``local_score(queries,
-    *shard_args) -> (scores, idx)`` runs per chip; this wraps it with the
-    global-offset + all_gather + k-merge that is identical across backends."""
+def _merged_topk_fn(mesh: Mesh, k: int, local_score, n_shard_args: int,
+                    n_repl_args: int = 1):
+    """shard_map factory shared by every backend: ``local_score(*repl_args,
+    *shard_args) -> (scores, idx)`` runs per chip (the first replicated arg is
+    the query batch); this wraps it with the global-offset + all_gather +
+    k-merge that is identical across backends. The local k is clamped to the
+    shard row count and the merged output padded back to ``k``, so tiny
+    test shards behave like production slabs."""
 
-    def local_topk(queries, *shard_args):
+    def local_topk(*args):
+        queries = args[0]
+        shard_args = args[n_repl_args:]
         shard_rows = shard_args[0].shape[0]
-        scores, idx = local_score(queries, *shard_args)
+        k_local = min(k, shard_rows)
+        scores, idx = local_score(*args)
         my_offset = jax.lax.axis_index(DATA_AXIS) * shard_rows
         global_idx = idx + my_offset
-        # gather every shard's candidates: (n_shards, q, k) on every device
+        # gather every shard's candidates: (n_shards, q, k_local) per device
         all_scores = jax.lax.all_gather(scores, DATA_AXIS)
         all_idx = jax.lax.all_gather(global_idx, DATA_AXIS)
         n_shards = all_scores.shape[0]
         q = queries.shape[0]
-        merged_scores = jnp.transpose(all_scores, (1, 0, 2)).reshape(q, n_shards * k)
-        merged_idx = jnp.transpose(all_idx, (1, 0, 2)).reshape(q, n_shards * k)
-        top_scores, sel = jax.lax.top_k(merged_scores, k)
+        merged_scores = jnp.transpose(all_scores, (1, 0, 2)).reshape(q, n_shards * k_local)
+        merged_idx = jnp.transpose(all_idx, (1, 0, 2)).reshape(q, n_shards * k_local)
+        top_scores, sel = jax.lax.top_k(merged_scores, min(k, n_shards * k_local))
         top_idx = jnp.take_along_axis(merged_idx, sel, axis=-1)
-        return top_scores, top_idx
+        return _pad_to_k(top_scores, top_idx, k)
 
     mapped = shard_map(
         local_topk,
         mesh=mesh,
-        in_specs=(P(),) + (P(DATA_AXIS),) * n_shard_args,
+        in_specs=(P(),) * n_repl_args + (P(DATA_AXIS),) * n_shard_args,
         out_specs=(P(), P()),
         check_rep=False,
     )
     return jax.jit(mapped)
+
+
+def sharded_search_fn(mesh: Mesh, k: int, backend: str = "auto"):
+    """The engine's production multi-chip search (VectorIndex sharded mode):
+    ``fn(queries, uids, dids, slab, users, docs, live)`` where the slab and
+    its predicate columns are row-sharded over ``data`` and queries plus
+    per-query tenant/doc ids are replicated. The tenant/document predicate is
+    evaluated *per shard inside shard_map* (same :func:`predicate_mask_multi`
+    as the single-chip path, so isolation semantics are identical) and the
+    per-shard top-k candidates merge with one ``all_gather`` over ICI."""
+
+    def local_score(queries, uids, dids, slab, users, docs, live):
+        mask = predicate_mask_multi(users, docs, live, uids, dids)
+        return cosine_topk(queries, slab, mask, min(k, slab.shape[0]), backend)
+
+    return _merged_topk_fn(mesh, k, local_score, n_shard_args=4, n_repl_args=3)
+
+
+def sharded_search_int8_fn(mesh: Mesh, k: int):
+    """int8 storage-mode variant of :func:`sharded_search_fn`:
+    ``fn(queries, uids, dids, slab_q, scales, users, docs, live)`` — each chip
+    runs the MXU-native int8 scoring over its quantized HBM shard."""
+
+    from ..ops.topk import _cosine_topk_int8
+
+    def local_score(queries, uids, dids, slab_q, scales, users, docs, live):
+        mask = predicate_mask_multi(users, docs, live, uids, dids)
+        return _cosine_topk_int8(queries, slab_q, scales, mask, min(k, slab_q.shape[0]))
+
+    return _merged_topk_fn(mesh, k, local_score, n_shard_args=5, n_repl_args=3)
 
 
 def sharded_topk_fn(mesh: Mesh, k: int, backend: str = "auto"):

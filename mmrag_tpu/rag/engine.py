@@ -38,6 +38,11 @@ class RagEngine:
         self.runtime = runtime or get_runtime(self.cfg)
         paths = self.cfg.paths
         os.makedirs(paths.index_dir, exist_ok=True)
+        # multi-chip engine mode: with >1 device (and TPU_DATA_PARALLEL not
+        # "off") both index slabs are row-sharded over the data axis and
+        # every search runs the shard_map local-topk + all_gather merge; the
+        # runtime computed the same mesh for its DP encoder dispatches
+        self.mesh = getattr(self.runtime, "mesh", None)  # stubs lack a mesh
         # index storage dtype is its own knob: TPU_INDEX_DTYPE=int8 must not
         # downgrade the encoders' compute dtype (review finding)
         index_dtype = self.cfg.tpu.index_dtype or self.cfg.tpu.compute_dtype
@@ -47,6 +52,7 @@ class RagEngine:
             backend=self.cfg.tpu.topk_backend,
             ivf_nprobe=self.cfg.tpu.ivf_nprobe,
             ivf_min_rows=self.cfg.tpu.ivf_min_rows,
+            mesh=self.mesh,
         )
         self.image_index = VectorIndex.load_or_create(
             paths.index_dir, "image_collection",
@@ -54,6 +60,7 @@ class RagEngine:
             backend=self.cfg.tpu.topk_backend,
             ivf_nprobe=self.cfg.tpu.ivf_nprobe,
             ivf_min_rows=self.cfg.tpu.ivf_min_rows,
+            mesh=self.mesh,
         )
         self.metadata = MetadataStore(
             os.path.join(paths.index_dir, "metadata.db")

@@ -99,6 +99,21 @@ def _read_int_csv(env: Mapping[str, str], key: str, default: str) -> Tuple[int, 
     return tuple(sorted(items))
 
 
+def _read_data_parallel(env: Mapping[str, str], default: str) -> str:
+    raw = (env.get("TPU_DATA_PARALLEL") or default).strip().lower()
+    if raw in ("auto",):
+        return "auto"
+    if raw in _FALSY or raw == "off":
+        return "off"
+    try:
+        n = int(raw)
+    except ValueError as exc:
+        raise SettingsError(
+            f"TPU_DATA_PARALLEL must be auto/off/<device count>, got {raw!r}"
+        ) from exc
+    return "off" if n <= 1 else str(n)
+
+
 # ---------------------------------------------------------------------------
 # Per-domain frozen settings (reference app/settings.py:58-168)
 # ---------------------------------------------------------------------------
@@ -211,6 +226,7 @@ class TpuSettings:
     index_growth_factor: int
     mesh_data_axis: str
     mesh_model_axis: str
+    data_parallel: str  # "auto" | "off" | device count (multi-chip engine mode)
     profile_dir: str
     microbatch_window_ms: float  # 0 disables cross-request query batching
     microbatch_max: int
@@ -349,6 +365,7 @@ def load_settings(env: Optional[Mapping[str, str]] = None) -> Settings:
             ),
             mesh_data_axis=_read_env(env, "TPU_MESH_DATA_AXIS", d.tpu.mesh_data_axis),
             mesh_model_axis=_read_env(env, "TPU_MESH_MODEL_AXIS", d.tpu.mesh_model_axis),
+            data_parallel=_read_data_parallel(env, d.tpu.data_parallel),
             profile_dir=_read_env(env, "TPU_PROFILE_DIR", d.tpu.profile_dir),
             microbatch_window_ms=_read_float(
                 env, "TPU_MICROBATCH_WINDOW_MS", d.tpu.microbatch_window_ms

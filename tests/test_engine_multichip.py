@@ -1,0 +1,214 @@
+"""Multi-chip as the ENGINE's production mode (VERDICT r1 item 1).
+
+These tests run on the 8-virtual-CPU-device mesh from conftest and assert the
+engine-level contract: a RagEngine built with TPU_DATA_PARALLEL=auto (slab
+row-sharded, encoder dispatches DP) produces the same ingest + retrieval
+results as one built with TPU_DATA_PARALLEL=off — same chunk ids, same
+scores — through the *public* engine API, not standalone parallel functions.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from mmrag_tpu.index.store import VectorIndex
+from mmrag_tpu.parallel.mesh import DATA_AXIS, build_mesh, engine_data_mesh
+from mmrag_tpu.storage import Document
+from mmrag_tpu.storage.records import VectorRow
+
+from tiny import tiny_engine
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs multiple (virtual) devices"
+)
+
+
+def _rows(rng, n, dim=64, user="u1", doc="d1", start=0):
+    mat = rng.standard_normal((n, dim)).astype(np.float32)
+    return [
+        VectorRow(
+            chunk_id=f"{doc}-c{start + i}", user_id=user, document_id=doc,
+            modality="text", embedding=mat[i],
+        )
+        for i in range(n)
+    ]
+
+
+@pytest.fixture()
+def mesh():
+    return build_mesh(model_parallel=1)
+
+
+class TestShardedVectorIndex:
+    def test_matches_single_device(self, rng, mesh):
+        single = VectorIndex(dim=64, dtype="float32")
+        sharded = VectorIndex(dim=64, dtype="float32", mesh=mesh)
+        rows = _rows(rng, 500) + _rows(rng, 300, user="u2", doc="d2")
+        single.upsert(rows)
+        sharded.upsert(rows)
+        assert sharded._sharding is not None  # slab actually row-sharded
+
+        queries = rng.standard_normal((4, 64)).astype(np.float32)
+        for user, doc in [("u1", None), ("u2", "d2"), ("u1", "d2")]:
+            a = single.search_batch(queries, user, k=10, document_id=doc)
+            b = sharded.search_batch(queries, user, k=10, document_id=doc)
+            for ha, hb in zip(a, b):
+                assert [c for c, _ in ha] == [c for c, _ in hb]
+                np.testing.assert_allclose(
+                    [s for _, s in ha], [s for _, s in hb], rtol=1e-5
+                )
+
+    def test_multi_tenant_batched(self, rng, mesh):
+        single = VectorIndex(dim=64, dtype="float32")
+        sharded = VectorIndex(dim=64, dtype="float32", mesh=mesh)
+        rows = _rows(rng, 200) + _rows(rng, 200, user="u2", doc="d2")
+        single.upsert(rows)
+        sharded.upsert(rows)
+        queries = rng.standard_normal((6, 64)).astype(np.float32)
+        users = ["u1", "u2", "u1", "u2", "nobody", "u1"]
+        docs = [None, "d2", "d1", None, None, "d2"]
+        a = single.search_batch_multi(queries, users, 8, docs)
+        b = sharded.search_batch_multi(queries, users, 8, docs)
+        for ha, hb in zip(a, b):
+            assert [c for c, _ in ha] == [c for c, _ in hb]
+        assert a[4] == [] and b[4] == []  # unknown tenant isolated
+        assert a[5] == [] and b[5] == []  # u1 has no doc d2
+
+    def test_int8_sharded(self, rng, mesh):
+        single = VectorIndex(dim=64, dtype="int8")
+        sharded = VectorIndex(dim=64, dtype="int8", mesh=mesh)
+        rows = _rows(rng, 400)
+        single.upsert(rows)
+        sharded.upsert(rows)
+        queries = rng.standard_normal((3, 64)).astype(np.float32)
+        a = single.search_batch(queries, "u1", k=5)
+        b = sharded.search_batch(queries, "u1", k=5)
+        for ha, hb in zip(a, b):
+            assert [c for c, _ in ha] == [c for c, _ in hb]
+            np.testing.assert_allclose(
+                [s for _, s in ha], [s for _, s in hb], rtol=1e-4
+            )
+
+    def test_tombstone_growth_compact_persist(self, rng, mesh, tmp_path):
+        sharded = VectorIndex(dim=64, dtype="float32", mesh=mesh)
+        sharded.upsert(_rows(rng, 100))
+        sharded.upsert(_rows(rng, 5000, start=100))  # forces capacity growth
+        assert sharded._capacity % mesh.shape[DATA_AXIS] == 0
+        sharded.delete_document("d1")  # tombstones every row on the sharded live mask
+        assert len(sharded) == 0
+        rows = _rows(rng, 64, doc="d3")
+        sharded.upsert(rows)
+        sharded.compact()
+        assert len(sharded) == 64
+        sharded.save(str(tmp_path), "t")
+        # reload in sharded mode and verify search still matches exact re-scan
+        loaded = VectorIndex.load(str(tmp_path), "t", dtype="float32", mesh=mesh)
+        q = rows[7].embedding[None, :] / np.linalg.norm(rows[7].embedding)
+        hits = loaded.search_batch(q.astype(np.float32), "u1", k=1)
+        assert hits[0][0][0] == "d3-c7"
+
+    def test_ivf_request_degrades_to_dense(self, rng, mesh):
+        # backend=ivf + mesh: the bucketed layout doesn't compose with row
+        # sharding; searches must still answer exactly (dense sharded scan)
+        idx = VectorIndex(dim=64, dtype="float32", backend="ivf", mesh=mesh)
+        idx.ivf_min_rows = 10
+        rows = _rows(rng, 200)
+        idx.upsert(rows)
+        idx.build_ivf()  # warns + no-op
+        assert idx._ivf is None
+        q = rows[3].embedding[None, :] / np.linalg.norm(rows[3].embedding)
+        hits = idx.search_batch(q.astype(np.float32), "u1", k=1)
+        assert hits[0][0][0] == "d1-c3"
+
+
+class TestEngineMultichip:
+    """The VERDICT 'done' bar: a RagEngine-level ingest+chat on the virtual
+    mesh matches the single-device engine."""
+
+    @pytest.fixture()
+    def engines(self, tmp_path):
+        from mmrag_tpu.rag import index_build as ib
+
+        nodes = [
+            {
+                "id": f"doc1-c{i}",
+                "text": text,
+                "metadata": {"document_id": "doc1", "page": i + 1},
+            }
+            for i, text in enumerate(
+                [
+                    "The mitochondria is the powerhouse of the cell.",
+                    "Photosynthesis converts light energy into chemical energy.",
+                    "Newton's laws of motion describe classical mechanics.",
+                    "The Krebs cycle produces ATP in cellular respiration.",
+                ]
+            )
+        ]
+        built = []
+        for name, dp in [("single", "off"), ("multi", "auto")]:
+            eng = tiny_engine(tmp_path / name, {"TPU_DATA_PARALLEL": dp})
+            eng.metadata.upsert_document(
+                Document(document_id="doc1", user_id="u1", doc_type="pdf", title="T")
+            )
+            ib.index_text_nodes("u1", nodes, eng)
+            built.append(eng)
+        yield built
+        for eng in built:
+            eng.close()
+
+    def test_mesh_active_only_in_auto(self, engines):
+        single, multi = engines
+        assert single.mesh is None and single.text_index._sharding is None
+        assert multi.mesh is not None
+        assert multi.text_index._sharding is not None
+        assert multi.runtime.mesh is multi.mesh
+
+    def test_retrieve_matches_single_device(self, engines):
+        from mmrag_tpu.rag import retrieve as rv
+
+        single, multi = engines
+        for query in ["what powers the cell?", "laws of motion"]:
+            a = rv.retrieve("u1", query, single)
+            b = rv.retrieve("u1", query, multi)
+            assert [h["chunk_id"] for h in a["results"]] == [
+                h["chunk_id"] for h in b["results"]
+            ]
+            for ha, hb in zip(a["text"], b["text"]):
+                assert ha["chunk_id"] == hb["chunk_id"]
+                np.testing.assert_allclose(ha["score"], hb["score"], atol=1e-5)
+
+    def test_dp_embeddings_match(self, engines):
+        single, multi = engines
+        texts = [f"sentence number {i} about biology" for i in range(11)]
+        a = single.runtime.embed_text_batch(texts)
+        b = multi.runtime.embed_text_batch(texts)
+        np.testing.assert_allclose(a, b, atol=1e-5)
+        qa = single.runtime.embed_queries_for_images(texts[:3])
+        qb = multi.runtime.embed_queries_for_images(texts[:3])
+        np.testing.assert_allclose(qa, qb, atol=1e-5)
+        ra = single.runtime.rerank_scores("cell power", texts[:5])
+        rb = multi.runtime.rerank_scores("cell power", texts[:5])
+        np.testing.assert_allclose(ra, rb, atol=1e-4)
+
+    def test_dp_image_embeddings_match(self, engines, rng):
+        single, multi = engines
+        imgs = [rng.integers(0, 255, (64, 64, 3), dtype=np.uint8) for _ in range(5)]
+        a = single.runtime.embed_images_batch(imgs)
+        b = multi.runtime.embed_images_batch(imgs)
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_engine_data_mesh_settings(tmp_path):
+    from mmrag_tpu.settings import load_settings
+
+    n = len(jax.devices())
+    cfg_auto = load_settings({"TPU_DATA_PARALLEL": "auto"})
+    cfg_off = load_settings({"TPU_DATA_PARALLEL": "off"})
+    cfg_two = load_settings({"TPU_DATA_PARALLEL": "2"})
+    assert engine_data_mesh(cfg_off) is None
+    mesh = engine_data_mesh(cfg_auto)
+    assert mesh is not None and mesh.shape[DATA_AXIS] == n
+    assert engine_data_mesh(cfg_two).shape[DATA_AXIS] == 2
+    # cached: same device count -> same mesh object (shared jit caches)
+    assert engine_data_mesh(cfg_auto) is mesh
