@@ -161,6 +161,10 @@ class TpuDefaults:
     topk_backend: str = "auto"  # auto|pallas|xla|approx|ivf
     ivf_nprobe: int = 64  # clusters probed per query (ivf backend)
     ivf_min_rows: int = 65536  # rows before the ivf layout is built lazily
+    # discard an ivf layout whose mean assignment cosine is below this factor
+    # x the structureless baseline sqrt(2 ln C / d) — probing structureless
+    # data buys no recall, so the exact dense path serves instead (0 = off)
+    ivf_min_structure: float = 1.5
     index_shard_rows: int = 131072  # rows per device shard slab (static shape)
     index_growth_factor: int = 2  # append-buffer geometric growth
     mesh_data_axis: str = "data"  # batch DP axis name

@@ -120,6 +120,7 @@ class VectorIndex:
     def __init__(self, dim: int, dtype: str = "bfloat16", backend: str = "auto",
                  ivf_nprobe: Optional[int] = None,
                  ivf_min_rows: Optional[int] = None,
+                 ivf_min_structure: Optional[float] = None,
                  mesh=None) -> None:
         self.dim = dim
         # Multi-chip production mode (SURVEY §2c "LanceDB internal ANN
@@ -150,15 +151,21 @@ class VectorIndex:
                 f"int8 index supports backend auto/xla, not {backend!r} "
                 "(the pallas/approx paths score bf16/f32 slabs)"
             )
-        if self.use_ivf and self.dtype == jnp.int8:
-            raise ValueError("ivf backend requires a bf16/f32 index (not int8)")
         self.backend = backend  # cosine_topk backend: auto|xla|pallas|approx
         # knobs normally flow in from settings (TPU_IVF_NPROBE/TPU_IVF_MIN_ROWS
         # via the typed loader); constructor defaults serve direct use
         self.ivf_nprobe = 64 if ivf_nprobe is None else int(ivf_nprobe)
         self.ivf_min_rows = 65536 if ivf_min_rows is None else int(ivf_min_rows)
+        # clusterability gate (VERDICT r1 item 7): a built layout whose mean
+        # assignment cosine is below min_structure x the structureless
+        # baseline is discarded — probing buys no recall on such data, so the
+        # exact dense path serves instead. 0 disables the gate.
+        self.ivf_min_structure = (
+            1.5 if ivf_min_structure is None else float(ivf_min_structure)
+        )
         self._ivf = None  # ops.ivf.IVFData once built
         self._ivf_building = False  # a background (re)build is in flight
+        self._ivf_poor_at = 0  # rows when structure was judged poor (backoff)
         self.ivf_build_async = True  # tests set False for determinism
         self._generation = 0  # bumped by compact(); aborts stale installs
         self._scales: Optional[jnp.ndarray] = None  # (capacity,) f32, int8 mode
@@ -268,6 +275,44 @@ class VectorIndex:
             scores, idx = fn(*args, "xla")
             return np.asarray(scores), np.asarray(idx)
 
+    # -- dense (exact full-scan) dispatch ------------------------------------
+
+    def _dense_single(self, queries: np.ndarray, uid: int, did: int, k: int):
+        """Exact masked scan, single-tenant scalar predicates (int8 or
+        bf16/f32 slab). Also the runtime-failure fallback for IVF search."""
+
+        if self.dtype == jnp.int8:
+            scores, idx = _search_int8(
+                self._slab, self._scales, self._users, self._docs, self._live,
+                jnp.asarray(queries.astype(np.float32)),
+                jnp.int32(uid), jnp.int32(did), min(k, self._capacity),
+            )
+            return np.asarray(scores), np.asarray(idx)
+        return self._search_with_fallback(
+            _search,
+            self._slab, self._users, self._docs, self._live,
+            jnp.asarray(queries.astype(np.float32)),
+            jnp.int32(uid), jnp.int32(did), min(k, self._capacity),
+        )
+
+    def _dense_multi(self, queries: np.ndarray, uids: np.ndarray,
+                     dids: np.ndarray, k: int):
+        """Exact masked scan with per-query tenant/doc predicates."""
+
+        if self.dtype == jnp.int8:
+            scores, idx = _search_multi_int8(
+                self._slab, self._scales, self._users, self._docs, self._live,
+                jnp.asarray(queries.astype(np.float32)),
+                jnp.asarray(uids), jnp.asarray(dids), min(k, self._capacity),
+            )
+            return np.asarray(scores), np.asarray(idx)
+        return self._search_with_fallback(
+            _search_multi,
+            self._slab, self._users, self._docs, self._live,
+            jnp.asarray(queries.astype(np.float32)),
+            jnp.asarray(uids), jnp.asarray(dids), min(k, self._capacity),
+        )
+
     # -- multi-chip (row-sharded slab) dispatch ------------------------------
 
     def _sharded_fn(self, k: int, backend: str):
@@ -336,8 +381,6 @@ class VectorIndex:
             return
 
         with self._lock:
-            if self.dtype == jnp.int8:
-                raise ValueError("ivf over int8 slabs is unsupported")
             if self._size == 0:
                 self._ivf = None
                 return
@@ -351,12 +394,28 @@ class VectorIndex:
             users = self._users[:snap_size]
             docs = self._docs[:snap_size]
             live = self._live[:snap_size]
+            # int8 slab: quantized rows cluster/probe via per-row scales —
+            # the reference's partitioned-and-compressed IVF_PQ design point
+            scales = self._scales[:snap_size] if self.dtype == jnp.int8 else None
             jax.block_until_ready(slab)
 
         data = ivf_ops.build_ivf(
             slab, n_clusters, bucket_factor, iters,
-            users=users, docs=docs, live=live,
+            users=users, docs=docs, live=live, scales=scales,
         )
+
+        baseline = ivf_ops.structureless_baseline(data.n_clusters, self.dim)
+        if self.ivf_min_structure and data.structure < self.ivf_min_structure * baseline:
+            with self._lock:
+                self._ivf = None
+                self._ivf_poor_at = snap_size
+            _logger.warning(
+                "ivf layout discarded: mean assignment cosine %.3f < %.1fx "
+                "structureless baseline %.3f — data has no cluster structure; "
+                "serving the exact dense path instead",
+                data.structure, self.ivf_min_structure, baseline,
+            )
+            return
 
         with self._lock:
             if self._generation != snap_gen:
@@ -366,10 +425,13 @@ class VectorIndex:
             if dead.size:  # tombstones that landed while building
                 data.mark_dead(dead)
             self._ivf = data
+            self._ivf_poor_at = 0
             _logger.info(
-                "ivf built: %d rows, %d clusters x %d bucket, %d spill",
+                "ivf built: %d rows, %d clusters x %d bucket, %d spill, "
+                "structure %.3f (baseline %.3f)",
                 data.built_rows, data.n_clusters,
                 data.bucket_size, int(data.spill.shape[0]),
+                data.structure, baseline,
             )
 
     def drop_ivf(self) -> None:
@@ -398,12 +460,14 @@ class VectorIndex:
 
         if self._sharding is not None:
             return None  # multi-chip mode: dense per-shard scan (see build_ivf)
-        if not self.use_ivf or self.dtype == jnp.int8:
+        if not self.use_ivf:
             return self._ivf  # explicit build_ivf() still honored
         build = (
             self._build_ivf_background if self.ivf_build_async else self.build_ivf
         )
         if self._ivf is None:
+            if self._ivf_poor_at and self._size < 2 * self._ivf_poor_at:
+                return None  # judged structureless; retry once corpus doubles
             if self._size >= self.ivf_min_rows:
                 build()
             return self._ivf
@@ -448,10 +512,21 @@ class VectorIndex:
                 self._live[built:built + tail_len],
                 uids, dids,
             )
-            s2, i2 = cosine_topk(
-                queries_j, self._slab[built:built + tail_len], tmask,
-                min(k, tail_len), "xla",
-            )
+            if self.dtype == jnp.int8:
+                from ..ops.topk import _cosine_topk_int8
+
+                # same query quantization as the probe path, so tail scores
+                # merge on a consistent scale
+                s2, i2 = _cosine_topk_int8(
+                    queries_j, self._slab[built:built + tail_len],
+                    self._scales[built:built + tail_len], tmask,
+                    min(k, tail_len),
+                )
+            else:
+                s2, i2 = cosine_topk(
+                    queries_j, self._slab[built:built + tail_len], tmask,
+                    min(k, tail_len), "xla",
+                )
             scores, idx = merge_topk(scores, idx, s2, i2 + built, k)
         return np.asarray(scores), np.asarray(idx)
 
@@ -558,32 +633,16 @@ class VectorIndex:
                     jnp.full((q,), did, jnp.int32),
                     min(k, self._capacity),
                 )
-            elif self.dtype == jnp.int8:
-                scores, idx = _search_int8(
-                    self._slab, self._scales, self._users, self._docs, self._live,
-                    jnp.asarray(queries.astype(np.float32)),
-                    jnp.int32(uid), jnp.int32(did), min(k, self._capacity),
-                )
-            elif ivf is not None:
+            elif ivf is not None:  # ivf layout serves bf16/f32 AND int8 slabs
                 q = queries.shape[0]
                 scores, idx = self._ivf_search(
                     ivf, jnp.asarray(queries.astype(np.float32)),
                     jnp.full((q,), uid, jnp.int32), jnp.full((q,), did, jnp.int32),
                     min(k, self._capacity),
-                    fallback=lambda: self._search_with_fallback(
-                        _search,
-                        self._slab, self._users, self._docs, self._live,
-                        jnp.asarray(queries.astype(np.float32)),
-                        jnp.int32(uid), jnp.int32(did), min(k, self._capacity),
-                    ),
+                    fallback=lambda: self._dense_single(queries, uid, did, k),
                 )
             else:
-                scores, idx = self._search_with_fallback(
-                    _search,
-                    self._slab, self._users, self._docs, self._live,
-                    jnp.asarray(queries.astype(np.float32)),
-                    jnp.int32(uid), jnp.int32(did), min(k, self._capacity),
-                )
+                scores, idx = self._dense_single(queries, uid, did, k)
             scores = np.asarray(scores)
             idx = np.asarray(idx)
             out: List[List[Tuple[str, float]]] = []
@@ -636,31 +695,15 @@ class VectorIndex:
                     jnp.asarray(uids), jnp.asarray(dids),
                     min(k, self._capacity),
                 )
-            elif self.dtype == jnp.int8:
-                scores, idx = _search_multi_int8(
-                    self._slab, self._scales, self._users, self._docs, self._live,
-                    jnp.asarray(queries.astype(np.float32)),
-                    jnp.asarray(uids), jnp.asarray(dids), min(k, self._capacity),
-                )
-            elif ivf is not None:
+            elif ivf is not None:  # ivf layout serves bf16/f32 AND int8 slabs
                 scores, idx = self._ivf_search(
                     ivf, jnp.asarray(queries.astype(np.float32)),
                     jnp.asarray(uids), jnp.asarray(dids),
                     min(k, self._capacity),
-                    fallback=lambda: self._search_with_fallback(
-                        _search_multi,
-                        self._slab, self._users, self._docs, self._live,
-                        jnp.asarray(queries.astype(np.float32)),
-                        jnp.asarray(uids), jnp.asarray(dids), min(k, self._capacity),
-                    ),
+                    fallback=lambda: self._dense_multi(queries, uids, dids, k),
                 )
             else:
-                scores, idx = self._search_with_fallback(
-                    _search_multi,
-                    self._slab, self._users, self._docs, self._live,
-                    jnp.asarray(queries.astype(np.float32)),
-                    jnp.asarray(uids), jnp.asarray(dids), min(k, self._capacity),
-                )
+                scores, idx = self._dense_multi(queries, uids, dids, k)
             scores = np.asarray(scores)
             idx = np.asarray(idx)
             out: List[List[Tuple[str, float]]] = []
@@ -789,7 +832,9 @@ class VectorIndex:
     @classmethod
     def load(cls, directory: str, name: str, dtype: str = "bfloat16",
              backend: str = "auto", ivf_nprobe: Optional[int] = None,
-             ivf_min_rows: Optional[int] = None, mesh=None) -> "VectorIndex":
+             ivf_min_rows: Optional[int] = None,
+             ivf_min_structure: Optional[float] = None,
+             mesh=None) -> "VectorIndex":
         with open(os.path.join(directory, f"{name}.manifest.json")) as fh:
             manifest = json.load(fh)
         with np.load(os.path.join(directory, f"{name}.npz")) as data:
@@ -806,7 +851,7 @@ class VectorIndex:
             if "embeddings_int8" in data and dtype == "int8":
                 index = cls(dim=manifest["dim"], dtype=dtype, backend=backend,
                             ivf_nprobe=ivf_nprobe, ivf_min_rows=ivf_min_rows,
-                            mesh=mesh)
+                            ivf_min_structure=ivf_min_structure, mesh=mesh)
                 index._install_prequantized(
                     chunk_ids, user_ids, document_ids,
                     data["embeddings_int8"], data["scales"],
@@ -824,7 +869,8 @@ class VectorIndex:
                 f"({len(mat)}) disagree — refusing to zip mismatched rows"
             )
         index = cls(dim=manifest["dim"], dtype=dtype, backend=backend,
-                    ivf_nprobe=ivf_nprobe, ivf_min_rows=ivf_min_rows, mesh=mesh)
+                    ivf_nprobe=ivf_nprobe, ivf_min_rows=ivf_min_rows,
+                    ivf_min_structure=ivf_min_structure, mesh=mesh)
         rows = [
             VectorRow(
                 chunk_id=c, user_id=u, document_id=d,
@@ -840,11 +886,13 @@ class VectorIndex:
     def load_or_create(
         cls, directory: str, name: str, dim: int, dtype: str = "bfloat16",
         backend: str = "auto", ivf_nprobe: Optional[int] = None,
-        ivf_min_rows: Optional[int] = None, mesh=None,
+        ivf_min_rows: Optional[int] = None,
+        ivf_min_structure: Optional[float] = None, mesh=None,
     ) -> "VectorIndex":
         if os.path.exists(os.path.join(directory, f"{name}.manifest.json")):
             return cls.load(directory, name, dtype, backend,
                             ivf_nprobe=ivf_nprobe, ivf_min_rows=ivf_min_rows,
-                            mesh=mesh)
+                            ivf_min_structure=ivf_min_structure, mesh=mesh)
         return cls(dim=dim, dtype=dtype, backend=backend,
-                   ivf_nprobe=ivf_nprobe, ivf_min_rows=ivf_min_rows, mesh=mesh)
+                   ivf_nprobe=ivf_nprobe, ivf_min_rows=ivf_min_rows,
+                   ivf_min_structure=ivf_min_structure, mesh=mesh)

@@ -55,28 +55,75 @@ def _kmeans_step(rows: jnp.ndarray, centroids: jnp.ndarray, n_clusters: int):
     return new_c, assign
 
 
+@functools.partial(jax.jit, static_argnames=())
+def _assign_int8(rows_q: jnp.ndarray, centroids: jnp.ndarray, scales: jnp.ndarray):
+    """Assignment + structure for an int8 slab without dequantizing it.
+
+    argmax is scale-invariant (per-row scales are positive), so the raw
+    integer dot picks the same centroid the dequantized rows would; only the
+    structure statistic needs the scale applied (per-row max, not per-cell).
+    """
+
+    scores = jnp.dot(
+        rows_q.astype(jnp.bfloat16),  # int8 values are exact in bf16
+        centroids.T.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    best = jnp.max(scores, axis=1)
+    return jnp.argmax(scores, axis=1).astype(jnp.int32), jnp.mean(best * scales)
+
+
 def kmeans(
     rows: jnp.ndarray,  # (n, d), L2-normalized, f32/bf16
     n_clusters: int,
     iters: int = 8,
+    train_sample: int = 0,  # 0 = train on all rows; else strided sample cap
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Spherical k-means; returns (centroids (C, d) f32, assign (n,) int32).
 
     Init is strided row sampling (deterministic, spread across insertion
-    order). Each Lloyd iteration is one compiled step."""
+    order). Each Lloyd iteration is one compiled step. With ``train_sample``,
+    Lloyd runs on a strided subsample (the standard IVF training recipe —
+    LanceDB/faiss train on a fraction too) and only the final assignment
+    touches every row, bounding build-time HBM traffic at large n."""
 
     n = rows.shape[0]
-    stride = max(n // n_clusters, 1)
-    centroids = l2_normalize(rows[::stride][:n_clusters].astype(jnp.float32))
+    train = rows
+    if train_sample and n > train_sample:
+        train = rows[:: max(n // train_sample, 1)][:train_sample]
+    tn = train.shape[0]
+    stride = max(tn // n_clusters, 1)
+    centroids = l2_normalize(train[::stride][:n_clusters].astype(jnp.float32))
     if centroids.shape[0] < n_clusters:  # n < C: pad by wrapping
         reps = -(-n_clusters // centroids.shape[0])
         centroids = jnp.tile(centroids, (reps, 1))[:n_clusters]
     for _ in range(max(iters, 1)):
-        centroids, _ = _kmeans_step(rows, centroids, n_clusters)
-    # final assignment against the final centroids (the loop's assign lags
-    # one update behind)
-    _, assign = _kmeans_step(rows, centroids, n_clusters)
-    return centroids, assign.astype(jnp.int32)
+        centroids, _ = _kmeans_step(train, centroids, n_clusters)
+    # final assignment of EVERY row against the final centroids (the loop's
+    # assign lags one update behind and covers only the training sample)
+    assign, _ = _assign_with_structure(rows, centroids)
+    return centroids, assign
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _assign_with_structure(rows: jnp.ndarray, centroids: jnp.ndarray):
+    """Final assignment + mean best-cosine ("structure") in one matmul pass.
+
+    The structure statistic is the clusterability signal behind the auto-
+    routing knob (VERDICT r1 item 7): for structureless data (uniform on the
+    d-sphere) the expected best-of-C cosine is ~sqrt(2 ln C / d); genuinely
+    clustered embedding corpora score several times that."""
+
+    scores = jnp.dot(
+        rows, centroids.T.astype(rows.dtype), preferred_element_type=jnp.float32
+    )
+    return jnp.argmax(scores, axis=1).astype(jnp.int32), jnp.mean(jnp.max(scores, axis=1))
+
+
+def structureless_baseline(n_clusters: int, d: int) -> float:
+    """Expected best-of-C assignment cosine for uniform rows on the d-sphere."""
+
+    return float(np.sqrt(2.0 * np.log(max(n_clusters, 2)) / d))
 
 
 # ---------------------------------------------------------------------------
@@ -108,6 +155,15 @@ class IVFData:
     spill_live: jnp.ndarray  # (S,) int32
     slot_of_row: np.ndarray  # host (built_rows, 2): (cluster, slot); (-1, s) = spill
     built_rows: int  # rows [0, built_rows) are covered by this layout
+    # int8 storage mode (the "PQ" half of the reference's IVF_PQ,
+    # lancedb_store.py:51-58): buckets/spill hold quantized rows and these
+    # carry the per-slot dequantization scales. None = full-precision layout.
+    scales_b: Optional[jnp.ndarray] = None  # (C, 1, B) f32
+    spill_scales: Optional[jnp.ndarray] = None  # (S,) f32
+    # mean best-assignment cosine at build time — the clusterability signal
+    # the owning index compares against structureless_baseline() to decide
+    # whether this layout is worth probing at all (VERDICT r1 item 7)
+    structure: float = 0.0
 
     @property
     def n_clusters(self) -> int:
@@ -143,6 +199,8 @@ def build_ivf(
     users: Optional[jnp.ndarray] = None,  # (n,) int32 tenant ids
     docs: Optional[jnp.ndarray] = None,  # (n,) int32 document ids
     live: Optional[jnp.ndarray] = None,  # (n,) bool/int
+    scales: Optional[jnp.ndarray] = None,  # (n,) f32: slab_rows is int8
+    train_sample: int = 131072,
 ) -> IVFData:
     """Cluster rows and lay them out in fixed-size buckets.
 
@@ -151,6 +209,13 @@ def build_ivf(
     gather materializes the bucket tensor. ``bucket_factor`` scales bucket
     capacity above the mean cluster size; rows beyond capacity spill.
     Predicate arrays default to a single tenant/document, all live.
+
+    With ``scales`` the slab is int8 (``TPU_INDEX_DTYPE=int8`` composing with
+    the ivf backend — the reference's partitioned *and* compressed IVF_PQ
+    design point): k-means trains on a dequantized strided sample, every-row
+    assignment uses the raw integer dot (argmax is invariant to the positive
+    per-row scale), and the bucket tensor keeps the rows quantized with the
+    scales gathered alongside — HBM per row stays halved vs bf16.
     """
 
     n, d = slab_rows.shape
@@ -172,7 +237,19 @@ def build_ivf(
     align = 128 if bucket >= 64 else 8
     bucket = max(8, (bucket + align - 1) // align * align)
 
-    centroids, assign = kmeans(slab_rows, n_clusters, iters)
+    if scales is not None:
+        scales = jnp.asarray(scales, jnp.float32)
+        # train on a dequantized sample only (bounded f32 materialization)
+        cap = train_sample or n
+        step = max(n // cap, 1)
+        sample = (slab_rows[::step][:cap].astype(jnp.float32)
+                  * scales[::step][:cap, None])
+        centroids, _ = kmeans(sample, n_clusters, iters, train_sample=0)
+        assign, structure = _assign_int8(slab_rows, centroids, scales)
+    else:
+        centroids, _ = kmeans(slab_rows, n_clusters, iters, train_sample=train_sample)
+        assign, structure = _assign_with_structure(slab_rows, centroids)
+    structure = float(structure)
     assign_h = np.asarray(assign)
 
     # host-side slot assignment (vectorized int bookkeeping only): stable
@@ -205,6 +282,12 @@ def build_ivf(
     users_b = jnp.where(in_slot, users[clipped], -1).reshape(n_clusters, 1, bucket)
     docs_b = jnp.where(in_slot, docs[clipped], -1).reshape(n_clusters, 1, bucket)
     live_b = jnp.where(in_slot, live[clipped], 0).reshape(n_clusters, 1, bucket)
+    scales_b = None
+    if scales is not None:
+        scales_b = jnp.where(in_slot, scales[clipped], 1.0).reshape(
+            n_clusters, 1, bucket
+        )
+    spill_scales = None
     if pad_spill:
         sid_dev = jnp.asarray(spill_ids)
         sclip = jnp.clip(sid_dev, 0, n - 1)
@@ -215,10 +298,14 @@ def build_ivf(
         spill_users = jnp.where(s_in, users[sclip], -1)
         spill_docs = jnp.where(s_in, docs[sclip], -1)
         spill_live = jnp.where(s_in, live[sclip], 0)
+        if scales is not None:
+            spill_scales = jnp.where(s_in, scales[sclip], 1.0)
     else:
         sid_dev = jnp.zeros((0,), jnp.int32)
         spill = jnp.zeros((0, d), slab_rows.dtype)
         spill_users = spill_docs = spill_live = jnp.zeros((0,), jnp.int32)
+        if scales is not None:
+            spill_scales = jnp.zeros((0,), jnp.float32)
 
     return IVFData(
         centroids=centroids,
@@ -234,6 +321,9 @@ def build_ivf(
         spill_live=spill_live,
         slot_of_row=slot_of_row,
         built_rows=n,
+        scales_b=scales_b,
+        spill_scales=spill_scales,
+        structure=structure,
     )
 
 
@@ -331,6 +421,95 @@ def pallas_probe_scores(
         interpret=interpret,
     )(probes, uids, dids, queries.astype(buckets.dtype).reshape(qn, 1, d),
       buckets, bucket_ids, users_b, docs_b, live_b)
+    return scores4[:, :, 0, :], ids4[:, :, 0, :]
+
+
+def _probe_kernel_q(probe_ref, uid_ref, did_ref, q_ref, bucket_ref, scales_ref,
+                    ids_ref, users_ref, docs_ref, live_ref,
+                    scores_ref, ids_out_ref):
+    """int8-bucket variant of :func:`_probe_kernel`: the block arrives
+    quantized (halved DMA bytes — the probe is bandwidth-bound), the dot runs
+    in bf16 (int8 values are exact in bf16, accumulation is f32, so the
+    integer dot is exact), and the per-slot dequant scale applies to the
+    score row. Masked slots get -inf (not -1e30) because the caller still
+    multiplies by the positive per-query quantization scale."""
+
+    from jax.experimental import pallas as pl
+
+    del probe_ref
+    qi = pl.program_id(0)
+    uid = uid_ref[qi]
+    did = did_ref[qi]
+    raw = jax.lax.dot_general(
+        q_ref[0],  # (1, d) bf16 quantized query values
+        bucket_ref[0].astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (1, B)
+    scores = raw[0] * scales_ref[0, 0]
+    valid = (
+        (live_ref[0, 0] != 0)
+        & (users_ref[0, 0] == uid)
+        & ((did < 0) | (docs_ref[0, 0] == did))
+    )
+    scores_ref[0, 0, 0, :] = jnp.where(valid, scores, -jnp.inf)
+    ids_out_ref[0, 0, 0, :] = ids_ref[0, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_probe_scores_q(
+    queries_q: jnp.ndarray,  # (q, d) bf16 — quantized query VALUES (ints)
+    buckets: jnp.ndarray,  # (C, B, d) int8
+    scales_b: jnp.ndarray,  # (C, 1, B) f32 per-slot dequant scales
+    bucket_ids: jnp.ndarray,
+    users_b: jnp.ndarray,
+    docs_b: jnp.ndarray,
+    live_b: jnp.ndarray,
+    probes: jnp.ndarray,
+    uids: jnp.ndarray,
+    dids: jnp.ndarray,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Masked probe over quantized buckets; returns row-scaled scores (the
+    caller applies the per-query quantization scale) + row ids."""
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    qn, d = queries_q.shape
+    _, bucket, _ = buckets.shape
+    nprobe = probes.shape[1]
+
+    def by_probe(qi, i, probe_ref, uid_ref, did_ref):
+        return (probe_ref[qi, i], 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(qn, nprobe),
+        in_specs=[
+            pl.BlockSpec((1, 1, d), lambda qi, i, p, u, dd: (qi, 0, 0)),
+            pl.BlockSpec((1, bucket, d), by_probe),
+            pl.BlockSpec((1, 1, bucket), by_probe),
+            pl.BlockSpec((1, 1, bucket), by_probe),
+            pl.BlockSpec((1, 1, bucket), by_probe),
+            pl.BlockSpec((1, 1, bucket), by_probe),
+            pl.BlockSpec((1, 1, bucket), by_probe),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 1, bucket), lambda qi, i, p, u, dd: (qi, i, 0, 0)),
+            pl.BlockSpec((1, 1, 1, bucket), lambda qi, i, p, u, dd: (qi, i, 0, 0)),
+        ],
+    )
+    scores4, ids4 = pl.pallas_call(
+        _probe_kernel_q,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((qn, nprobe, 1, bucket), jnp.float32),
+            jax.ShapeDtypeStruct((qn, nprobe, 1, bucket), jnp.int32),
+        ],
+        interpret=interpret,
+    )(probes, uids, dids, queries_q.reshape(qn, 1, d),
+      buckets, scales_b, bucket_ids, users_b, docs_b, live_b)
     return scores4[:, :, 0, :], ids4[:, :, 0, :]
 
 
@@ -432,6 +611,96 @@ def _ivf_probe_pred(
     return s, jnp.take_along_axis(ids, sel, axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "use_pallas"))
+def _ivf_probe_pred_q(
+    queries: jnp.ndarray,  # (q, d) f32 normalized
+    centroids: jnp.ndarray,
+    buckets: jnp.ndarray,  # (C, B, d) int8
+    scales_b: jnp.ndarray,  # (C, 1, B) f32
+    bucket_ids: jnp.ndarray,
+    users_b: jnp.ndarray,
+    docs_b: jnp.ndarray,
+    live_b: jnp.ndarray,
+    uids: jnp.ndarray,
+    dids: jnp.ndarray,
+    k: int,
+    nprobe: int,
+    use_pallas: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Predicated probe over QUANTIZED buckets. Queries quantize exactly as
+    the dense int8 path (:func:`mmrag_tpu.ops.topk._cosine_topk_int8`), so
+    probe / spill / append-tail scores agree bit-for-bit and merge cleanly."""
+
+    from .topk import quantize_rows_int8
+
+    qn, d = queries.shape
+    cscores = jnp.dot(queries, centroids.T, preferred_element_type=jnp.float32)
+    _, probes = jax.lax.top_k(cscores, nprobe)
+
+    qq, qscale = quantize_rows_int8(queries.astype(jnp.float32))
+    q_bf = qq.astype(jnp.bfloat16)  # int8 values exact in bf16
+
+    if use_pallas:
+        s3, i3 = pallas_probe_scores_q(
+            q_bf, buckets, scales_b, bucket_ids, users_b, docs_b, live_b,
+            probes, uids, dids,
+        )
+        scores = s3.reshape(qn, -1) * qscale[:, None]
+        ids = i3.reshape(qn, -1)
+    else:  # XLA fallback: gather probed blocks, dequant after the dot
+        def per_query(qvec_bf, qs, probe, uid, did):
+            sub = buckets[probe].reshape(-1, d)
+            ids = bucket_ids[probe].reshape(-1)
+            raw = jnp.dot(sub.astype(jnp.bfloat16), qvec_bf,
+                          preferred_element_type=jnp.float32)
+            s = raw * scales_b[probe].reshape(-1) * qs
+            valid = (
+                (live_b[probe].reshape(-1) != 0)
+                & (users_b[probe].reshape(-1) == uid)
+                & ((did < 0) | (docs_b[probe].reshape(-1) == did))
+            )
+            return jnp.where(valid, s, NEG_INF), ids
+
+        scores, ids = jax.vmap(per_query)(q_bf, qscale, probes, uids, dids)
+    s, sel = jax.lax.top_k(scores, k)
+    return s, jnp.take_along_axis(ids, sel, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _spill_scores_pred_q(
+    queries: jnp.ndarray,  # (q, d) f32
+    spill: jnp.ndarray,  # (S, d) int8
+    spill_scales: jnp.ndarray,  # (S,) f32
+    spill_ids: jnp.ndarray,
+    spill_users: jnp.ndarray,
+    spill_docs: jnp.ndarray,
+    spill_live: jnp.ndarray,
+    uids: jnp.ndarray,
+    dids: jnp.ndarray,
+    k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    from .topk import quantize_rows_int8
+
+    qn = queries.shape[0]
+    qq, qscale = quantize_rows_int8(queries.astype(jnp.float32))
+    raw = jnp.dot(
+        qq.astype(jnp.bfloat16), spill.astype(jnp.bfloat16).T,
+        preferred_element_type=jnp.float32,
+    )
+    scores = raw * qscale[:, None] * spill_scales[None, :]
+    valid = (
+        (spill_live != 0)[None, :]
+        & (spill_users[None, :] == uids[:, None])
+        & ((dids[:, None] < 0) | (spill_docs[None, :] == dids[:, None]))
+    )
+    scores = jnp.where(valid, scores, NEG_INF)
+    kk = min(k, spill.shape[0])
+    s, sel = jax.lax.top_k(scores, kk)
+    return s, jnp.take_along_axis(
+        jnp.broadcast_to(spill_ids[None], (qn, spill_ids.shape[0])), sel, axis=1
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def _spill_scores(
     queries: jnp.ndarray,
@@ -522,18 +791,32 @@ def ivf_search_pred(
 
     nprobe = min(nprobe, ivf.n_clusters)
     k_eff = min(k, nprobe * ivf.bucket_size)
-    s, i = _ivf_probe_pred(
-        queries, ivf.centroids, ivf.buckets, ivf.bucket_ids,
-        ivf.users_b, ivf.docs_b, ivf.live_b, uids, dids, k_eff, nprobe,
-        use_pallas=_use_pallas_probe(
-            ivf.bucket_size, queries.shape[1], ivf.buckets.dtype.itemsize
-        ),
+    use_pallas = _use_pallas_probe(
+        ivf.bucket_size, queries.shape[1], ivf.buckets.dtype.itemsize
     )
+    if ivf.scales_b is not None:  # quantized layout (ivf + int8 composition)
+        s, i = _ivf_probe_pred_q(
+            queries, ivf.centroids, ivf.buckets, ivf.scales_b, ivf.bucket_ids,
+            ivf.users_b, ivf.docs_b, ivf.live_b, uids, dids, k_eff, nprobe,
+            use_pallas=use_pallas,
+        )
+    else:
+        s, i = _ivf_probe_pred(
+            queries, ivf.centroids, ivf.buckets, ivf.bucket_ids,
+            ivf.users_b, ivf.docs_b, ivf.live_b, uids, dids, k_eff, nprobe,
+            use_pallas=use_pallas,
+        )
     s, i = _pad_k(s, i, k)
     if ivf.spill.shape[0]:
-        s2, i2 = _spill_scores_pred(
-            queries, ivf.spill, ivf.spill_ids, ivf.spill_users,
-            ivf.spill_docs, ivf.spill_live, uids, dids, k,
-        )
+        if ivf.scales_b is not None:
+            s2, i2 = _spill_scores_pred_q(
+                queries, ivf.spill, ivf.spill_scales, ivf.spill_ids,
+                ivf.spill_users, ivf.spill_docs, ivf.spill_live, uids, dids, k,
+            )
+        else:
+            s2, i2 = _spill_scores_pred(
+                queries, ivf.spill, ivf.spill_ids, ivf.spill_users,
+                ivf.spill_docs, ivf.spill_live, uids, dids, k,
+            )
         s, i = merge_topk(s, i, s2, i2, k)
     return s, i

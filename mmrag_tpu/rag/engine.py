@@ -52,6 +52,7 @@ class RagEngine:
             backend=self.cfg.tpu.topk_backend,
             ivf_nprobe=self.cfg.tpu.ivf_nprobe,
             ivf_min_rows=self.cfg.tpu.ivf_min_rows,
+            ivf_min_structure=self.cfg.tpu.ivf_min_structure,
             mesh=self.mesh,
         )
         self.image_index = VectorIndex.load_or_create(
@@ -60,6 +61,7 @@ class RagEngine:
             backend=self.cfg.tpu.topk_backend,
             ivf_nprobe=self.cfg.tpu.ivf_nprobe,
             ivf_min_rows=self.cfg.tpu.ivf_min_rows,
+            ivf_min_structure=self.cfg.tpu.ivf_min_structure,
             mesh=self.mesh,
         )
         self.metadata = MetadataStore(

@@ -222,6 +222,7 @@ class TpuSettings:
     topk_backend: str
     ivf_nprobe: int
     ivf_min_rows: int
+    ivf_min_structure: float
     index_shard_rows: int
     index_growth_factor: int
     mesh_data_axis: str
@@ -359,6 +360,9 @@ def load_settings(env: Optional[Mapping[str, str]] = None) -> Settings:
             topk_backend=_read_env(env, "TPU_TOPK_BACKEND", d.tpu.topk_backend),
             ivf_nprobe=_read_int(env, "TPU_IVF_NPROBE", d.tpu.ivf_nprobe),
             ivf_min_rows=_read_int(env, "TPU_IVF_MIN_ROWS", d.tpu.ivf_min_rows),
+            ivf_min_structure=_read_float(
+                env, "TPU_IVF_MIN_STRUCTURE", d.tpu.ivf_min_structure
+            ),
             index_shard_rows=_read_int(env, "TPU_INDEX_SHARD_ROWS", d.tpu.index_shard_rows),
             index_growth_factor=_read_int(
                 env, "TPU_INDEX_GROWTH_FACTOR", d.tpu.index_growth_factor
