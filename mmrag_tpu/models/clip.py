@@ -258,11 +258,42 @@ def clip_image_features(
     cls = jnp.broadcast_to(vp["class_embedding"], (x.shape[0], 1, v.hidden_size))
     x = jnp.concatenate([cls, x], axis=1) + vp["position_embedding"][None]
     x = _layer_norm(vp["pre_ln"], x, v.layer_norm_eps)
-    for layer in vp["layers"]:
-        x = _encoder_layer(
-            layer, x, None, v.num_heads, v.head_dim, v.layer_norm_eps, compute_dtype
+
+    b, s, h = x.shape
+    # Pad the token dim to a sublane multiple (ViT-B/32: 50 -> 56) so the
+    # whole-block fused attention kernel is eligible — padded tokens are
+    # masked out as keys, so real-token numerics are unchanged; CLS pooling
+    # reads position 0 only (VERDICT r1 item 10).
+    s_pad = -(-s // 8) * 8
+    from ..ops.attention import use_fused
+
+    if use_fused(b, s_pad):
+        from ..ops.attention import fused_attention_block
+
+        mask = jnp.concatenate(
+            [jnp.ones((b, s), jnp.int32), jnp.zeros((b, s_pad - s), jnp.int32)],
+            axis=1,
         )
-    pooled = _layer_norm(vp["post_ln"], x[:, 0], v.layer_norm_eps)
+        stream = jnp.dtype(compute_dtype)
+        x2 = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
+        x2 = x2.reshape(b * s_pad, h).astype(stream)
+        for layer in vp["layers"]:
+            # pre-LN attention block in one dispatch (q/k/v/ctx VMEM-resident)
+            x2 = fused_attention_block(
+                x2, layer, v.num_heads, s_pad, v.layer_norm_eps, mask,
+                pre_ln=True, ln_key="ln1",
+            )
+            y = _layer_norm(layer["ln2"], x2, v.layer_norm_eps)
+            y = _dense(layer["fc2"], quick_gelu(_dense(layer["fc1"], y, compute_dtype)), compute_dtype)
+            x2 = (x2.astype(jnp.float32) + y).astype(stream)
+        pooled = x2.reshape(b, s_pad, h)[:, 0]
+    else:
+        for layer in vp["layers"]:
+            x = _encoder_layer(
+                layer, x, None, v.num_heads, v.head_dim, v.layer_norm_eps, compute_dtype
+            )
+        pooled = x[:, 0]
+    pooled = _layer_norm(vp["post_ln"], pooled, v.layer_norm_eps)
     return _dense(params["visual_projection"], pooled, compute_dtype)
 
 

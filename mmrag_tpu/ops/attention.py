@@ -35,11 +35,13 @@ def use_fused(batch: int = 1 << 30, seq: int = 0) -> bool:
     Default: fused on accelerators when the batch carries enough parallel
     work (``batch * seq >= 4096``) — below that (e.g. rerank depth-8 pairs,
     single-query serving) the XLA einsum path measures faster because the
-    kernel's per-head loop can't fill the chip — and the sequence fits the
-    short-seq regime (``seq <= 256``): at seq 512 the tile-2 block kernel
-    compiles but measured 4% slower than XLA (8.0k vs 8.4k embeds/s at
-    batch 64), while seq 256 wins 3.6x (19.8k vs 5.5k rerank pairs/s at
-    batch 64). Always XLA on CPU (interpret-mode Pallas would be pure
+    kernel's per-head loop can't fill the chip — for the whole encoder
+    sequence range (``seq <= 512``, the indexing chunk length). The old
+    ``seq <= 256`` gate predated the key-row mask: with the (b, s, s) bias
+    materialized, seq 512 measured 4% slower than XLA; with the mask kept as
+    a (b, 1, s) key row expanded in-VMEM, the kernel wins 2.3x at seq 512
+    (7.35k vs 3.24k embeds/s, b=64 v5e) and 1.67x at seq 256 (16.8k vs
+    10.0k, b=128). Always XLA on CPU (interpret-mode Pallas would be pure
     overhead for real serving). ``MMRAG_ATTN_IMPL=fused`` forces the kernel
     (interpret mode on CPU — how tests exercise it); ``MMRAG_ATTN_IMPL=xla``
     forces the einsum path.
@@ -51,7 +53,7 @@ def use_fused(batch: int = 1 << 30, seq: int = 0) -> bool:
     if override == "xla":
         return False
     return (
-        jax.default_backend() == "tpu" and batch * seq >= 4096 and seq <= 256
+        jax.default_backend() == "tpu" and batch * seq >= 4096 and seq <= 512
     )
 
 
@@ -102,19 +104,17 @@ def _softmax_ctx(scores, vh, ones, precision):
 
 def _batch_tile(seq: int, itemsize: int = 2) -> int:
     # VMEM budget: ~4 * tile * seq * hidden * itemsize (qkv+out, double-
-    # buffered) + tile * seq^2 f32 (bias block + one head's scores). Shrink
-    # with seq, and halve for f32 inputs (a 16-tile f32 MiniLM block compiles
-    # to 34 MB scoped VMEM vs the 16 MB limit). tile=32 bf16 at seq 64
-    # measured the same speed but sat within 56KB of the cliff — 16 keeps
-    # headroom. At seq 256 the whole-block kernel needs a SMALL tile: tile 8
-    # measured 24.9 MB scoped VMEM and tile 4 18.1 MB vs the 16 MB limit —
-    # and the remote compiler's scoped accounting varies run to run (tile 4
-    # compiled once at 19.8k pairs/s, then OOM'd on a later identical
-    # compile), so only tile 2's ~11 MB leaves real margin.
+    # buffered) + tile * seq^2 f32 (one head's score tensor). Shrink with
+    # seq, and halve for f32 inputs (a 16-tile f32 MiniLM block compiles to
+    # 34 MB scoped VMEM vs the 16 MB limit). tile=32 bf16 at seq 64 measured
+    # the same speed but sat within 56KB of the cliff — 16 keeps headroom.
+    # Past seq 128 throughput is tile-INSENSITIVE now that the mask is a
+    # (tile, 1, s) key row instead of a (tile, s, s) bias block (measured
+    # seq 256 b=128: 16.8k emb/s for tiles 1/2/4/8; seq 512 b=64: 7.3k for
+    # all) — tile 2 keeps the old safe VMEM margin with nothing to gain
+    # from larger tiles.
     if seq <= 128:
         tile = 16
-    elif seq <= 256:
-        tile = 2
     else:
         tile = 2
     if itemsize > 2:
@@ -136,7 +136,7 @@ def _select_kernel(seq: int, head_dim: int, itemsize: int = 2):
 
 
 def _attn_kernel2d(
-    q_ref, k_ref, v_ref, bias_ref, out_ref, *, num_heads: int, seq: int, scale: float
+    q_ref, k_ref, v_ref, kmask_ref, out_ref, *, num_heads: int, seq: int, scale: float
 ):
     """2-D layout variant: q/k/v/out are (tile*seq, hidden) row-major blocks.
 
@@ -146,12 +146,18 @@ def _attn_kernel2d(
     transposes. With 2-D operands every producer/consumer already agrees on
     row-major, so the constraint costs nothing; the (tile, seq) split happens
     in-VMEM (a major-dim reshape, free).
+
+    The mask arrives as a (tile, s) additive KEY row, expanded to (tile, s, s)
+    in-VMEM: encoder padding masks are rank-1 along the query dim, and the
+    materialized (b, s, s) bias was the seq-512 bottleneck — 1 MB/sample of
+    HBM traffic (vs 1.2 MB for q+k+v combined) and the VMEM hog that forced
+    the batch tile down to 2 (_batch_tile note).
     """
 
     rows, h = q_ref.shape
     tile = rows // seq
     hd = h // num_heads
-    bias = bias_ref[:]  # (tile, s, s)
+    kbias = kmask_ref[:]  # (tile, 1, s) -> broadcasts over queries
     precision = (
         jax.lax.Precision.DEFAULT
         if q_ref.dtype == jnp.bfloat16
@@ -169,7 +175,7 @@ def _attn_kernel2d(
             preferred_element_type=jnp.float32,
             precision=precision,
         )
-        ctx = _softmax_ctx(scores * scale + bias, vh, ones, precision)
+        ctx = _softmax_ctx(scores * scale + kbias, vh, ones, precision)
         out_ref[:, sl] = ctx.reshape(rows, hd).astype(out_ref.dtype)
 
 
@@ -178,7 +184,7 @@ def _fused_attention2d(
     q: jnp.ndarray,  # (b*s, hidden) row-major
     k: jnp.ndarray,
     v: jnp.ndarray,
-    bias: jnp.ndarray,  # (b, s, s) f32 additive
+    kmask: jnp.ndarray,  # (b, 1, s) f32 additive key mask
     num_heads: int,
     seq: int,
     interpret: bool,
@@ -202,17 +208,17 @@ def _fused_attention2d(
             qkv_spec,
             qkv_spec,
             qkv_spec,
-            pl.BlockSpec((tile, seq, seq), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1, seq), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=qkv_spec,
         out_shape=jax.ShapeDtypeStruct((rows, h), q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * rows * num_heads * seq * hd,
-            bytes_accessed=4 * rows * h * q.dtype.itemsize + b * seq * seq * 4,
+            bytes_accessed=4 * rows * h * q.dtype.itemsize + b * seq * 4,
             transcendentals=rows * num_heads * seq,
         ),
         interpret=interpret,
-    )(q, k, v, bias)
+    )(q, k, v, kmask)
 
 
 def fused_encoder_attention2d(
@@ -222,11 +228,13 @@ def fused_encoder_attention2d(
     num_heads: int,
     seq: int,
     attention_mask: Optional[jnp.ndarray] = None,  # (b, s) {0,1}
-    bias: Optional[jnp.ndarray] = None,  # (b, s, s) f32 additive
 ) -> jnp.ndarray:
     """2-D-activation form of :func:`fused_encoder_attention` — same math,
     operands stay (b*s, hidden) row-major so no layout transposes are forced
-    at the kernel boundary. Pads the batch to a tile multiple internally."""
+    at the kernel boundary, and the key-padding mask stays a (b, s) row
+    (expanded in-VMEM) instead of a materialized (b, s, s) bias. Pads the
+    batch to a tile multiple internally. Structural (e.g. causal) biases
+    belong on :func:`fused_encoder_attention`."""
 
     rows, h = q.shape
     if rows % seq:
@@ -234,11 +242,10 @@ def fused_encoder_attention2d(
     if h % num_heads:
         raise ValueError(f"hidden {h} not divisible by heads {num_heads}")
     b = rows // seq
-    full = jnp.zeros((b, seq, seq), jnp.float32)
-    if bias is not None:
-        full = full + bias.astype(jnp.float32)
     if attention_mask is not None:
-        full = full + (1.0 - attention_mask.astype(jnp.float32))[:, None, :] * -1e9
+        kmask = ((1.0 - attention_mask.astype(jnp.float32)) * -1e9)[:, None, :]
+    else:
+        kmask = jnp.zeros((b, 1, seq), jnp.float32)
     _, tile = _select_kernel(seq, h // num_heads, q.dtype.itemsize)
     tile = min(tile, b)
     pad = (-b) % tile
@@ -246,9 +253,9 @@ def fused_encoder_attention2d(
         q = jnp.pad(q, ((0, pad * seq), (0, 0)))
         k = jnp.pad(k, ((0, pad * seq), (0, 0)))
         v = jnp.pad(v, ((0, pad * seq), (0, 0)))
-        full = jnp.pad(full, ((0, pad), (0, 0), (0, 0)))
+        kmask = jnp.pad(kmask, ((0, pad), (0, 0), (0, 0)))
     interpret = jax.default_backend() == "cpu"
-    out = _fused_attention2d(q, k, v, full, num_heads, seq, interpret)
+    out = _fused_attention2d(q, k, v, kmask, num_heads, seq, interpret)
     return out[:rows]
 
 
@@ -357,13 +364,14 @@ def fused_encoder_attention(
 
 def _attn_block_kernel(
     x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
-    lns_ref, lnb_ref, bias_ref, out_ref, *, num_heads: int, seq: int,
-    scale: float, eps: float,
+    lns_ref, lnb_ref, kmask_ref, out_ref, *, num_heads: int, seq: int,
+    scale: float, eps: float, pre_ln: bool = False,
 ):
-    """Whole post-LN attention block in VMEM: qkv projections, per-head
-    attention, output projection, residual add, LayerNorm. HBM traffic per
-    tile = read x + weights, write LN(x + attn(x)) — the q/k/v/ctx tensors
-    never leave the chip."""
+    """Whole attention block in VMEM: qkv projections, per-head attention,
+    output projection, residual. ``pre_ln=False`` (BERT-style post-LN):
+    writes ``LN(x + Attn(x))``. ``pre_ln=True`` (CLIP-style): writes
+    ``x + Attn(LN(x))``. Either way HBM traffic per tile = read x + weights,
+    write one stream — the q/k/v/ctx tensors never leave the chip."""
 
     rows, h = x_ref.shape
     tile = rows // seq
@@ -375,9 +383,17 @@ def _attn_block_kernel(
         else jax.lax.Precision.HIGHEST
     )
 
+    def ln(y):  # f32 statistics, eps inside rsqrt (HF LN numerics)
+        y = y.astype(jnp.float32)
+        mean = jnp.mean(y, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(y - mean), axis=-1, keepdims=True)
+        return (y - mean) * jax.lax.rsqrt(var + eps) * lns_ref[:] + lnb_ref[:]
+
+    a_in = ln(x).astype(x.dtype) if pre_ln else x
+
     def proj(w_ref, b_ref):
         y = jax.lax.dot_general(
-            x, w_ref[:],
+            a_in, w_ref[:],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=precision,
@@ -387,7 +403,7 @@ def _attn_block_kernel(
     q = proj(wq_ref, bq_ref)
     k = proj(wk_ref, bk_ref)
     v = proj(wv_ref, bv_ref)
-    bias = bias_ref[:]
+    bias = kmask_ref[:]  # (tile, 1, s) key row, broadcast in-VMEM
     ones = jnp.ones((tile, seq, hd), x.dtype)
     ctx_cols = []
     for n in range(num_heads):
@@ -411,16 +427,14 @@ def _attn_block_kernel(
         precision=precision,
     ) + bo_ref[:]
     y = x.astype(jnp.float32) + o  # residual in f32
-    mean = jnp.mean(y, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(y - mean), axis=-1, keepdims=True)
-    out = (y - mean) * jax.lax.rsqrt(var + eps) * lns_ref[:] + lnb_ref[:]
+    out = y if pre_ln else ln(y)
     out_ref[:] = out.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "seq", "eps", "interpret"))
+@functools.partial(jax.jit, static_argnames=("num_heads", "seq", "eps", "interpret", "pre_ln"))
 def _fused_attention_block(
-    x, wq, bq, wk, bk, wv, bv, wo, bo, ln_scale, ln_bias, bias,
-    num_heads: int, seq: int, eps: float, interpret: bool,
+    x, wq, bq, wk, bk, wv, bv, wo, bo, ln_scale, ln_bias, kmask,
+    num_heads: int, seq: int, eps: float, interpret: bool, pre_ln: bool = False,
 ):
     rows, h = x.shape
     b = rows // seq
@@ -430,7 +444,7 @@ def _fused_attention_block(
     grid = (b // tile,)
     kernel = functools.partial(
         _attn_block_kernel, num_heads=num_heads, seq=seq,
-        scale=float(hd) ** -0.5, eps=eps,
+        scale=float(hd) ** -0.5, eps=eps, pre_ln=pre_ln,
     )
     row_spec = pl.BlockSpec((tile * seq, h), lambda i: (i, 0), memory_space=pltpu.VMEM)
     w_spec = pl.BlockSpec((h, h), lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -442,7 +456,7 @@ def _fused_attention_block(
             row_spec,
             w_spec, v_spec, w_spec, v_spec, w_spec, v_spec, w_spec, v_spec,
             v_spec, v_spec,
-            pl.BlockSpec((tile, seq, seq), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1, seq), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=row_spec,
         out_shape=jax.ShapeDtypeStruct((rows, h), x.dtype),
@@ -452,36 +466,37 @@ def _fused_attention_block(
             transcendentals=rows * num_heads * seq + rows,
         ),
         interpret=interpret,
-    )(x, wq, bq, wk, bk, wv, bv, wo, bo, ln_scale, ln_bias, bias)
+    )(x, wq, bq, wk, bk, wv, bv, wo, bo, ln_scale, ln_bias, kmask)
 
 
 def fused_attention_block(
     x: jnp.ndarray,  # (b*s, h) residual stream
-    layer: dict,  # {"q"/"k"/"v"/"attn_out": {kernel,bias}, "attn_ln": {scale,bias}}
+    layer: dict,  # {"q"/"k"/"v"/"attn_out": {kernel,bias}, ln under `ln_key`}
     num_heads: int,
     seq: int,
     eps: float,
     attention_mask: Optional[jnp.ndarray] = None,  # (b, s)
+    pre_ln: bool = False,
+    ln_key: str = "attn_ln",
 ) -> jnp.ndarray:
-    """One dispatch for ``LN(x + AttnOut(MHA(xWq, xWk, xWv)))`` — the full
-    post-LN attention block with q/k/v/ctx resident in VMEM. Saves the six
-    (b*s, h) HBM round-trips the composed form pays per layer."""
+    """One dispatch for the full attention block with q/k/v/ctx resident in
+    VMEM — ``LN(x + AttnOut(MHA(x)))`` post-LN (BERT, default) or
+    ``x + AttnOut(MHA(LN(x)))`` pre-LN (CLIP, ``pre_ln=True`` with
+    ``ln_key="ln1"``). Saves the six (b*s, h) HBM round-trips the composed
+    form pays per layer."""
 
     rows, h = x.shape
     b = rows // seq
     if attention_mask is None:
-        bias = jnp.zeros((b, seq, seq), jnp.float32)
+        kmask = jnp.zeros((b, 1, seq), jnp.float32)
     else:
-        bias = jnp.broadcast_to(
-            (1.0 - attention_mask.astype(jnp.float32))[:, None, :] * -1e9,
-            (b, seq, seq),
-        )
+        kmask = ((1.0 - attention_mask.astype(jnp.float32)) * -1e9)[:, None, :]
     _, tile = _select_kernel(seq, h // num_heads, x.dtype.itemsize)
     tile = min(tile, b)
     pad = (-b) % tile
     if pad:
         x = jnp.pad(x, ((0, pad * seq), (0, 0)))
-        bias = jnp.pad(bias, ((0, pad), (0, 0), (0, 0)))
+        kmask = jnp.pad(kmask, ((0, pad), (0, 0), (0, 0)))
     interpret = jax.default_backend() == "cpu"
     two_d = lambda p: p.reshape(1, -1)
     out = _fused_attention_block(
@@ -490,8 +505,8 @@ def fused_attention_block(
         layer["k"]["kernel"].astype(x.dtype), two_d(layer["k"]["bias"]),
         layer["v"]["kernel"].astype(x.dtype), two_d(layer["v"]["bias"]),
         layer["attn_out"]["kernel"].astype(x.dtype), two_d(layer["attn_out"]["bias"]),
-        two_d(layer["attn_ln"]["scale"]), two_d(layer["attn_ln"]["bias"]),
-        bias, num_heads, seq, eps, interpret,
+        two_d(layer[ln_key]["scale"]), two_d(layer[ln_key]["bias"]),
+        kmask, num_heads, seq, eps, interpret, pre_ln,
     )
     return out[:rows]
 
