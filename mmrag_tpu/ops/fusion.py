@@ -38,21 +38,28 @@ def fuse_results(
     image_hits: Sequence[RetrievedHit],
     final_n: int,
 ) -> List[RetrievedHit]:
-    """Fuse modality lists into the final context set."""
+    """Fuse modality lists into the final context set.
+
+    Faithful to a reference quirk (``retrieve.py:163-180``): the rerank
+    z-list is built from the reranked items *in resorted list order* but
+    attached back by LIST POSITION (``idx < len(text_rerank_z)``), not by
+    item identity. When every reranked item occupies the head of the
+    resorted list (the common case) this equals per-item matching; when a
+    non-reranked hit outsorts a reranked one, the reference assigns the
+    positional z anyway — and so do we, because the behavioral contract
+    (identical final-4 ordering, test_e2e_reference_parity) beats
+    tidiness here."""
 
     text_cos_z = z_scores([h.score for h in text_hits])
-    reranked = [h for h in text_hits if h.rerank_score is not None]
-    rerank_z_map = {}
-    if reranked:
-        rz = z_scores([h.rerank_score for h in reranked])
-        rerank_z_map = {h.chunk_id: z for h, z in zip(reranked, rz)}
+    rerank_vals = [h.rerank_score for h in text_hits if h.rerank_score is not None]
+    rerank_z = z_scores(rerank_vals) if rerank_vals else np.zeros(0)
     image_cos_z = z_scores([h.score for h in image_hits])
 
     fused: List[RetrievedHit] = []
-    for h, cz in zip(text_hits, text_cos_z):
+    for idx, (h, cz) in enumerate(zip(text_hits, text_cos_z)):
         parts = [cz]
-        if h.chunk_id in rerank_z_map:
-            parts.append(rerank_z_map[h.chunk_id])
+        if idx < len(rerank_z):
+            parts.append(float(rerank_z[idx]))
         combined = float(np.mean(parts))
         fused.append(_with_combined(h, combined))
     for h, cz in zip(image_hits, image_cos_z):
