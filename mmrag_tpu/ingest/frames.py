@@ -51,16 +51,68 @@ class ExtractedFrame:
 
 
 @jax.jit
+def _hsv_histograms(stack: jnp.ndarray) -> jnp.ndarray:
+    """(n, h, w, 3) uint8 RGB -> (n, 512) L2-normalized 8x8x8 HSV histograms.
+
+    The reference's scene metric (``app/data_extraction/
+    youtube_extractor.py:105-112``): ``cv2.calcHist`` over HSV with 8 bins
+    per channel on ranges H [0,180) S [0,256) V [0,256), then
+    ``cv2.normalize`` (default = L2). Expressed as batched XLA ops: the HSV
+    conversion + binning are elementwise VPU work, the per-frame histogram a
+    vmapped scatter-add. 2x spatial stride bounds the cost; scene *distance*
+    between downsampled histograms tracks the full-res metric.
+    """
+
+    x = stack[:, ::2, ::2, :].astype(jnp.float32) / 255.0
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    mx = jnp.max(x, axis=-1)
+    mn = jnp.min(x, axis=-1)
+    diff = mx - mn
+    safe = jnp.where(diff > 0, diff, 1.0)
+    hprime = jnp.where(
+        diff == 0,
+        0.0,
+        jnp.where(
+            mx == r,
+            jnp.mod((g - b) / safe, 6.0),
+            jnp.where(mx == g, (b - r) / safe + 2.0, (r - g) / safe + 4.0),
+        ),
+    )
+    h_cv = hprime * 30.0  # degrees/2, OpenCV's H in [0, 180)
+    s_cv = jnp.where(mx > 0, diff / jnp.where(mx > 0, mx, 1.0), 0.0) * 255.0
+    v_cv = mx * 255.0
+    hb = jnp.clip((h_cv * (8.0 / 180.0)).astype(jnp.int32), 0, 7)
+    sb = jnp.clip((s_cv * (8.0 / 256.0)).astype(jnp.int32), 0, 7)
+    vb = jnp.clip((v_cv * (8.0 / 256.0)).astype(jnp.int32), 0, 7)
+    idx = (hb * 64 + sb * 8 + vb).reshape(stack.shape[0], -1)
+    hist = jax.vmap(
+        lambda i: jnp.zeros((512,), jnp.float32).at[i].add(1.0)
+    )(idx)
+    return hist / jnp.maximum(
+        jnp.linalg.norm(hist, axis=-1, keepdims=True), 1e-12
+    )
+
+
+@jax.jit
 def _scene_scores(stack: jnp.ndarray) -> jnp.ndarray:
     """(n, h, w, 3) uint8 -> (n,) scene-change score vs previous frame.
 
-    Downsample 4x via stride, grayscale, mean |diff| / 255. score[0] = 1.0
-    (first frame is always a scene start).
+    HSV-histogram Bhattacharyya distance per OpenCV's
+    ``HISTCMP_BHATTACHARYYA``:
+    ``sqrt(1 - sum(sqrt(H1*H2)) / sqrt(mean(H1) mean(H2) N^2))`` — so the
+    ``YT_FRAME_SCENE_THRESH`` default (0.4) carries the reference's exact
+    semantics. score[0] = 1.0 (first frame is always a scene start).
     """
 
-    gray = jnp.mean(stack[:, ::4, ::4, :].astype(jnp.float32), axis=-1)
-    diff = jnp.abs(gray[1:] - gray[:-1]).mean(axis=(1, 2)) / 255.0
-    return jnp.concatenate([jnp.ones((1,), jnp.float32), diff])
+    hist = _hsv_histograms(stack)
+    h1, h2 = hist[:-1], hist[1:]
+    n_bins = hist.shape[-1]
+    bc = jnp.sum(jnp.sqrt(h1 * h2), axis=-1)
+    denom = jnp.sqrt(
+        jnp.mean(h1, axis=-1) * jnp.mean(h2, axis=-1) * (n_bins * n_bins)
+    )
+    d = jnp.sqrt(jnp.clip(1.0 - bc / jnp.maximum(denom, 1e-12), 0.0, 1.0))
+    return jnp.concatenate([jnp.ones((1,), jnp.float32), d])
 
 
 def _decode_sampled_frames(
