@@ -65,6 +65,9 @@ class MicroBatcher(Generic[T]):
         self._closed = threading.Event()
         self.batches_run = 0
         self.items_seen = 0
+        # achieved-coalescing histogram {batch_size: count} — the number the
+        # batcher exists to move (surfaced by the serving-load bench)
+        self.batch_sizes: dict = {}
         self._thread = threading.Thread(
             target=self._collector, name=f"{name}-collector", daemon=True
         )
@@ -104,6 +107,7 @@ class MicroBatcher(Generic[T]):
     def _run(self, batch: List[_Slot[T]]) -> None:
         self.batches_run += 1
         self.items_seen += len(batch)
+        self.batch_sizes[len(batch)] = self.batch_sizes.get(len(batch), 0) + 1
         try:
             results = self._fn([s.item for s in batch])
             if len(results) != len(batch):

@@ -9,7 +9,12 @@ interchangeable backends:
 
   * :class:`LocalJobQueue` — a thread pool + SQLite job table (always
     available; state survives restarts and is visible across processes, which
-    in-memory Celery eager mode is not).
+    in-memory Celery eager mode is not). Task name + payload persist with the
+    job and STARTED claims are atomic, so SEPARATE WORKER PROCESSES
+    (``python -m mmrag_tpu.serving.jobs worker`` — the docker-compose worker
+    service, reference ``docker-compose.yml`` worker role) can poll the same
+    jobs.db and claim work the api enqueued; set ``TPU_JOB_WORKERS=0`` on the
+    api to run the reference's exact api/worker split.
   * Celery, when ``celery`` + a reachable Redis are importable/configured —
     gated in :func:`make_job_queue`.
 
@@ -79,11 +84,21 @@ class LocalJobQueue:
                     meta TEXT NOT NULL DEFAULT '{}',
                     result TEXT,
                     created_at REAL NOT NULL,
-                    updated_at REAL NOT NULL
+                    updated_at REAL NOT NULL,
+                    task TEXT,
+                    payload TEXT
                 )
                 """
             )
-        self._pool = ThreadPoolExecutor(max_workers=workers, thread_name_prefix="ingest")
+            # legacy dbs predate the task/payload columns
+            cols = {r[1] for r in self._conn.execute("PRAGMA table_info(jobs)")}
+            for col in ("task", "payload"):
+                if col not in cols:
+                    self._conn.execute(f"ALTER TABLE jobs ADD COLUMN {col} TEXT")
+        self._workers = workers
+        self._pool = ThreadPoolExecutor(
+            max_workers=max(workers, 1), thread_name_prefix="ingest"
+        )
         self._result_ttl = result_ttl_sec
         self._handlers: Dict[str, Callable] = {}
 
@@ -151,21 +166,37 @@ class LocalJobQueue:
         now = time.time()
         with self._lock, self._conn:
             self._conn.execute(
-                "INSERT INTO jobs (job_id, state, meta, created_at, updated_at) "
-                "VALUES (?, 'PENDING', '{}', ?, ?)",
-                (job_id, now, now),
+                "INSERT INTO jobs (job_id, state, meta, created_at, updated_at, "
+                "task, payload) VALUES (?, 'PENDING', '{}', ?, ?, ?, ?)",
+                (job_id, now, now, task_name, json.dumps(payload)),
             )
-        self._pool.submit(self._run, job_id, task_name, payload)
+        if self._workers > 0:
+            self._pool.submit(self._run, job_id, task_name, payload)
         return job_id
 
+    def _claim(self, job_id: str) -> bool:
+        """Atomic PENDING -> STARTED transition; exactly one process wins."""
+
+        with self._lock, self._conn:
+            cur = self._conn.execute(
+                "UPDATE jobs SET state='STARTED', meta=?, updated_at=? "
+                "WHERE job_id=? AND state='PENDING'",
+                (json.dumps({"stage": "begin"}), time.time(), job_id),
+            )
+            return cur.rowcount == 1
+
     def _run(self, job_id: str, task_name: str, payload: Dict) -> None:
-        self._set_state(job_id, "STARTED", {"stage": "begin"})
+        if not self._claim(job_id):
+            return  # a peer worker process won the claim
 
         def progress(stage: str, **extra) -> None:
             self._set_state(job_id, "PROGRESS", {"stage": stage, **extra})
 
         try:
-            result = self._handlers[task_name](progress, **payload)
+            handler = self._handlers.get(task_name)
+            if handler is None:
+                raise KeyError(f"no handler registered for {task_name!r}")
+            result = handler(progress, **payload)
             self._set_state(job_id, "SUCCESS", {"stage": "done"}, result or {})
         except Exception as exc:
             logger.exception("job %s failed", job_id)
@@ -187,6 +218,37 @@ class LocalJobQueue:
             time.sleep(0.05)
         return self.status(job_id)
 
+    def claim_pending_once(self) -> int:
+        """Worker-process drain: claim + run every PENDING job in the table
+        (the api enqueued them; with TPU_JOB_WORKERS=0 it never runs them
+        itself). Returns the number of jobs this call executed."""
+
+        with self._lock:
+            rows = self._conn.execute(
+                "SELECT job_id, task, payload FROM jobs WHERE state='PENDING' "
+                "AND task IS NOT NULL ORDER BY created_at"
+            ).fetchall()
+        ran = 0
+        for job_id, task, payload in rows:
+            before = self.status(job_id)["state"]
+            if before != "PENDING":
+                continue
+            self._run(job_id, task, json.loads(payload or "{}"))
+            ran += 1
+        return ran
+
+    def worker_loop(self, poll_sec: float = 1.0, stop_event=None) -> None:
+        """Poll-and-claim loop for a dedicated worker process."""
+
+        logger.info("worker loop polling every %.1fs", poll_sec)
+        while stop_event is None or not stop_event.is_set():
+            try:
+                if self.claim_pending_once() == 0:
+                    time.sleep(poll_sec)
+            except sqlite3.Error:
+                logger.exception("worker poll failed; retrying")
+                time.sleep(poll_sec)
+
     def shutdown(self, wait: bool = False) -> None:
         """wait=True drains in-flight jobs (graceful server shutdown);
         wait=False cancels queued work and returns immediately."""
@@ -197,7 +259,7 @@ class LocalJobQueue:
             self._conn.close()
 
 
-def make_job_queue(cfg: Optional[Settings] = None, workers: int = 1) -> LocalJobQueue:
+def make_job_queue(cfg: Optional[Settings] = None, workers: Optional[int] = None) -> LocalJobQueue:
     """Celery-over-Redis when importable+configured, else the local queue.
 
     Celery support degrades silently to local (the reference's own
@@ -205,6 +267,11 @@ def make_job_queue(cfg: Optional[Settings] = None, workers: int = 1) -> LocalJob
     """
 
     cfg = cfg or _default_settings
+    if workers is None:
+        # TPU_JOB_WORKERS=0 -> enqueue-only api; a dedicated worker process
+        # (python -m mmrag_tpu.serving.jobs worker) claims and runs jobs —
+        # the reference's api/Celery-worker topology
+        workers = int(os.environ.get("TPU_JOB_WORKERS", "1"))
     try:  # pragma: no cover - exercised only when celery+redis exist
         import celery  # type: ignore  # noqa: F401
         import redis  # type: ignore
@@ -219,3 +286,43 @@ def make_job_queue(cfg: Optional[Settings] = None, workers: int = 1) -> LocalJob
         workers=workers,
         result_ttl_sec=cfg.cache.job_result_ttl_sec,
     )
+
+
+def _worker_main(argv=None) -> None:
+    """``python -m mmrag_tpu.serving.jobs worker`` — the docker-compose
+    worker service: claims jobs the api enqueued into the shared jobs.db and
+    drives the full ingest pipeline (reference Celery worker role;
+    ``--pool=solo`` accepted for compose-file parity, concurrency comes from
+    ``--workers``)."""
+
+    import argparse
+
+    parser = argparse.ArgumentParser(prog="mmrag_tpu.serving.jobs")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    w = sub.add_parser("worker")
+    w.add_argument("--workers", type=int, default=1)
+    w.add_argument("--pool", default="solo")  # reference CLI compatibility
+    w.add_argument("--poll-sec", type=float, default=1.0)
+    w.add_argument("-l", "--loglevel", default="INFO")
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=getattr(logging, args.loglevel.upper(), logging.INFO))
+    from ..rag.engine import get_engine
+    from ..storage.kv import KVStore
+    from .tasks import ingest_youtube_task
+
+    engine = get_engine()
+    kv = KVStore(os.path.join(engine.cfg.paths.ingest_cache_dir, "control.db"))
+    queue = make_job_queue(engine.cfg, workers=args.workers)
+
+    def handler(progress, user_id: str, url: str):
+        return ingest_youtube_task(
+            progress, user_id=user_id, url=url, engine=engine, kv=kv
+        )
+
+    queue.register("ingest_youtube", handler)
+    queue.worker_loop(poll_sec=args.poll_sec)
+
+
+if __name__ == "__main__":  # pragma: no cover - process entrypoint
+    _worker_main()

@@ -299,3 +299,52 @@ def test_console_served(api):
     client, _ = api
     res = httpx.get(str(client.base_url) + "/", timeout=10)
     assert res.status_code == 200 and "Multimodal RAG" in res.text
+
+
+def test_worker_process_claims_api_enqueued_jobs(tmp_path):
+    """The docker-compose topology (VERDICT r1 item 8): an enqueue-only api
+    (TPU_JOB_WORKERS=0) inserts jobs; a separate worker-side queue over the
+    SAME jobs.db claims and runs them; claims are atomic so a job runs once
+    even with both sides live."""
+
+    db = str(tmp_path / "jobs.db")
+    api_q = LocalJobQueue(db, workers=0)
+    api_q.register("t", lambda progress, **kw: {"who": "api"})
+    job = api_q.enqueue("t", {"x": 1})
+    assert api_q.status(job)["state"] == "PENDING"  # api never ran it
+
+    runs = []
+    worker_q = LocalJobQueue(db, workers=1)
+    worker_q.register(
+        "t", lambda progress, **kw: (runs.append(kw), {"who": "worker", **kw})[1]
+    )
+    assert worker_q.claim_pending_once() == 1
+    st = api_q.status(job)  # state visible across processes/queues
+    assert st["state"] == "SUCCESS" and st["result"] == {"who": "worker", "x": 1}
+    assert runs == [{"x": 1}]
+
+    # already-claimed jobs are not re-run
+    assert worker_q.claim_pending_once() == 0
+    worker_q.shutdown()
+    api_q.shutdown()
+
+
+def test_batcher_records_coalescing_histogram():
+    from mmrag_tpu.serving.batcher import MicroBatcher
+
+    b = MicroBatcher(lambda items: [i * 2 for i in items], max_batch=4, window_ms=50)
+    import threading
+
+    results = []
+    threads = [
+        threading.Thread(target=lambda v=v: results.append(b.submit(v)))
+        for v in range(4)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert sorted(results) == [0, 2, 4, 6]
+    hist = b.batch_sizes
+    assert sum(k * v for k, v in hist.items()) == 4  # every item counted
+    b.close()
