@@ -252,6 +252,18 @@ class VectorIndex:
         for c in chunk_ids:
             self._chunk_to_row.pop(c, None)
 
+    @staticmethod
+    def _count_fallback(path: str) -> None:
+        """Production-observable degrade events (VERDICT r1 item 9): the
+        opaque TPU ``INVALID_ARGUMENT`` fallback shows up in ``/metrics`` as
+        ``index.backend_fallback.*`` counters instead of only a log line
+        (reproducer: tools/repro_invalid_argument.py)."""
+
+        from ..utils.profiling import metrics
+
+        metrics.incr("index.backend_fallback")
+        metrics.incr(f"index.backend_fallback.{path}")
+
     def _search_with_fallback(self, fn, *args):
         """Run a jitted search; on a runtime TPU failure retry on the dense
         XLA backend. Observed in practice: the Pallas top-k dispatch can hit
@@ -268,6 +280,7 @@ class VectorIndex:
         except jax.errors.JaxRuntimeError:
             if self.backend == "xla":
                 raise
+            self._count_fallback("dense")
             _logger.warning(
                 "search backend %r failed at runtime; retrying on dense xla",
                 self.backend,
@@ -351,6 +364,7 @@ class VectorIndex:
         except jax.errors.JaxRuntimeError:
             if self.backend == "xla" or self.dtype == jnp.int8:
                 raise
+            self._count_fallback("sharded")
             _logger.warning(
                 "sharded search backend %r failed at runtime; retrying on dense xla",
                 self.backend,
@@ -491,6 +505,7 @@ class VectorIndex:
         try:
             return self._ivf_search_inner(ivf, queries_j, uids, dids, k)
         except jax.errors.JaxRuntimeError:
+            self._count_fallback("ivf")
             _logger.warning("ivf search failed at runtime; dense xla retry")
             return fallback()
 

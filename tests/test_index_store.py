@@ -356,9 +356,16 @@ def test_search_runtime_fallback_to_xla(rng):
             raise jax.errors.JaxRuntimeError("INVALID_ARGUMENT: TPU backend error")
         return np.ones((1, 2), np.float32), np.zeros((1, 2), np.int32)
 
+    from mmrag_tpu.utils.profiling import metrics
+
+    before = metrics.summary()["counters"].get("index.backend_fallback", 0)
     scores, idx = index._search_with_fallback(fake_fn, "ignored")
     assert calls == ["pallas", "xla"]
     assert scores.shape == (1, 2)
+    # degrade events are production-observable via /metrics (VERDICT r1 #9)
+    after = metrics.summary()["counters"]
+    assert after.get("index.backend_fallback", 0) == before + 1
+    assert after.get("index.backend_fallback.dense", 0) >= 1
 
     # xla backend re-raises (nothing to fall back to)
     index_xla = VectorIndex(dim=4, dtype="float32", backend="xla")
