@@ -36,7 +36,10 @@ class ModelDefaults:
     # decode timestamp tokens into fine-grained segments (like the torch
     # ladder's per-utterance segments); off = one segment per 30s window,
     # which is robust for unconstrained greedy decoding
-    asr_timestamps: bool = False
+    # timestamp-token decoding: sub-window segments (<5 s granularity) so
+    # [ts:a-b] citations from ASR-ingested videos are fine-grained like the
+    # reference's torch whisper segmentation (app/ingest/youtube.py:178-209)
+    asr_timestamps: bool = True
 
 
 @dataclass(frozen=True)

@@ -13,10 +13,13 @@ convert-whisper ...``); otherwise :func:`get_asr_runtime` returns None and
 callers fall through to the torch ladder, matching the reference's
 import-gated degrade behavior.
 
-Segments are emitted per 30 s window (start = window offset, duration =
-audio covered). The reference's torch path yields Whisper's finer internal
-segmentation; window granularity carries the same information into the text
-index, whose nodes are re-chunked anyway (``app/tasks.py:87-106``).
+Segment granularity matches the reference's torch path
+(``app/ingest/youtube.py:178-209``): with ``MODEL_ASR_TIMESTAMPS`` (the
+default) each window decodes with a timestamp-enabled prefix and is split on
+Whisper timestamp tokens into sub-window segments (typically a sentence,
+<5 s), so ``[ts:a-b]`` citations are fine-grained. Disabled — or when a
+window's decode emits no usable stamps — segments fall back to one per 30 s
+window (start = window offset, duration = audio covered).
 """
 
 from __future__ import annotations
