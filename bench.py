@@ -314,6 +314,57 @@ def bench_ivf(quick: bool):
     return sec * 1e3, recall
 
 
+def bench_ivf_encoder(quick: bool):
+    """IVF on ENCODER-GENERATED embeddings (VERDICT r1 weak #2): a templated
+    text corpus through the production MiniLM runtime -> ivf build ->
+    recall@10 vs exact for paraphrase-perturbed queries, plus the measured
+    cluster-structure ratio vs the structureless baseline (the auto-routing
+    gate's signal). Returns ``(recall, structure_ratio)``."""
+
+    import itertools
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mmrag_tpu.models.runtime import get_runtime
+    from mmrag_tpu.ops import ivf as ivf_ops
+    from mmrag_tpu.ops.topk import cosine_topk
+
+    rt = get_runtime()
+    n = 16_384 if quick else 131_072
+    subjects = ["the mitochondria", "photosynthesis", "newton's law",
+                "the ocean current", "a neural network", "the quantum computer",
+                "the roman empire", "a volcanic eruption", "the stock market",
+                "the immune system", "a jazz ensemble", "the glacier"]
+    verbs = ["explains", "produces", "describes", "transforms", "absorbs",
+             "regulates", "models", "disrupts", "powers", "shapes"]
+    objects = ["cellular energy", "light into sugar", "classical mechanics",
+               "global climate", "pattern recognition", "prime factorization",
+               "ancient trade", "the landscape", "investor behavior",
+               "pathogen defense", "improvised melodies", "meltwater rivers"]
+    combos = itertools.cycle(itertools.product(subjects, verbs, objects))
+    texts = [f"{s} {v} {o} in chapter {i % 97}"
+             for i, (s, v, o) in enumerate(itertools.islice(combos, n))]
+    emb = rt.embed_text_batch(texts)
+    emb_j = jnp.asarray(emb, jnp.float32)
+    ivf = ivf_ops.build_ivf(emb_j.astype(jnp.bfloat16))
+    ratio = ivf.structure / ivf_ops.structureless_baseline(ivf.n_clusters, 384)
+
+    qtexts = [t.replace("in chapter", "within chapter") for t in texts[:16]]
+    q = jnp.asarray(rt.embed_text_batch(qtexts), jnp.float32)
+    mask = jnp.ones((n,), bool)
+    _, ei = cosine_topk(q, emb_j.astype(jnp.bfloat16), mask, 10)
+    _, ai = ivf_ops.ivf_search_pred(
+        ivf, q, jnp.zeros(16, jnp.int32), jnp.full(16, -1, jnp.int32),
+        10, nprobe=min(64, ivf.n_clusters),
+    )
+    ei, ai = np.asarray(ei), np.asarray(ai)
+    recall = float(np.mean([
+        len(set(ei[i]) & set(ai[i])) / 10.0 for i in range(16)
+    ]))
+    return recall, round(float(ratio), 2)
+
+
 def bench_multitenant(quick: bool) -> float:
     """BASELINE config #5 core: cross-tenant batched queries over a large
     index — per-query tenant masks inside one scoring dispatch."""
@@ -644,8 +695,8 @@ def main() -> None:
     # — the historical deterministic ordering for the allocator-state hazard
     steps = ["minilm", "minilm_seq256", "minilm_seq512", "clip_images",
              "multitenant", "topk", "topk_int8",
-             "topk_10m", "ivf", "rerank", "rerank64", "chat_path",
-             "serving_load", "asr"]
+             "topk_10m", "ivf", "ivf_encoder", "rerank", "rerank64",
+             "chat_path", "serving_load", "asr"]
 
     if args.steps:
         # child mode: run the listed steps in THIS process, streaming one
@@ -720,6 +771,8 @@ def main() -> None:
     topk_10m_ms = r.get("topk_10m")
     ivf_pair = r.get("ivf") or (None, None)
     ivf_ms, ivf_recall = ivf_pair
+    ivf_enc = r.get("ivf_encoder") or (None, None)
+    ivf_enc_recall, ivf_enc_structure = ivf_enc
     rerank = r.get("rerank")
     rerank64 = r.get("rerank64")
     chat_ms = r.get("chat_path")
@@ -746,6 +799,8 @@ def main() -> None:
                     "topk_10m_p50_ms": rnd(topk_10m_ms),
                     "ivf_1m_p50_ms": rnd(ivf_ms),
                     "ivf_recall_at_10": rnd(ivf_recall),
+                    "ivf_encoder_recall_at_10": rnd(ivf_enc_recall),
+                    "ivf_encoder_structure_ratio": rnd(ivf_enc_structure, 2),
                     "multitenant_16q_1m_ms": rnd(multitenant_ms),
                     "rerank_pairs_per_sec": rnd(rerank, 1),
                     "rerank_pairs_per_sec_batch64": rnd(rerank64, 1),

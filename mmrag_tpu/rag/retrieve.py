@@ -29,20 +29,9 @@ from .engine import RagEngine, get_engine
 
 
 def _get_query_embeddings(query: str, engine: RagEngine) -> Dict[str, np.ndarray]:
-    cached = cache.get_query_embeddings(query)
-    if cached is not None:
-        return cached
-    batcher = engine.query_batcher
-    if batcher is not None:
-        # concurrent requests coalesce into one padded dual-tower dispatch
-        embeds = batcher.embed(query)
-    else:
-        embeds = {
-            "text": engine.runtime.embed_text_batch([query])[0],
-            "image": engine.runtime.embed_query_for_images(query),
-        }
-    cache.set_query_embeddings(query, embeds)
-    return embeds
+    from .embeddings import get_query_embeddings
+
+    return get_query_embeddings(query, engine)
 
 
 def _hydrate(
