@@ -314,6 +314,87 @@ def bench_ivf(quick: bool):
     return sec * 1e3, recall
 
 
+def bench_ivf_int8(quick: bool):
+    """IVF + int8 composition (the reference's partitioned-and-compressed
+    IVF_PQ design point): quantized buckets + per-slot scales over the same
+    clustered 1M x 384 geometry as bench_ivf. Returns (latency_ms, recall):
+    single-query p50 at the default nprobe and recall@10 vs the exact
+    *quantized* scan (isolating probe loss from quantization loss, which
+    the dense int8 bench characterizes at 0.98)."""
+
+    import jax
+    import jax.numpy as jnp
+
+    from mmrag_tpu.ops import ivf as ivf_ops
+    from mmrag_tpu.ops.topk import (
+        _cosine_topk_int8, l2_normalize, merge_topk, quantize_rows_int8,
+    )
+
+    n, d = (131_072 if quick else 1_048_576), 384
+    centers = 1024
+
+    @jax.jit
+    def make(key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        mu = l2_normalize(jax.random.normal(k1, (centers, d), jnp.float32))
+        which = jax.random.randint(k2, (n,), 0, centers)
+        noise = 0.3 * l2_normalize(jax.random.normal(k3, (n, d), jnp.float32))
+        return l2_normalize(mu[which] + noise)
+
+    corpus_f = make(jax.random.PRNGKey(0))
+    q8, scales = quantize_rows_int8(corpus_f)
+    del corpus_f
+    ivf = ivf_ops.build_ivf(q8, bucket_factor=1.5, scales=scales)
+    nprobe = min(64, ivf.n_clusters)
+    queries = l2_normalize(
+        jax.random.normal(jax.random.PRNGKey(1), (1, d), jnp.float32))
+    k = 50
+    uids = jnp.zeros((1,), jnp.int32)
+    dids = jnp.full((1,), -1, jnp.int32)
+    use_pallas = ivf_ops._use_pallas_probe(ivf.bucket_size, d, 1)
+    has_spill = int(ivf.spill.shape[0]) > 0
+
+    def make_step(kk, queries, centroids, buckets, scales_b, bucket_ids,
+                  users_b, docs_b, live_b, spill, spill_scales, spill_ids,
+                  spill_users, spill_docs, spill_live):
+        def body(i, acc):
+            q = queries + 1e-6 * i
+            s, idx = ivf_ops._ivf_probe_pred_q(
+                q, centroids, buckets, scales_b, bucket_ids, users_b, docs_b,
+                live_b, uids, dids, k, nprobe, use_pallas)
+            if has_spill:
+                s2, i2 = ivf_ops._spill_scores_pred_q(
+                    q, spill, spill_scales, spill_ids, spill_users,
+                    spill_docs, spill_live, uids, dids, k)
+                s, idx = merge_topk(s, idx, s2, i2, k)
+            return acc + s[0, 0] + idx[0, 0].astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, kk, body, jnp.float32(0.0))
+
+    k1, k2 = (16, 4) if quick else (32, 8)
+    sec = _per_iter_seconds(
+        make_step, k1, k2, queries, ivf.centroids, ivf.buckets, ivf.scales_b,
+        ivf.bucket_ids, ivf.users_b, ivf.docs_b, ivf.live_b,
+        ivf.spill, ivf.spill_scales, ivf.spill_ids, ivf.spill_users,
+        ivf.spill_docs, ivf.spill_live,
+    )
+
+    noise = 0.15 * l2_normalize(
+        jax.random.normal(jax.random.PRNGKey(2), (16, d), jnp.float32))
+    q16 = l2_normalize(
+        q8[:16].astype(jnp.float32) * scales[:16, None] + noise)
+    mask = jnp.ones((n,), bool)
+    _, ei = _cosine_topk_int8(q16, q8, scales, mask, 10)
+    _, ai = ivf_ops.ivf_search_pred(
+        ivf, q16, jnp.zeros((16,), jnp.int32), jnp.full((16,), -1, jnp.int32),
+        10, nprobe=nprobe)
+    ei, ai = np.asarray(ei), np.asarray(ai)
+    recall = float(np.mean([
+        len(set(ei[i]) & set(ai[i])) / 10.0 for i in range(16)
+    ]))
+    return sec * 1e3, recall
+
+
 def bench_ivf_encoder(quick: bool):
     """IVF on ENCODER-GENERATED embeddings (VERDICT r1 weak #2): a templated
     text corpus through the production MiniLM runtime -> ivf build ->
@@ -695,8 +776,8 @@ def main() -> None:
     # — the historical deterministic ordering for the allocator-state hazard
     steps = ["minilm", "minilm_seq256", "minilm_seq512", "clip_images",
              "multitenant", "topk", "topk_int8",
-             "topk_10m", "ivf", "ivf_encoder", "rerank", "rerank64",
-             "chat_path", "serving_load", "asr"]
+             "topk_10m", "ivf", "ivf_int8", "ivf_encoder", "rerank",
+             "rerank64", "chat_path", "serving_load", "asr"]
 
     if args.steps:
         # child mode: run the listed steps in THIS process, streaming one
@@ -773,6 +854,8 @@ def main() -> None:
     ivf_ms, ivf_recall = ivf_pair
     ivf_enc = r.get("ivf_encoder") or (None, None)
     ivf_enc_recall, ivf_enc_structure = ivf_enc
+    ivf_i8 = r.get("ivf_int8") or (None, None)
+    ivf_i8_ms, ivf_i8_recall = ivf_i8
     rerank = r.get("rerank")
     rerank64 = r.get("rerank64")
     chat_ms = r.get("chat_path")
@@ -799,6 +882,8 @@ def main() -> None:
                     "topk_10m_p50_ms": rnd(topk_10m_ms),
                     "ivf_1m_p50_ms": rnd(ivf_ms),
                     "ivf_recall_at_10": rnd(ivf_recall),
+                    "ivf_int8_1m_p50_ms": rnd(ivf_i8_ms),
+                    "ivf_int8_recall_at_10": rnd(ivf_i8_recall),
                     "ivf_encoder_recall_at_10": rnd(ivf_enc_recall),
                     "ivf_encoder_structure_ratio": rnd(ivf_enc_structure, 2),
                     "multitenant_16q_1m_ms": rnd(multitenant_ms),

@@ -166,6 +166,9 @@ class VectorIndex:
         self._ivf = None  # ops.ivf.IVFData once built
         self._ivf_building = False  # a background (re)build is in flight
         self._ivf_poor_at = 0  # rows when structure was judged poor (backoff)
+        # persisted centroids (snapshot restore): the first build after a
+        # load skips Lloyd and only runs the assignment matmul
+        self._ivf_warm_centroids: Optional[np.ndarray] = None
         self.ivf_build_async = True  # tests set False for determinism
         self._generation = 0  # bumped by compact(); aborts stale installs
         self._scales: Optional[jnp.ndarray] = None  # (capacity,) f32, int8 mode
@@ -413,9 +416,12 @@ class VectorIndex:
             scales = self._scales[:snap_size] if self.dtype == jnp.int8 else None
             jax.block_until_ready(slab)
 
+        warm = self._ivf_warm_centroids
+        self._ivf_warm_centroids = None  # one-shot; later rebuilds re-train
         data = ivf_ops.build_ivf(
             slab, n_clusters, bucket_factor, iters,
             users=users, docs=docs, live=live, scales=scales,
+            centroids=warm,
         )
 
         baseline = ivf_ops.structureless_baseline(data.n_clusters, self.dim)
@@ -790,6 +796,12 @@ class VectorIndex:
             # small human-readable summary — legacy manifests with full id
             # lists are still honored by load()
             manifest = {"dim": self.dim, "rows": int(live_rows.size)}
+            if self._ivf is not None:
+                # persist centroids so the restored index warm-rebuilds its
+                # layout with one assignment matmul instead of full k-means
+                ids_arrays["ivf_centroids"] = np.asarray(
+                    self._ivf.centroids, np.float32
+                )
             npz_tmp = os.path.join(directory, f"{name}.npz.tmp")
             if self.dtype == jnp.int8:
                 # lossless: persist the quantized rows + scales directly (4x
@@ -863,6 +875,10 @@ class VectorIndex:
                 chunk_ids = manifest["chunk_ids"]
                 user_ids = manifest["user_ids"]
                 document_ids = manifest["document_ids"]
+            warm_centroids = (
+                np.asarray(data["ivf_centroids"]) if "ivf_centroids" in data
+                else None
+            )
             if "embeddings_int8" in data and dtype == "int8":
                 index = cls(dim=manifest["dim"], dtype=dtype, backend=backend,
                             ivf_nprobe=ivf_nprobe, ivf_min_rows=ivf_min_rows,
@@ -871,6 +887,7 @@ class VectorIndex:
                     chunk_ids, user_ids, document_ids,
                     data["embeddings_int8"], data["scales"],
                 )
+                index._ivf_warm_centroids = warm_centroids
                 return index
             if "embeddings_int8" in data:  # dtype changed between runs
                 mat = data["embeddings_int8"].astype(np.float32) * data["scales"][:, None]
@@ -895,6 +912,7 @@ class VectorIndex:
         ]
         if rows:
             index.upsert(rows)
+        index._ivf_warm_centroids = warm_centroids
         return index
 
     @classmethod

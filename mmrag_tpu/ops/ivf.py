@@ -201,6 +201,7 @@ def build_ivf(
     live: Optional[jnp.ndarray] = None,  # (n,) bool/int
     scales: Optional[jnp.ndarray] = None,  # (n,) f32: slab_rows is int8
     train_sample: int = 131072,
+    centroids: Optional[jnp.ndarray] = None,  # (C, d): warm rebuild, no Lloyd
 ) -> IVFData:
     """Cluster rows and lay them out in fixed-size buckets.
 
@@ -237,7 +238,21 @@ def build_ivf(
     align = 128 if bucket >= 64 else 8
     bucket = max(8, (bucket + align - 1) // align * align)
 
-    if scales is not None:
+    if centroids is not None:
+        # warm rebuild from persisted centroids: skip Lloyd entirely; only
+        # the single assignment matmul runs (restart path — VectorIndex
+        # snapshots carry the centroids)
+        centroids = jnp.asarray(centroids, jnp.float32)
+        n_clusters = int(centroids.shape[0])
+        if scales is not None:
+            scales = jnp.asarray(scales, jnp.float32)
+            assign, structure = _assign_int8(slab_rows, centroids, scales)
+        else:
+            assign, structure = _assign_with_structure(slab_rows, centroids)
+        bucket = int(-(-n * bucket_factor // n_clusters))
+        align = 128 if bucket >= 64 else 8
+        bucket = max(8, (bucket + align - 1) // align * align)
+    elif scales is not None:
         scales = jnp.asarray(scales, jnp.float32)
         # train on a dequantized sample only (bounded f32 materialization)
         cap = train_sample or n

@@ -423,3 +423,34 @@ def test_ivf_on_encoder_generated_embeddings(tmp_path):
     ei, ai = np.asarray(ei), np.asarray(ai)
     recall = np.mean([len(set(ei[i]) & set(ai[i])) / 10 for i in range(8)])
     assert recall >= 0.95, f"recall@10 {recall} on encoder embeddings"
+
+
+def test_ivf_centroids_persist_for_warm_rebuild(rng, tmp_path):
+    """Snapshots carry the IVF centroids; the restored index's first build
+    skips Lloyd (warm rebuild) and produces the same probe results."""
+
+    from mmrag_tpu.index.store import VectorIndex
+
+    mat = _clustered(rng, 600)
+    idx = VectorIndex(dim=64, dtype="float32", backend="ivf", ivf_min_rows=64)
+    idx.ivf_build_async = False
+    idx.upsert(_rows(mat))
+    idx.search(mat[0], "u1", k=1)  # builds the layout
+    assert idx._ivf is not None
+    idx.save(str(tmp_path), "t")
+
+    loaded = VectorIndex.load(str(tmp_path), "t", dtype="float32", backend="ivf",
+                              ivf_min_rows=64)
+    loaded.ivf_build_async = False
+    assert loaded._ivf_warm_centroids is not None
+    np.testing.assert_allclose(
+        loaded._ivf_warm_centroids, np.asarray(idx._ivf.centroids), rtol=1e-6
+    )
+    hits = loaded.search(mat[9], "u1", k=3)  # first search warm-rebuilds
+    assert loaded._ivf is not None
+    assert loaded._ivf_warm_centroids is None  # one-shot consumed
+    np.testing.assert_allclose(
+        np.asarray(loaded._ivf.centroids), np.asarray(idx._ivf.centroids),
+        rtol=1e-6,
+    )
+    assert hits and hits[0][0] == "c9"
