@@ -277,15 +277,17 @@ def clip_image_features(
         stream = jnp.dtype(compute_dtype)
         x2 = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
         x2 = x2.reshape(b * s_pad, h).astype(stream)
+        from ..ops.mlp import fused_mlp_block
+
         for layer in vp["layers"]:
             # pre-LN attention block in one dispatch (q/k/v/ctx VMEM-resident)
             x2 = fused_attention_block(
                 x2, layer, v.num_heads, s_pad, v.layer_norm_eps, mask,
                 pre_ln=True, ln_key="ln1",
             )
-            y = _layer_norm(layer["ln2"], x2, v.layer_norm_eps)
-            y = _dense(layer["fc2"], quick_gelu(_dense(layer["fc1"], y, compute_dtype)), compute_dtype)
-            x2 = (x2.astype(jnp.float32) + y).astype(stream)
+            # pre-LN MLP block in one dispatch (the (rows, inter) activation
+            # never touches HBM)
+            x2 = fused_mlp_block(x2, layer, v.layer_norm_eps)
         pooled = x2.reshape(b, s_pad, h)[:, 0]
     else:
         for layer in vp["layers"]:

@@ -1,0 +1,118 @@
+"""Fused pre-LN MLP block (Pallas TPU): ``x + FC2(act(FC1(LN(x))))``.
+
+Motivation (measured, CLIP ViT-B/32 h=768/inter=3072 on v5e): the composed
+XLA form materializes the (rows, 3072) inner activation in HBM (write+read
+~690 KB per image per layer) plus the LN round trip — ~20% of CLIP image
+wall once attention runs in its own fused block. This kernel keeps LN, both
+matmuls, the activation, and the residual add in VMEM per row tile: HBM
+traffic per tile = read x + (resident) weights, write the updated stream.
+
+(The BERT-family FFN measured perf-NEUTRAL under the same fusion at
+h=384/inter=1536 in round 1 — XLA fuses the gelu into the matmul epilogue
+and the inner tensor is 4x smaller — so this kernel is wired into the CLIP
+towers only.)
+
+Reference equivalent: torch MLP inside HF CLIP (`/root/reference/app/ml/
+embeddings.py:73-105` library internals).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, lns_ref, lnb_ref,
+                out_ref, *, eps: float):
+    x = x_ref[:]
+    precision = (
+        jax.lax.Precision.DEFAULT
+        if x.dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
+    y = x.astype(jnp.float32)
+    mean = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(y - mean), axis=-1, keepdims=True)
+    ln = ((y - mean) * jax.lax.rsqrt(var + eps) * lns_ref[:] + lnb_ref[:]).astype(x.dtype)
+    inner = jax.lax.dot_general(
+        ln, w1_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    ) + b1_ref[:]
+    # quick_gelu (HF CLIP): v * sigmoid(1.702 v), computed in f32
+    inner = (inner * jax.nn.sigmoid(1.702 * inner)).astype(x.dtype)
+    o = jax.lax.dot_general(
+        inner, w2_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    ) + b2_ref[:]
+    out_ref[:] = (y + o).astype(out_ref.dtype)
+
+
+def _rows_tile(hidden: int, inter: int, itemsize: int) -> int:
+    # VMEM: weights ~ (hidden*inter*2)*itemsize resident (constant index_map)
+    # + per-tile x/ln/inner/out. h=768/inter=3072 bf16: weights 9.4 MB; at
+    # 256 rows the activations add ~5 MB — inside the 16 MB scoped budget
+    # with margin. Halve for f32.
+    tile = 256
+    if itemsize > 2:
+        tile //= 2
+    return tile
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def _fused_mlp(x, w1, b1, w2, b2, ln_scale, ln_bias, eps: float, interpret: bool):
+    rows, h = x.shape
+    inter = w1.shape[1]
+    tile = min(_rows_tile(h, inter, x.dtype.itemsize), rows)
+    grid = (rows // tile,)
+    row_spec = pl.BlockSpec((tile, h), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_mlp_kernel, eps=eps),
+        grid=grid,
+        in_specs=[
+            row_spec,
+            pl.BlockSpec((h, inter), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, inter), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((inter, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((rows, h), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * rows * h * inter,
+            bytes_accessed=2 * rows * h * x.dtype.itemsize
+            + 2 * h * inter * x.dtype.itemsize,
+            transcendentals=rows * inter,
+        ),
+        interpret=interpret,
+    )(x, w1, b1, w2, b2, ln_scale, ln_bias)
+
+
+def fused_mlp_block(x: jnp.ndarray, layer: dict, eps: float) -> jnp.ndarray:
+    """One dispatch for the CLIP pre-LN MLP block over a 2-D (rows, h)
+    residual stream: ``x + FC2(quick_gelu(FC1(LN2(x))))``. Pads rows to a
+    tile multiple internally; interpret mode off-TPU."""
+
+    rows, h = x.shape
+    tile = min(_rows_tile(h, layer["fc1"]["kernel"].shape[1], x.dtype.itemsize), rows)
+    pad = (-rows) % tile
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    two_d = lambda p: p.reshape(1, -1)
+    out = _fused_mlp(
+        x,
+        layer["fc1"]["kernel"].astype(x.dtype), two_d(layer["fc1"]["bias"]),
+        layer["fc2"]["kernel"].astype(x.dtype), two_d(layer["fc2"]["bias"]),
+        two_d(layer["ln2"]["scale"]), two_d(layer["ln2"]["bias"]),
+        eps, jax.default_backend() == "cpu",
+    )
+    return out[:rows]

@@ -133,3 +133,29 @@ def test_large_logits_stay_finite(rng):
     assert np.isfinite(got).all()
     # values are convex combinations of v rows, so bounded by max |v|
     assert np.abs(got).max() <= np.abs(np.asarray(q)).max() + 1e-3
+
+
+def test_fused_mlp_block_matches_composed(rng):
+    """ops/mlp.py pre-LN MLP kernel == composed LN2 -> fc1 -> quick_gelu ->
+    fc2 -> residual (interpret mode on CPU)."""
+
+    from mmrag_tpu.models.clip import _dense, _layer_norm, quick_gelu
+    from mmrag_tpu.ops.mlp import fused_mlp_block
+
+    h, inter, rows = 64, 128, 48
+    layer = {
+        "ln2": {"scale": jnp.asarray(rng.standard_normal(h), jnp.float32),
+                "bias": jnp.asarray(rng.standard_normal(h), jnp.float32)},
+        "fc1": {"kernel": jnp.asarray(rng.standard_normal((h, inter)) * 0.05, jnp.float32),
+                "bias": jnp.asarray(rng.standard_normal(inter) * 0.05, jnp.float32)},
+        "fc2": {"kernel": jnp.asarray(rng.standard_normal((inter, h)) * 0.05, jnp.float32),
+                "bias": jnp.asarray(rng.standard_normal(h) * 0.05, jnp.float32)},
+    }
+    x = jnp.asarray(rng.standard_normal((rows, h)), jnp.float32)
+    eps = 1e-5
+    y = _layer_norm(layer["ln2"], x, eps)
+    want = x.astype(jnp.float32) + _dense(
+        layer["fc2"], quick_gelu(_dense(layer["fc1"], y, jnp.float32)), jnp.float32
+    )
+    got = fused_mlp_block(x, layer, eps)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
