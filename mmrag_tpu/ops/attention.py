@@ -102,7 +102,7 @@ def _softmax_ctx(scores, vh, ones, precision):
     return ch[..., :hd] * pl.reciprocal(denom, approx=False)
 
 
-def _batch_tile(seq: int, itemsize: int = 2) -> int:
+def _batch_tile(seq: int, itemsize: int = 2, hidden: int = 384) -> int:
     # VMEM budget: ~4 * tile * seq * hidden * itemsize (qkv+out, double-
     # buffered) + tile * seq^2 f32 (one head's score tensor). Shrink with
     # seq, and halve for f32 inputs (a 16-tile f32 MiniLM block compiles to
@@ -117,12 +117,18 @@ def _batch_tile(seq: int, itemsize: int = 2) -> int:
         tile = 16
     else:
         tile = 2
+    if hidden > 512:
+        # wide towers (CLIP ViT h=768): tile 16 at seq 56 compiled at
+        # 17.23 MB scoped VMEM vs the 16 MB limit — i.e. only when the
+        # remote compiler's flaky accounting smiled (b=128 passed, b=256
+        # OOMed). tile 8 sits ~10 MB with real margin.
+        tile = max(1, tile // 2)
     if itemsize > 2:
         tile = max(1, tile // 2)
     return tile
 
 
-def _select_kernel(seq: int, head_dim: int, itemsize: int = 2):
+def _select_kernel(seq: int, head_dim: int, itemsize: int = 2, hidden: int = 384):
     """Kernel variant + batch tile for this shape.
 
     (A block-diagonal variant — flattening samples into one dense
@@ -132,7 +138,7 @@ def _select_kernel(seq: int, head_dim: int, itemsize: int = 2):
     -> 10.8k embeds/s on v5e.)
     """
 
-    return _attn_kernel, _batch_tile(seq, itemsize)
+    return _attn_kernel, _batch_tile(seq, itemsize, hidden)
 
 
 def _attn_kernel2d(
@@ -192,7 +198,7 @@ def _fused_attention2d(
     rows, h = q.shape
     b = rows // seq
     hd = h // num_heads
-    _, tile = _select_kernel(seq, hd, q.dtype.itemsize)
+    _, tile = _select_kernel(seq, hd, q.dtype.itemsize, h)
     tile = min(tile, b)
     grid = (b // tile,)
     kernel = functools.partial(
@@ -246,7 +252,7 @@ def fused_encoder_attention2d(
         kmask = ((1.0 - attention_mask.astype(jnp.float32)) * -1e9)[:, None, :]
     else:
         kmask = jnp.zeros((b, 1, seq), jnp.float32)
-    _, tile = _select_kernel(seq, h // num_heads, q.dtype.itemsize)
+    _, tile = _select_kernel(seq, h // num_heads, q.dtype.itemsize, h)
     tile = min(tile, b)
     pad = (-b) % tile
     if pad:
@@ -296,7 +302,7 @@ def _fused_attention(
 ) -> jnp.ndarray:
     b, s, h = q.shape
     hd = h // num_heads
-    kernel_fn, tile = _select_kernel(s, hd, q.dtype.itemsize)
+    kernel_fn, tile = _select_kernel(s, hd, q.dtype.itemsize, h)
     tile = min(tile, b)
     grid = (b // tile,)
     kernel = functools.partial(
@@ -349,7 +355,7 @@ def fused_encoder_attention(
         full = full + bias.astype(jnp.float32)
     if attention_mask is not None:
         full = full + (1.0 - attention_mask.astype(jnp.float32))[:, None, :] * -1e9
-    _, tile = _select_kernel(s, h // num_heads, q.dtype.itemsize)
+    _, tile = _select_kernel(s, h // num_heads, q.dtype.itemsize, h)
     tile = min(tile, b)
     pad = (-b) % tile
     if pad:
@@ -439,7 +445,7 @@ def _fused_attention_block(
     rows, h = x.shape
     b = rows // seq
     hd = h // num_heads
-    _, tile = _select_kernel(seq, hd, x.dtype.itemsize)
+    _, tile = _select_kernel(seq, hd, x.dtype.itemsize, h)
     tile = min(tile, b)
     grid = (b // tile,)
     kernel = functools.partial(
@@ -491,7 +497,7 @@ def fused_attention_block(
         kmask = jnp.zeros((b, 1, seq), jnp.float32)
     else:
         kmask = ((1.0 - attention_mask.astype(jnp.float32)) * -1e9)[:, None, :]
-    _, tile = _select_kernel(seq, h // num_heads, x.dtype.itemsize)
+    _, tile = _select_kernel(seq, h // num_heads, x.dtype.itemsize, h)
     tile = min(tile, b)
     pad = (-b) % tile
     if pad:
