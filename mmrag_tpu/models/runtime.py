@@ -156,18 +156,31 @@ class EncoderRuntime:
         """jit with DP shardings in multi-chip mode: params replicated, the
         ``n_batch_args`` batch arrays (and the output) row-sharded over the
         data axis (:mod:`mmrag_tpu.parallel.inference` semantics, wired into
-        the production runtime)."""
+        the production runtime).
+
+        The DP form is ``shard_map`` (each device runs the full forward on
+        its batch shard), NOT ``jit(in_shardings=...)``: the encoder
+        forwards contain Pallas kernels on TPU, and Mosaic custom calls
+        cannot be auto-partitioned by GSPMD — jit-autosharding them raises
+        ``NotImplementedError: Mosaic kernels cannot be automatically
+        partitioned`` on any real multi-device host (review finding; CPU
+        tests never see it because the fused gates are TPU-only)."""
 
         if self.mesh is None:
             return jax.jit(fn)
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        from ..parallel.mesh import DATA_AXIS
+        from jax.sharding import PartitionSpec as P
 
-        repl = NamedSharding(self.mesh, P())
-        rows = NamedSharding(self.mesh, P(DATA_AXIS))
-        return jax.jit(
-            fn, in_shardings=(repl,) + (rows,) * n_batch_args, out_shardings=rows
+        from ..parallel.mesh import DATA_AXIS
+        from ..parallel.sharded_index import shard_map
+
+        mapped = shard_map(
+            fn,
+            mesh=self.mesh,
+            in_specs=(P(),) + (P(DATA_AXIS),) * n_batch_args,
+            out_specs=P(DATA_AXIS),
+            check_rep=False,
         )
+        return jax.jit(mapped)
 
     def _round_batch(self, bsz: int) -> int:
         """Pad the bucket size up to a multiple of the data-axis size so the

@@ -34,15 +34,22 @@ def shard_batch_fn(
     The first argument (params pytree) is replicated; the next
     ``n_batch_args`` arguments are sharded on dim 0 over the data axis; the
     output is row-sharded the same way. ``fn`` must be jit-compatible.
+
+    Implemented as ``shard_map`` (per-device full forward on the local batch
+    shard) rather than jit-autosharding: encoder forwards carry Pallas
+    kernels on TPU and Mosaic custom calls cannot be GSPMD-partitioned.
     """
 
-    repl = NamedSharding(mesh, P())
-    rows = NamedSharding(mesh, P(DATA_AXIS))
+    from .sharded_index import shard_map
 
     jitted = jax.jit(
-        fn,
-        in_shardings=(repl,) + (rows,) * n_batch_args,
-        out_shardings=rows,
+        shard_map(
+            fn,
+            mesh=mesh,
+            in_specs=(P(),) + (P(DATA_AXIS),) * n_batch_args,
+            out_specs=P(DATA_AXIS),
+            check_rep=False,
+        )
     )
 
     def wrapper(params, *batches):

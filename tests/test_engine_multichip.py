@@ -212,3 +212,23 @@ def test_engine_data_mesh_settings(tmp_path):
     assert engine_data_mesh(cfg_two).shape[DATA_AXIS] == 2
     # cached: same device count -> same mesh object (shared jit caches)
     assert engine_data_mesh(cfg_auto) is mesh
+
+
+def test_non_power_of_two_mesh(rng):
+    """Capacity rounds up to a data-axis multiple on non-pow2 meshes (6 of
+    the 8 virtual devices) and searches still match the exact scan."""
+
+    if len(jax.devices()) < 6:
+        pytest.skip("needs >=6 devices")
+    mesh = build_mesh(n_devices=6, model_parallel=1)
+    single = VectorIndex(dim=64, dtype="float32")
+    sharded = VectorIndex(dim=64, dtype="float32", mesh=mesh)
+    rows = _rows(rng, 300)
+    single.upsert(rows)
+    sharded.upsert(rows)
+    assert sharded._capacity % 6 == 0
+    queries = rng.standard_normal((3, 64)).astype(np.float32)
+    a = single.search_batch(queries, "u1", k=7)
+    b = sharded.search_batch(queries, "u1", k=7)
+    for ha, hb in zip(a, b):
+        assert [c for c, _ in ha] == [c for c, _ in hb]
