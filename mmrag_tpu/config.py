@@ -179,6 +179,14 @@ class TpuDefaults:
     profile_dir: str = ""  # jax.profiler trace dir ("" = disabled)
     microbatch_window_ms: float = 4.0  # cross-request query coalescing (0 = off)
     microbatch_max: int = 16  # max queries per coalesced device step
+    # cross-process index replication (api/worker split): mutations flow
+    # through a shared SQLite journal so separate processes converge on one
+    # row state — the reference's shared on-disk LanceDB semantics
+    index_journal: bool = True
+    journal_poll_sec: float = 0.25  # read-path staleness bound (peer writes)
+    # 0 = enqueue-only api (a dedicated `python -m mmrag_tpu.serving.jobs
+    # worker` process claims and runs jobs — the reference's Celery topology)
+    job_workers: int = 1
 
 
 @dataclass(frozen=True)

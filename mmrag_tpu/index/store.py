@@ -188,6 +188,20 @@ class VectorIndex:
         # exact interning tables (no hash collisions)
         self._user_intern: Dict[str, int] = {}
         self._doc_intern: Dict[str, int] = {}
+        self._dtype_str = dtype if dtype in self._DTYPES else "float32"
+        # cross-process replication (index/journal.py): when attached, every
+        # logical mutation is journaled before being applied by seq-ordered
+        # replay, so api and worker processes converge on one row state —
+        # the reference's shared on-disk LanceDB semantics
+        # (lancedb_store.py:29-41) over HBM-resident slabs
+        self._journal = None
+        self._journal_collection: Optional[str] = None
+        self._applied_seq = 0
+        self._journal_poll_sec = 0.25
+        self._last_journal_check = 0.0
+        self._snapshot_dir: Optional[str] = None
+        self._snapshot_name: Optional[str] = None
+        self._loaded_snapshot_seq = 0
 
     # -- internals ----------------------------------------------------------
 
@@ -427,6 +441,15 @@ class VectorIndex:
         baseline = ivf_ops.structureless_baseline(data.n_clusters, self.dim)
         if self.ivf_min_structure and data.structure < self.ivf_min_structure * baseline:
             with self._lock:
+                if self._generation != snap_gen:
+                    # compact() rebuilt the corpus mid-build: this verdict
+                    # belongs to a row set that no longer exists — recording
+                    # it would suppress rebuilds of the NEW corpus until 2x
+                    # its size (review finding); leave state untouched so
+                    # _maybe_ivf re-judges the live rows
+                    _logger.info("ivf poor-structure verdict discarded: "
+                                 "index compacted mid-build")
+                    return
                 self._ivf = None
                 self._ivf_poor_at = snap_size
             _logger.warning(
@@ -557,11 +580,137 @@ class VectorIndex:
         with self._lock:
             return int(self._row_live.sum())
 
+    # -- cross-process replication ------------------------------------------
+
+    def attach_journal(
+        self, journal, collection: str, directory: str, name: str,
+        poll_sec: float = 0.25,
+    ) -> None:
+        """Join a shared mutation journal (:mod:`mmrag_tpu.index.journal`).
+
+        ``directory``/``name`` locate this index's snapshot for gap recovery.
+        Replays any tail the loaded snapshot didn't cover, so an api process
+        booting after a worker ingest sees the worker's rows immediately."""
+
+        with self._lock:
+            self._journal = journal
+            self._journal_collection = collection
+            self._snapshot_dir = directory
+            self._snapshot_name = name
+            self._journal_poll_sec = poll_sec
+            self._applied_seq = self._loaded_snapshot_seq
+            self._replay_through()
+
+    def _maybe_replay(self) -> None:
+        """Throttled read-path catch-up: one SQLite point read at most every
+        ``poll_sec``; replay only when a peer appended past our cursor."""
+
+        if self._journal is None:
+            return
+        import time as _time
+
+        now = _time.monotonic()
+        if now - self._last_journal_check < self._journal_poll_sec:
+            return
+        self._last_journal_check = now
+        coll = self._journal_collection
+        if (
+            self._journal.max_seq(coll) > self._applied_seq
+            or self._journal.compacted_upto(coll) > self._applied_seq
+        ):
+            self._replay_through()
+
+    def _replay_through(self, target_seq: Optional[int] = None) -> int:
+        """Apply journal entries in seq order up to the tip. Returns the row
+        count produced by the entry with ``target_seq`` (the caller's own
+        append), 0 otherwise."""
+
+        from . import journal as _journal
+
+        result = 0
+        with self._lock:
+            if self._journal.compacted_upto(self._journal_collection) > self._applied_seq:
+                # entries between our cursor and the newest snapshot were
+                # compacted away — tail replay is impossible; recover from
+                # the snapshot that covered them
+                self._reload_snapshot()
+            entries = self._journal.entries_after(
+                self._journal_collection, self._applied_seq
+            )
+            for seq, op, payload in entries:
+                if op == _journal.OP_UPSERT:
+                    n = self._apply_upsert(_journal.decode_rows(payload))
+                elif op == _journal.OP_DELETE_DOC:
+                    n = self._apply_delete_document(payload.decode("utf-8"))
+                else:  # entries from a newer schema: converge-at-boot instead
+                    _logger.warning("unknown journal op %r (seq %d)", op, seq)
+                    n = 0
+                self._applied_seq = seq
+                if seq == target_seq:
+                    result = n
+        return result
+
+    def _reload_snapshot(self) -> None:
+        """Replace in-memory state with the newest on-disk snapshot (gap
+        recovery after journal compaction outpaced this process)."""
+
+        manifest = os.path.join(
+            self._snapshot_dir, f"{self._snapshot_name}.manifest.json"
+        )
+        if not os.path.exists(manifest):
+            # compaction only runs after a successful save, so this is
+            # unreachable unless the snapshot was deleted out-of-band
+            _logger.error("journal gap but no snapshot at %s", manifest)
+            return
+        fresh = VectorIndex.load(
+            self._snapshot_dir, self._snapshot_name, self._dtype_str,
+            backend="ivf" if self.use_ivf else self.backend,
+            ivf_nprobe=self.ivf_nprobe, ivf_min_rows=self.ivf_min_rows,
+            ivf_min_structure=self.ivf_min_structure, mesh=self.mesh,
+        )
+        with self._lock:
+            for attr in (
+                "_capacity", "_size", "_slab", "_users", "_docs", "_live",
+                "_scales", "_chunk_ids", "_row_user", "_row_doc", "_row_live",
+                "_chunk_to_row", "_user_intern", "_doc_intern",
+                "_ivf_warm_centroids",
+            ):
+                setattr(self, attr, getattr(fresh, attr))
+            self._ivf = None
+            self._generation += 1  # aborts in-flight background IVF builds
+            self._applied_seq = fresh._loaded_snapshot_seq
+            _logger.info(
+                "index %s reloaded from snapshot (seq %d)",
+                self._snapshot_name, self._applied_seq,
+            )
+
     def upsert(self, rows: Sequence[VectorRow]) -> int:
-        """Delete-then-add upsert; returns number of rows written."""
+        """Delete-then-add upsert; returns number of rows written.
+
+        With a journal attached the mutation is appended to the shared log
+        first, then applied by seq-ordered replay (total order across
+        processes); without one it applies directly."""
 
         if not rows:
             return 0
+        if self._journal is None:
+            return self._apply_upsert(rows)
+        from . import journal as _journal
+
+        rows = list(rows)
+        for r in rows:  # validate BEFORE journaling: peers must never see
+            if len(r.embedding) != self.dim:  # an entry that cannot apply
+                raise ValueError(
+                    f"dim mismatch: index {self.dim}, rows {len(r.embedding)}"
+                )
+        blob = _journal.encode_rows(rows)
+        with self._lock:
+            seq = self._journal.append(
+                self._journal_collection, _journal.OP_UPSERT, blob
+            )
+            return self._replay_through(seq)
+
+    def _apply_upsert(self, rows: Sequence[VectorRow]) -> int:
         with self._lock:
             # validate BEFORE tombstoning: a rejected upsert must not delete
             # the rows it failed to replace
@@ -602,8 +751,20 @@ class VectorIndex:
             return n
 
     def delete_document(self, document_id: str) -> int:
-        """Tombstone every row of a document."""
+        """Tombstone every row of a document (journaled when attached)."""
 
+        if self._journal is None:
+            return self._apply_delete_document(document_id)
+        from . import journal as _journal
+
+        with self._lock:
+            seq = self._journal.append(
+                self._journal_collection, _journal.OP_DELETE_DOC,
+                document_id.encode("utf-8"),
+            )
+            return self._replay_through(seq)
+
+    def _apply_delete_document(self, document_id: str) -> int:
         with self._lock:
             doomed = [
                 c
@@ -635,6 +796,7 @@ class VectorIndex:
         lists sorted descending, only live rows of this tenant (and document,
         when filtered) — predicate applied *pre*-top-k on device."""
 
+        self._maybe_replay()
         with self._lock:
             if self._size == 0 or user_id not in self._user_intern:
                 return [[] for _ in range(queries.shape[0])]
@@ -694,6 +856,7 @@ class VectorIndex:
             raise ValueError(f"{len(user_ids)} user_ids for {q} queries")
         if document_ids is not None and len(document_ids) != q:
             raise ValueError(f"{len(document_ids)} document_ids for {q} queries")
+        self._maybe_replay()
         with self._lock:
             if self._size == 0:
                 return [[] for _ in range(q)]
@@ -766,7 +929,9 @@ class VectorIndex:
                 for c, u, d, e in zip(chunk_ids, users, docs, mat)
             ]
             if rows:
-                self.upsert(rows)
+                # direct apply: compaction is a physical rebuild, not a
+                # logical mutation — peers' journals must not see it
+                self._apply_upsert(rows)
             return len(rows)
 
     # -- persistence --------------------------------------------------------
@@ -775,9 +940,18 @@ class VectorIndex:
         """Atomic snapshot: row ids ride INSIDE the .npz (string arrays), so
         one ``os.replace`` commits data+ids together — a crash can never pair
         new embeddings with a stale manifest row-by-row. The manifest stays
-        as a human-readable summary and legacy-load fallback."""
+        as a human-readable summary and legacy-load fallback.
+
+        With a journal attached, the snapshot first replays to the log tip
+        (so an api-side save can never clobber worker-ingested rows with a
+        stale in-memory state — both processes' mutations are in the log),
+        stamps the covered seq into the manifest, and compacts entries the
+        snapshot covers (keeping the journal's safety window so live peers
+        tail-replay instead of snapshot-reloading)."""
 
         with self._lock:
+            if self._journal is not None:
+                self._replay_through()
             os.makedirs(directory, exist_ok=True)
             live_rows = np.flatnonzero(self._row_live)
             mat = (
@@ -796,6 +970,8 @@ class VectorIndex:
             # small human-readable summary — legacy manifests with full id
             # lists are still honored by load()
             manifest = {"dim": self.dim, "rows": int(live_rows.size)}
+            if self._journal is not None:
+                manifest["snapshot_seq"] = self._applied_seq
             if self._ivf is not None:
                 # persist centroids so the restored index warm-rebuilds its
                 # layout with one assignment matmul instead of full k-means
@@ -827,6 +1003,8 @@ class VectorIndex:
             with open(tmp, "w") as fh:
                 json.dump(manifest, fh)
             os.replace(tmp, os.path.join(directory, f"{name}.manifest.json"))
+            if self._journal is not None:
+                self._journal.compact(self._journal_collection, self._applied_seq)
 
     def _install_prequantized(self, chunk_ids, user_ids, doc_ids, q_mat, scales) -> None:
         """Populate an EMPTY int8 index from persisted quantized rows —
@@ -888,6 +1066,7 @@ class VectorIndex:
                     data["embeddings_int8"], data["scales"],
                 )
                 index._ivf_warm_centroids = warm_centroids
+                index._loaded_snapshot_seq = int(manifest.get("snapshot_seq", 0))
                 return index
             if "embeddings_int8" in data:  # dtype changed between runs
                 mat = data["embeddings_int8"].astype(np.float32) * data["scales"][:, None]
@@ -913,6 +1092,7 @@ class VectorIndex:
         if rows:
             index.upsert(rows)
         index._ivf_warm_centroids = warm_centroids
+        index._loaded_snapshot_seq = int(manifest.get("snapshot_seq", 0))
         return index
 
     @classmethod

@@ -94,17 +94,9 @@ def _hsv_histograms(stack: jnp.ndarray) -> jnp.ndarray:
 
 
 @jax.jit
-def _scene_scores(stack: jnp.ndarray) -> jnp.ndarray:
-    """(n, h, w, 3) uint8 -> (n,) scene-change score vs previous frame.
+def _bhattacharyya_scores(hist: jnp.ndarray) -> jnp.ndarray:
+    """(n, 512) histograms -> (n,) consecutive-frame scene distance."""
 
-    HSV-histogram Bhattacharyya distance per OpenCV's
-    ``HISTCMP_BHATTACHARYYA``:
-    ``sqrt(1 - sum(sqrt(H1*H2)) / sqrt(mean(H1) mean(H2) N^2))`` — so the
-    ``YT_FRAME_SCENE_THRESH`` default (0.4) carries the reference's exact
-    semantics. score[0] = 1.0 (first frame is always a scene start).
-    """
-
-    hist = _hsv_histograms(stack)
     h1, h2 = hist[:-1], hist[1:]
     n_bins = hist.shape[-1]
     bc = jnp.sum(jnp.sqrt(h1 * h2), axis=-1)
@@ -113,6 +105,42 @@ def _scene_scores(stack: jnp.ndarray) -> jnp.ndarray:
     )
     d = jnp.sqrt(jnp.clip(1.0 - bc / jnp.maximum(denom, 1e-12), 0.0, 1.0))
     return jnp.concatenate([jnp.ones((1,), jnp.float32), d])
+
+
+# frames per histogram dispatch: bounds the device transient (f32 HSV planes
+# + the int32 bin-index tensor) to ~400 MB at 1080p instead of ~8 GB for a
+# 2000-frame stack (review finding: long-video ingest risked device OOM
+# alongside the resident encoder weights). One static shape -> one compile.
+_SCENE_CHUNK = 32
+
+
+def _scene_scores(stack) -> jnp.ndarray:
+    """(n, h, w, 3) uint8 -> (n,) scene-change score vs previous frame.
+
+    HSV-histogram Bhattacharyya distance per OpenCV's
+    ``HISTCMP_BHATTACHARYYA``:
+    ``sqrt(1 - sum(sqrt(H1*H2)) / sqrt(mean(H1) mean(H2) N^2))`` — so the
+    ``YT_FRAME_SCENE_THRESH`` default (0.4) carries the reference's exact
+    semantics. score[0] = 1.0 (first frame is always a scene start).
+
+    Histograms run in fixed-size chunks (padding the tail to keep one
+    compiled shape); the per-frame (n, 512) histograms are tiny, so the
+    distance pass is one dispatch.
+    """
+
+    stack = np.asarray(stack)
+    n = stack.shape[0]
+    hists = []
+    for lo in range(0, n, _SCENE_CHUNK):
+        chunk = stack[lo: lo + _SCENE_CHUNK]
+        pad = _SCENE_CHUNK - chunk.shape[0]
+        if pad and n > _SCENE_CHUNK:  # keep the tail on the same executable
+            chunk = np.concatenate([chunk, chunk[-1:].repeat(pad, axis=0)])
+            hists.append(np.asarray(_hsv_histograms(jnp.asarray(chunk)))[:-pad or None])
+        else:
+            hists.append(np.asarray(_hsv_histograms(jnp.asarray(chunk))))
+    hist = jnp.asarray(np.concatenate(hists, axis=0))
+    return _bhattacharyya_scores(hist)
 
 
 def _decode_sampled_frames(

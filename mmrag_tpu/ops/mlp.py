@@ -97,12 +97,53 @@ def _fused_mlp(x, w1, b1, w2, b2, ln_scale, ln_bias, eps: float, interpret: bool
     )(x, w1, b1, w2, b2, ln_scale, ln_bias)
 
 
+def _mlp_xla(x: jnp.ndarray, layer: dict, eps: float) -> jnp.ndarray:
+    """Composed-XLA form with the kernel's exact numerics (f32 LN/act,
+    f32-accumulated matmuls): the fallback when the resident weights don't
+    fit the scoped-VMEM budget."""
+
+    y = x.astype(jnp.float32)
+    mean = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(y - mean), axis=-1, keepdims=True)
+    ln = (
+        (y - mean) * jax.lax.rsqrt(var + eps) * layer["ln2"]["scale"]
+        + layer["ln2"]["bias"]
+    ).astype(x.dtype)
+    precision = (
+        jax.lax.Precision.DEFAULT if x.dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
+    inner = jnp.dot(
+        ln, layer["fc1"]["kernel"].astype(x.dtype),
+        preferred_element_type=jnp.float32, precision=precision,
+    ) + layer["fc1"]["bias"]
+    inner = (inner * jax.nn.sigmoid(1.702 * inner)).astype(x.dtype)
+    o = jnp.dot(
+        inner, layer["fc2"]["kernel"].astype(x.dtype),
+        preferred_element_type=jnp.float32, precision=precision,
+    ) + layer["fc2"]["bias"]
+    return (y + o).astype(x.dtype)
+
+
+# resident-weight budget: both FC matrices stay VMEM-resident for every row
+# tile (constant index_map), so they must leave room for the per-tile
+# activations inside the ~16 MB scoped-VMEM limit. bf16 h=768/inter=3072 is
+# 9.4 MB (fits); f32 is 18.9 MB (cannot fit at ANY tile size — review
+# finding: TPU_COMPUTE_DTYPE=float32 parity runs crashed the compile).
+_WEIGHT_VMEM_BUDGET = 12 * 1024 * 1024
+
+
 def fused_mlp_block(x: jnp.ndarray, layer: dict, eps: float) -> jnp.ndarray:
     """One dispatch for the CLIP pre-LN MLP block over a 2-D (rows, h)
     residual stream: ``x + FC2(quick_gelu(FC1(LN2(x))))``. Pads rows to a
-    tile multiple internally; interpret mode off-TPU."""
+    tile multiple internally; interpret mode off-TPU. Falls back to the
+    composed XLA form (same numerics) when the weights exceed the
+    resident-VMEM budget (e.g. float32 compute)."""
 
     rows, h = x.shape
+    inter_dim = layer["fc1"]["kernel"].shape[1]
+    if 2 * h * inter_dim * x.dtype.itemsize > _WEIGHT_VMEM_BUDGET:
+        return _mlp_xla(x, layer, eps)
     tile = min(_rows_tile(h, layer["fc1"]["kernel"].shape[1], x.dtype.itemsize), rows)
     pad = (-rows) % tile
     if pad:

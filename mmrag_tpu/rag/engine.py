@@ -64,6 +64,27 @@ class RagEngine:
             ivf_min_structure=self.cfg.tpu.ivf_min_structure,
             mesh=self.mesh,
         )
+        # cross-process replication (reference api/Celery-worker split): both
+        # processes journal index mutations into one SQLite log and replay
+        # each other's entries, so a worker-side ingest is visible to api
+        # retrieval within journal_poll_sec and neither process's persist can
+        # clobber the other's rows (the reference gets this for free from
+        # shared on-disk LanceDB tables, lancedb_store.py:29-41)
+        self.journal = None
+        if self.cfg.tpu.index_journal:
+            from ..index.journal import IndexJournal
+
+            self.journal = IndexJournal(
+                os.path.join(paths.index_dir, "index_journal.db")
+            )
+            self.text_index.attach_journal(
+                self.journal, "text_collection", paths.index_dir,
+                "text_collection", poll_sec=self.cfg.tpu.journal_poll_sec,
+            )
+            self.image_index.attach_journal(
+                self.journal, "image_collection", paths.index_dir,
+                "image_collection", poll_sec=self.cfg.tpu.journal_poll_sec,
+            )
         self.metadata = MetadataStore(
             os.path.join(paths.index_dir, "metadata.db")
         )
@@ -135,6 +156,8 @@ class RagEngine:
         self.metadata.close()
         self.notes.close()
         self.versions.close()
+        if self.journal is not None:
+            self.journal.close()
 
 
 _engine: Optional[RagEngine] = None

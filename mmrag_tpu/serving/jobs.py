@@ -101,6 +101,10 @@ class LocalJobQueue:
         )
         self._result_ttl = result_ttl_sec
         self._handlers: Dict[str, Callable] = {}
+        # job_ids submitted to this process's pool and not yet finished:
+        # stops the worker poll loop from re-submitting still-PENDING jobs
+        # that are merely queued behind busy workers
+        self._inflight: set = set()
 
     # -- registration -------------------------------------------------------
 
@@ -171,8 +175,25 @@ class LocalJobQueue:
                 (job_id, now, now, task_name, json.dumps(payload)),
             )
         if self._workers > 0:
-            self._pool.submit(self._run, job_id, task_name, payload)
+            self._submit(job_id, task_name, payload)
         return job_id
+
+    def _submit(self, job_id: str, task_name: str, payload: Dict):
+        """Submit a job to the pool once; duplicates return None."""
+
+        with self._lock:
+            if self._closed or job_id in self._inflight:
+                return None
+            self._inflight.add(job_id)
+
+        def run():
+            try:
+                self._run(job_id, task_name, payload)
+            finally:
+                with self._lock:
+                    self._inflight.discard(job_id)
+
+        return self._pool.submit(run)
 
     def _claim(self, job_id: str) -> bool:
         """Atomic PENDING -> STARTED transition; exactly one process wins."""
@@ -218,24 +239,31 @@ class LocalJobQueue:
             time.sleep(0.05)
         return self.status(job_id)
 
-    def claim_pending_once(self) -> int:
-        """Worker-process drain: claim + run every PENDING job in the table
-        (the api enqueued them; with TPU_JOB_WORKERS=0 it never runs them
-        itself). Returns the number of jobs this call executed."""
+    def claim_pending_once(self, wait: bool = True) -> int:
+        """Worker-process drain: submit every PENDING job in the table to
+        the worker pool (the api enqueued them; with TPU_JOB_WORKERS=0 it
+        never runs them itself). Jobs run with concurrency = the pool's
+        ``--workers`` size — a 30-minute video ingest no longer serializes
+        the queue behind it (review finding: the pool was previously
+        bypassed and every job ran in the polling thread). Returns the
+        number of jobs submitted; ``wait=True`` blocks until they finish."""
 
         with self._lock:
             rows = self._conn.execute(
                 "SELECT job_id, task, payload FROM jobs WHERE state='PENDING' "
                 "AND task IS NOT NULL ORDER BY created_at"
             ).fetchall()
-        ran = 0
+        futures = []
         for job_id, task, payload in rows:
-            before = self.status(job_id)["state"]
-            if before != "PENDING":
+            if self.status(job_id)["state"] != "PENDING":
                 continue
-            self._run(job_id, task, json.loads(payload or "{}"))
-            ran += 1
-        return ran
+            fut = self._submit(job_id, task, json.loads(payload or "{}"))
+            if fut is not None:
+                futures.append(fut)
+        if wait:
+            for fut in futures:
+                fut.result()
+        return len(futures)
 
     def worker_loop(self, poll_sec: float = 1.0, stop_event=None) -> None:
         """Poll-and-claim loop for a dedicated worker process."""
@@ -243,7 +271,9 @@ class LocalJobQueue:
         logger.info("worker loop polling every %.1fs", poll_sec)
         while stop_event is None or not stop_event.is_set():
             try:
-                if self.claim_pending_once() == 0:
+                # non-blocking: keep claiming while workers chew on long
+                # ingests, so all --workers slots stay busy
+                if self.claim_pending_once(wait=False) == 0:
                     time.sleep(poll_sec)
             except sqlite3.Error:
                 logger.exception("worker poll failed; retrying")
@@ -270,8 +300,10 @@ def make_job_queue(cfg: Optional[Settings] = None, workers: Optional[int] = None
     if workers is None:
         # TPU_JOB_WORKERS=0 -> enqueue-only api; a dedicated worker process
         # (python -m mmrag_tpu.serving.jobs worker) claims and runs jobs —
-        # the reference's api/Celery-worker topology
-        workers = int(os.environ.get("TPU_JOB_WORKERS", "1"))
+        # the reference's api/Celery-worker topology. Flows through the
+        # typed Settings loader like every other TPU_* knob, so explicit
+        # env mappings (tests, bench harnesses) control it too.
+        workers = cfg.tpu.job_workers
     try:  # pragma: no cover - exercised only when celery+redis exist
         import celery  # type: ignore  # noqa: F401
         import redis  # type: ignore

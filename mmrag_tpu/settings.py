@@ -231,6 +231,9 @@ class TpuSettings:
     profile_dir: str
     microbatch_window_ms: float  # 0 disables cross-request query batching
     microbatch_max: int
+    index_journal: bool  # cross-process index mutation replication
+    journal_poll_sec: float
+    job_workers: int  # 0 = enqueue-only api (dedicated worker process)
 
 
 @dataclass(frozen=True)
@@ -375,6 +378,11 @@ def load_settings(env: Optional[Mapping[str, str]] = None) -> Settings:
                 env, "TPU_MICROBATCH_WINDOW_MS", d.tpu.microbatch_window_ms
             ),
             microbatch_max=_read_int(env, "TPU_MICROBATCH_MAX", d.tpu.microbatch_max),
+            index_journal=_read_bool(env, "TPU_INDEX_JOURNAL", d.tpu.index_journal),
+            journal_poll_sec=_read_float(
+                env, "TPU_JOURNAL_POLL_SEC", d.tpu.journal_poll_sec
+            ),
+            job_workers=_read_int(env, "TPU_JOB_WORKERS", d.tpu.job_workers),
         ),
     )
 
