@@ -314,13 +314,18 @@ def bench_ivf(quick: bool):
     return sec * 1e3, recall
 
 
-def bench_ivf_int8(quick: bool):
+def _ivf_int8_bench(n: int, centers: int, quick: bool):
     """IVF + int8 composition (the reference's partitioned-and-compressed
     IVF_PQ design point): quantized buckets + per-slot scales over the same
-    clustered 1M x 384 geometry as bench_ivf. Returns (latency_ms, recall):
+    clustered geometry as bench_ivf. Returns (latency_ms, recall):
     single-query p50 at the default nprobe and recall@10 vs the exact
     *quantized* scan (isolating probe loss from quantization loss, which
-    the dense int8 bench characterizes at 0.98)."""
+    the dense int8 bench characterizes at 0.98).
+
+    The corpus is generated AND exact-scanned in <=1M-row chunks so the f32
+    form never materializes whole — at 10M x 384 the f32 corpus alone
+    (15.4 GB) would blow the 16 GB HBM; the int8 slab is 3.8 GB and the
+    bucket tensor ~1.5x that, so build peak stays ~10 GB."""
 
     import jax
     import jax.numpy as jnp
@@ -330,22 +335,52 @@ def bench_ivf_int8(quick: bool):
         _cosine_topk_int8, l2_normalize, merge_topk, quantize_rows_int8,
     )
 
-    n, d = (131_072 if quick else 1_048_576), 384
-    centers = 1024
+    d = 384
+    chunk_n = min(n, 1_048_576)
 
     @jax.jit
-    def make(key):
-        k1, k2, k3 = jax.random.split(key, 3)
-        mu = l2_normalize(jax.random.normal(k1, (centers, d), jnp.float32))
-        which = jax.random.randint(k2, (n,), 0, centers)
-        noise = 0.3 * l2_normalize(jax.random.normal(k3, (n, d), jnp.float32))
-        return l2_normalize(mu[which] + noise)
+    def make_mu(key):
+        return l2_normalize(jax.random.normal(key, (centers, d), jnp.float32))
 
-    corpus_f = make(jax.random.PRNGKey(0))
-    q8, scales = quantize_rows_int8(corpus_f)
-    del corpus_f
+    @jax.jit
+    def make_chunk(key, mu):
+        k2, k3 = jax.random.split(key)
+        which = jax.random.randint(k2, (chunk_n,), 0, centers)
+        noise = 0.3 * l2_normalize(
+            jax.random.normal(k3, (chunk_n, d), jnp.float32))
+        return quantize_rows_int8(l2_normalize(mu[which] + noise))
+
+    mu = make_mu(jax.random.PRNGKey(0))
+    parts = [make_chunk(jax.random.PRNGKey(100 + i), mu)
+             for i in range(-(-n // chunk_n))]
+    q8 = jnp.concatenate([p[0] for p in parts])[:n]
+    scales = jnp.concatenate([p[1] for p in parts])[:n]
+    del parts, mu
+
+    # recall queries + exact quantized scan, chunked with id-offset merges
+    noise = 0.15 * l2_normalize(
+        jax.random.normal(jax.random.PRNGKey(2), (16, d), jnp.float32))
+    q16 = l2_normalize(q8[:16].astype(jnp.float32) * scales[:16, None] + noise)
+    es = ei = None
+    for lo in range(0, n, chunk_n):
+        hi = min(lo + chunk_n, n)
+        cmask = jnp.ones((hi - lo,), bool)
+        s, i = _cosine_topk_int8(q16, q8[lo:hi], scales[lo:hi], cmask, 10)
+        i = i + lo
+        es, ei = (s, i) if es is None else merge_topk(es, ei, s, i, 10)
+
     ivf = ivf_ops.build_ivf(q8, bucket_factor=1.5, scales=scales)
+    if n > chunk_n:
+        del q8, scales  # timing + probe recall only need the bucket layout
     nprobe = min(64, ivf.n_clusters)
+    _, ai = ivf_ops.ivf_search_pred(
+        ivf, q16, jnp.zeros((16,), jnp.int32), jnp.full((16,), -1, jnp.int32),
+        10, nprobe=nprobe)
+    ei_np, ai_np = np.asarray(ei), np.asarray(ai)
+    recall = float(np.mean([
+        len(set(ei_np[i]) & set(ai_np[i])) / 10.0 for i in range(16)
+    ]))
+
     queries = l2_normalize(
         jax.random.normal(jax.random.PRNGKey(1), (1, d), jnp.float32))
     k = 50
@@ -378,21 +413,24 @@ def bench_ivf_int8(quick: bool):
         ivf.spill, ivf.spill_scales, ivf.spill_ids, ivf.spill_users,
         ivf.spill_docs, ivf.spill_live,
     )
-
-    noise = 0.15 * l2_normalize(
-        jax.random.normal(jax.random.PRNGKey(2), (16, d), jnp.float32))
-    q16 = l2_normalize(
-        q8[:16].astype(jnp.float32) * scales[:16, None] + noise)
-    mask = jnp.ones((n,), bool)
-    _, ei = _cosine_topk_int8(q16, q8, scales, mask, 10)
-    _, ai = ivf_ops.ivf_search_pred(
-        ivf, q16, jnp.zeros((16,), jnp.int32), jnp.full((16,), -1, jnp.int32),
-        10, nprobe=nprobe)
-    ei, ai = np.asarray(ei), np.asarray(ai)
-    recall = float(np.mean([
-        len(set(ei[i]) & set(ai[i])) / 10.0 for i in range(16)
-    ]))
     return sec * 1e3, recall
+
+
+def bench_ivf_int8(quick: bool):
+    """Compressed-partitioned ANN @1M x 384 (see _ivf_int8_bench)."""
+
+    return _ivf_int8_bench(131_072 if quick else 1_048_576, 1024, quick)
+
+
+def bench_ivf_int8_10m(quick: bool):
+    """Compressed-partitioned ANN at the 10M x 384 scale point — where the
+    exact scan costs ~11 ms (bench_topk_10m) and the reference's <5 ms ANN
+    target (BASELINE.md) needs IVF. The int8 slab (3.8 GB) + bucket layout
+    (~1.5x) is the only form that FITS: bf16 buckets alone would be ~11 GB
+    on a 16 GB chip. Quick mode runs 2M (exercises the chunked generation
+    without the 10M build cost)."""
+
+    return _ivf_int8_bench(2_097_152 if quick else 10_485_760, 4096, quick)
 
 
 def bench_ivf_encoder(quick: bool):
@@ -776,7 +814,8 @@ def main() -> None:
     # — the historical deterministic ordering for the allocator-state hazard
     steps = ["minilm", "minilm_seq256", "minilm_seq512", "clip_images",
              "multitenant", "topk", "topk_int8",
-             "topk_10m", "ivf", "ivf_int8", "ivf_encoder", "rerank",
+             "topk_10m", "ivf", "ivf_int8", "ivf_int8_10m", "ivf_encoder",
+             "rerank",
              "rerank64", "chat_path", "serving_load", "asr"]
 
     if args.steps:
@@ -856,6 +895,8 @@ def main() -> None:
     ivf_enc_recall, ivf_enc_structure = ivf_enc
     ivf_i8 = r.get("ivf_int8") or (None, None)
     ivf_i8_ms, ivf_i8_recall = ivf_i8
+    ivf_i8_10m = r.get("ivf_int8_10m") or (None, None)
+    ivf_i8_10m_ms, ivf_i8_10m_recall = ivf_i8_10m
     rerank = r.get("rerank")
     rerank64 = r.get("rerank64")
     chat_ms = r.get("chat_path")
@@ -884,6 +925,10 @@ def main() -> None:
                     "ivf_recall_at_10": rnd(ivf_recall),
                     "ivf_int8_1m_p50_ms": rnd(ivf_i8_ms),
                     "ivf_int8_recall_at_10": rnd(ivf_i8_recall),
+                    "ivf_int8_10m_p50_ms": rnd(ivf_i8_10m_ms),
+                    "ivf_int8_10m_recall_at_10": rnd(ivf_i8_10m_recall),
+                    "ivf_10m_vs_target_5ms": rnd(
+                        5.0 / ivf_i8_10m_ms if ivf_i8_10m_ms else None),
                     "ivf_encoder_recall_at_10": rnd(ivf_enc_recall),
                     "ivf_encoder_structure_ratio": rnd(ivf_enc_structure, 2),
                     "multitenant_16q_1m_ms": rnd(multitenant_ms),
