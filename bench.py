@@ -711,20 +711,33 @@ def bench_serving_load(quick: bool):
             resp.read()
         return time.perf_counter() - t0
 
-    # warmup: compile every bucketed executable before timing
+    # warmup: the engine pre-compiles every coalesce-bucket executable
+    # (embed/search/rerank) — same call serve_forever makes at startup —
+    # then a couple of real requests warm the serial HTTP path
+    engine.warmup_serving()
     for i, key in enumerate(keys):
         chat(key, f"warmup query {i} about mitochondria")
+
+    from mmrag_tpu.utils.profiling import metrics as _stage_metrics
+
+    _stage_metrics.reset()  # drop warmup/compile samples from the breakdown
 
     latencies = []
     lat_lock = threading.Lock()
     barrier = threading.Barrier(n_threads)
 
+    errors = []
+
     def client(tid: int):
         key = list(keys)[tid % n_tenants]
         barrier.wait()
         mine = []
-        for r in range(reqs_per_thread):
-            mine.append(chat(key, f"client {tid} question {r} about energy"))
+        try:
+            for r in range(reqs_per_thread):
+                mine.append(chat(key, f"client {tid} question {r} about energy"))
+        except Exception as exc:  # surface thread failures to the caller
+            with lat_lock:
+                errors.append(f"client {tid}: {exc!r}")
         with lat_lock:
             latencies.extend(mine)
 
@@ -746,6 +759,13 @@ def bench_serving_load(quick: bool):
     )
     server.shutdown()
     engine.close()
+    if errors and not latencies:
+        raise RuntimeError("all serving-load clients failed: " + "; ".join(errors[:3]))
+    stages = {
+        name.removeprefix("stage."): s
+        for name, s in _stage_metrics.summary()["latency_ms"].items()
+        if name.startswith("stage.")
+    }
     ordered = sorted(latencies)
     return {
         "p50_ms": round(ordered[len(ordered) // 2] * 1e3, 2),
@@ -753,6 +773,7 @@ def bench_serving_load(quick: bool):
         "rps": round(len(latencies) / wall, 1),
         "coalesce_mean": round(coalesce_mean, 2),
         "coalesce_hist": {str(k): v for k, v in sorted(hist.items())},
+        "stages": stages,
     }
 
 

@@ -179,6 +179,9 @@ class TpuDefaults:
     profile_dir: str = ""  # jax.profiler trace dir ("" = disabled)
     microbatch_window_ms: float = 4.0  # cross-request query coalescing (0 = off)
     microbatch_max: int = 16  # max queries per coalesced device step
+    # pipelined batch runners: while one coalesced batch blocks on device
+    # readback, the next tokenizes + dispatches (1 = strictly serial batches)
+    microbatch_workers: int = 2
     # cross-process index replication (api/worker split): mutations flow
     # through a shared SQLite journal so separate processes converge on one
     # row state — the reference's shared on-disk LanceDB semantics
@@ -187,6 +190,11 @@ class TpuDefaults:
     # 0 = enqueue-only api (a dedicated `python -m mmrag_tpu.serving.jobs
     # worker` process claims and runs jobs — the reference's Celery topology)
     job_workers: int = 1
+    # pre-compile the serving query path (embed/search/rerank at every
+    # coalesce bucket) at server start, so concurrent load never pays a
+    # first-compile inside a request; pays ~10-30 s once per cold compile
+    # cache at startup
+    serving_warmup: bool = True
 
 
 @dataclass(frozen=True)

@@ -49,7 +49,35 @@ from ..ops.topk import (
 from ..storage.records import VectorRow
 
 _MIN_CAPACITY = 4096
+_QUERY_BUCKETS = (1, 2, 4, 8, 16, 32)
 _logger = logging.getLogger(__name__)
+
+
+def _query_bucket(q: int) -> int:
+    """Round a coalesced query count up to a bucket so any micro-batch size
+    reuses one compiled search executable per bucket (the batch-dim analogue
+    of the encoder runtime's ``TPU_TEXT_BATCH_BUCKETS``)."""
+
+    for b in _QUERY_BUCKETS:
+        if q <= b:
+            return b
+    return -(-q // _QUERY_BUCKETS[-1]) * _QUERY_BUCKETS[-1]
+
+
+def _pad_queries(queries) -> np.ndarray:
+    """Zero-pad the query batch to its bucket; pad rows are sliced off after
+    the dispatch (and in the multi-tenant path carry the never-matching
+    tenant sentinel, so they cannot surface hits). Device arrays pad on
+    device — the async serving path hands embeds over without a host sync."""
+
+    q = queries.shape[0]
+    b = _query_bucket(q)
+    if b == q:
+        return queries
+    if isinstance(queries, jax.Array):
+        return jnp.pad(queries, ((0, b - q), (0, 0)))
+    pad = np.zeros((b - q, queries.shape[1]), queries.dtype)
+    return np.concatenate([queries, pad])
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -342,6 +370,41 @@ class VectorIndex:
             jnp.asarray(queries.astype(np.float32)),
             jnp.asarray(uids), jnp.asarray(dids), min(k, self._capacity),
         )
+
+    def _dense_multi_async(self, queries, uids: np.ndarray,
+                           dids: np.ndarray, k: int):
+        """Dispatch the exact masked scan WITHOUT forcing readback; returns a
+        zero-arg collector that materializes (with the same runtime-failure
+        dense-xla retry as :meth:`_search_with_fallback`). Lets the serving
+        path overlap text-index, image-index, and encoder work in one device
+        pipeline — the tunnel round-trip is paid once, not per stage."""
+
+        qj = jnp.asarray(queries.astype(np.float32))
+        if self.dtype == jnp.int8:
+            args = (self._slab, self._scales, self._users, self._docs,
+                    self._live, qj, jnp.asarray(uids), jnp.asarray(dids),
+                    min(k, self._capacity))
+            s, i = _search_multi_int8(*args)
+            return lambda: (np.asarray(s), np.asarray(i))
+        args = (self._slab, self._users, self._docs, self._live, qj,
+                jnp.asarray(uids), jnp.asarray(dids), min(k, self._capacity))
+        s, i = _search_multi(*args, self.backend)
+
+        def collect():
+            try:
+                return np.asarray(s), np.asarray(i)
+            except jax.errors.JaxRuntimeError:
+                if self.backend == "xla":
+                    raise
+                self._count_fallback("dense")
+                _logger.warning(
+                    "search backend %r failed at runtime; retrying on dense xla",
+                    self.backend,
+                )
+                s2, i2 = _search_multi(*args, "xla")
+                return np.asarray(s2), np.asarray(i2)
+
+        return collect
 
     # -- multi-chip (row-sharded slab) dispatch ------------------------------
 
@@ -807,6 +870,8 @@ class VectorIndex:
                 did = self._doc_intern[document_id]
             else:
                 did = -1
+            n_queries = queries.shape[0]
+            queries = _pad_queries(queries)
             ivf = self._maybe_ivf()
             if self._sharding is not None:
                 q = queries.shape[0]
@@ -829,7 +894,7 @@ class VectorIndex:
             scores = np.asarray(scores)
             idx = np.asarray(idx)
             out: List[List[Tuple[str, float]]] = []
-            for qi in range(queries.shape[0]):
+            for qi in range(n_queries):
                 hits = []
                 for score, row in zip(scores[qi], idx[qi]):
                     if score <= -1e29 or len(hits) >= k:
@@ -851,6 +916,21 @@ class VectorIndex:
         scoring kernel, so isolation holds exactly as in :meth:`search_batch`.
         """
 
+        return self.search_batch_multi_async(queries, user_ids, k, document_ids)()
+
+    def search_batch_multi_async(
+        self,
+        queries,  # (q, dim) np OR device array (no sync forced on the latter)
+        user_ids: Sequence[str],
+        k: int,
+        document_ids: Optional[Sequence[Optional[str]]] = None,
+    ):
+        """:meth:`search_batch_multi` split into dispatch + collect: returns a
+        zero-arg callable producing the hit lists. On the dense path the
+        dispatch is issued asynchronously, so callers can put several index
+        dispatches (and the query-embed chain feeding them) in flight and
+        block once — the serving hot path's round-trip economy."""
+
         q = queries.shape[0]
         if len(user_ids) != q:
             raise ValueError(f"{len(user_ids)} user_ids for {q} queries")
@@ -859,7 +939,7 @@ class VectorIndex:
         self._maybe_replay()
         with self._lock:
             if self._size == 0:
-                return [[] for _ in range(q)]
+                return lambda: [[] for _ in range(q)]
             uids = np.asarray(
                 [self._user_intern.get(u, -2) for u in user_ids], np.int32
             )
@@ -872,7 +952,13 @@ class VectorIndex:
                     # never equal an interned id (negative would mean "no
                     # filter"), so the query matches nothing
                     dids[i] = self._doc_intern.get(d, np.iinfo(np.int32).max)
+            queries = _pad_queries(queries)
+            if queries.shape[0] > q:  # pad rows match no tenant (-2 sentinel)
+                pad = queries.shape[0] - q
+                uids = np.concatenate([uids, np.full(pad, -2, np.int32)])
+                dids = np.concatenate([dids, np.full(pad, -1, np.int32)])
             ivf = self._maybe_ivf()
+            pending = None
             if self._sharding is not None:
                 scores, idx = self._dispatch_sharded(
                     jnp.asarray(queries.astype(np.float32)),
@@ -887,18 +973,28 @@ class VectorIndex:
                     fallback=lambda: self._dense_multi(queries, uids, dids, k),
                 )
             else:
-                scores, idx = self._dense_multi(queries, uids, dids, k)
-            scores = np.asarray(scores)
-            idx = np.asarray(idx)
+                pending = self._dense_multi_async(queries, uids, dids, k)
+                scores = idx = None
+            # snapshot: rows only append under the slab generation this
+            # dispatch captured; compact() rebinds a fresh list, leaving this
+            # reference consistent with the dispatched arrays
+            chunk_ids = self._chunk_ids
+
+        def collect() -> List[List[Tuple[str, float]]]:
+            s, ix = pending() if pending is not None else (
+                np.asarray(scores), np.asarray(idx)
+            )
             out: List[List[Tuple[str, float]]] = []
             for qi in range(q):
                 hits = []
-                for score, row in zip(scores[qi], idx[qi]):
+                for score, row in zip(s[qi], ix[qi]):
                     if score <= -1e29 or len(hits) >= k:
                         break
-                    hits.append((self._chunk_ids[row], float(score)))
+                    hits.append((chunk_ids[row], float(score)))
                 out.append(hits)
             return out
+
+        return collect
 
     # -- maintenance --------------------------------------------------------
 

@@ -329,6 +329,39 @@ class EncoderRuntime:
             out.append(np.asarray(emb[: len(chunk)], dtype=np.float32))
         return np.concatenate(out, axis=0)
 
+    def embed_queries_device(self, queries: Sequence[str]):
+        """Dual query embed (MiniLM + CLIP text towers) with NO host sync:
+        returns ``((n, 384), (n, 512))`` device arrays with both dispatches
+        in flight, so the serving hot path can chain the masked top-k search
+        onto them and pay ONE readback for the whole embed→search phase
+        instead of a tunnel round-trip per stage. Shapes/buckets are
+        identical to :meth:`embed_text_batch` /
+        :meth:`embed_queries_for_images`, so no extra executables compile."""
+
+        n = len(queries)
+        tpu = self.cfg.tpu
+        max_batch = tpu.text_batch_buckets[-1]
+        if n == 0 or n > max_batch:  # beyond one bucket: host path chunks
+            return (
+                jnp.asarray(self.embed_text_batch(queries)),
+                jnp.asarray(self.embed_queries_for_images(queries)),
+            )
+        bparams = self._ensure_minilm()
+        cparams = self._ensure_clip()
+        bsz = self._round_batch(_bucket(n, tpu.text_batch_buckets))
+        btok = self._bert_tok
+        tokenized = [btok.tokenize_ids(t) for t in queries]
+        longest = max((len(t) for t in tokenized), default=1) + 2
+        seq = _bucket(longest, tpu.text_seq_buckets)
+        seqs = [[btok.cls_id, *t[: seq - 2], btok.sep_id] for t in tokenized]
+        ids, mask = tok._pad_batch(seqs, seq, btok.pad_id)
+        ids, mask = _pad_rows(ids, bsz), _pad_rows(mask, bsz)
+        temb = self._minilm_fn(bparams, jnp.asarray(ids), jnp.asarray(mask))
+        cids, cmask = self._clip_tok.encode(list(queries), max_len=77)
+        cids, cmask = _pad_rows(cids, bsz), _pad_rows(cmask, bsz)
+        cemb = self._clip_text_fn(cparams, jnp.asarray(cids), jnp.asarray(cmask))
+        return temb[:n].astype(jnp.float32), cemb[:n].astype(jnp.float32)
+
     def rerank_scores(self, query: str, passages: Sequence[str]) -> np.ndarray:
         """(n,) cross-encoder relevance logits for (query, passage) pairs
         (reference CrossEncoder.predict, ``app/ml/retrieve.py:148``)."""

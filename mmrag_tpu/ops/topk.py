@@ -174,12 +174,16 @@ def cosine_topk(
         # path reduces the sort width 128x and wins 4.5x for batched queries.
         # It needs a tile-aligned corpus (padding would copy the whole slab
         # per call) — index slabs are power-of-two capacity, so this holds.
+        # Floor at 128k rows: below that lax.top_k is already micro-seconds,
+        # and keeping small serving indexes on plain XLA avoids gratuitous
+        # exposure to the sporadic Mosaic INVALID_ARGUMENT client-poisoning
+        # hazard (KERNELS.md "runtime hazard"; tools/repro_invalid_argument.py).
         from .pallas_topk import TILE_N
 
         if (
             jax.default_backend() == "tpu"  # Mosaic kernel; GPU/CPU -> xla
             and queries.shape[0] >= 8
-            and n >= TILE_N
+            and n >= max(TILE_N, 131072)
             and n % TILE_N == 0
         ):
             backend = "pallas"

@@ -115,6 +115,48 @@ class RagEngine:
                 )
             return self._query_batcher
 
+    def warmup_serving(self, max_coalesce: Optional[int] = None) -> int:
+        """Pre-compile the serving query-path executables for every coalesce
+        bucket the MicroBatcher can produce (embed text/image towers, masked
+        top-k per modality, cross-encoder rerank), so concurrent load never
+        pays a first-compile inside a request. The warmup tenant is a
+        never-interned sentinel, so no real rows are scanned into results.
+        Returns the number of warm dispatches issued. Skipped shapes (empty
+        index) compile lazily on first data as before."""
+
+        import numpy as np
+
+        max_coalesce = max_coalesce or self.cfg.tpu.microbatch_max
+        buckets = [b for b in (1, 2, 4, 8, 16, 32) if b <= max_coalesce]
+        if not buckets:
+            buckets = [1]
+        if buckets[-1] != max_coalesce and max_coalesce <= 32:
+            buckets.append(max_coalesce)
+        cfgr = self.cfg.retrieval
+        # a mid-length passage so the rerank warms a realistic seq bucket
+        passage = "warmup passage text for the cross encoder. " * 8
+        count = 0
+        for b in buckets:
+            qs = [f"warmup query {i} for bucket {b}" for i in range(b)]
+            self.runtime.embed_text_batch(qs)
+            self.runtime.embed_queries_for_images(qs)
+            count += 2
+            for index, k in (
+                (self.text_index, cfgr.index_topk_text),
+                (self.image_index, cfgr.index_topk_image),
+            ):
+                if index._size > 0:  # empty index never dispatches
+                    qv = np.zeros((b, index.dim), np.float32)
+                    index.search_batch_multi(qv, ["\x00warmup"] * b, k)
+                    count += 1
+            if cfgr.use_rerank:
+                n_pairs = b * cfgr.rerank_topk
+                self.runtime.rerank_pairs(
+                    ["warmup query"] * n_pairs, [passage] * n_pairs
+                )
+                count += 1
+        return count
+
     def persist_indexes(self) -> None:
         """Flush both vector indexes to disk (restart survival, like the
         reference's on-disk LanceDB tables)."""
@@ -145,6 +187,7 @@ class RagEngine:
                     max_batch=self.cfg.tpu.microbatch_max,
                     window_ms=self.cfg.tpu.microbatch_window_ms,
                     name="retrieval",
+                    workers=self.cfg.tpu.microbatch_workers,
                 )
             return self._retrieval_batcher
 

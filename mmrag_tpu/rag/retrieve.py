@@ -140,6 +140,8 @@ def retrieve_batch(
     every request's rerank pairs. Semantics per item are identical to
     :func:`retrieve` (same fusion, same resort, same result shape)."""
 
+    from ..utils.profiling import stage
+
     engine = engine or get_engine()
     if not items:
         return []
@@ -148,19 +150,28 @@ def retrieve_batch(
     queries = [q for _, q, _ in items]
     docs = [d for _, _, d in items]
 
-    tvecs = engine.runtime.embed_text_batch(queries)
-    ivecs = engine.runtime.embed_queries_for_images(queries)
+    # the whole embed -> search phase is ONE device pipeline: both encoder
+    # towers and both masked top-k dispatches go in flight back-to-back
+    # (device-resident embeds, no intermediate host sync), then collect()
+    # pays a single readback round-trip
+    with stage("retrieve.embed"):
+        tdev, idev = engine.runtime.embed_queries_device(queries)
+    with stage("retrieve.search"):
+        t_pending = engine.text_index.search_batch_multi_async(
+            tdev, users, cfgr.index_topk_text, docs
+        )
+        i_pending = engine.image_index.search_batch_multi_async(
+            idev, users, cfgr.index_topk_image, docs
+        )
+        traw = t_pending()
+        iraw = i_pending()
+    tvecs = np.asarray(tdev, dtype=np.float32)
+    ivecs = np.asarray(idev, dtype=np.float32)
     for q, tv, iv in zip(queries, tvecs, ivecs):
         cache.set_query_embeddings(q, {"text": tv, "image": iv})
-
-    traw = engine.text_index.search_batch_multi(
-        tvecs, users, cfgr.index_topk_text, docs
-    )
-    iraw = engine.image_index.search_batch_multi(
-        ivecs, users, cfgr.index_topk_image, docs
-    )
-    text_hits = [_hydrate(r, "text", engine) for r in traw]
-    image_hits = [_hydrate(r, "image", engine) for r in iraw]
+    with stage("retrieve.hydrate"):
+        text_hits = [_hydrate(r, "text", engine) for r in traw]
+        image_hits = [_hydrate(r, "image", engine) for r in iraw]
 
     if cfgr.use_rerank:
         pair_q: List[str] = []
@@ -172,11 +183,12 @@ def retrieve_batch(
             pair_p.extend(h.text for h in head)
             counts.append(len(head))
         try:
-            scores = (
-                engine.runtime.rerank_pairs(pair_q, pair_p)
-                if pair_p
-                else np.zeros(0, np.float32)
-            )
+            with stage("retrieve.rerank"):
+                scores = (
+                    engine.runtime.rerank_pairs(pair_q, pair_p)
+                    if pair_p
+                    else np.zeros(0, np.float32)
+                )
             offset = 0
             for i, n in enumerate(counts):
                 if n:

@@ -51,6 +51,7 @@ class MicroBatcher(Generic[T]):
         window_ms: float = 4.0,
         name: str = "microbatch",
         default_timeout: Optional[float] = 300.0,
+        workers: int = 1,
     ) -> None:
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
@@ -63,11 +64,28 @@ class MicroBatcher(Generic[T]):
         self._default_timeout = default_timeout
         self._queue: "queue.Queue[_Slot[T]]" = queue.Queue()
         self._closed = threading.Event()
+        self._stats_lock = threading.Lock()
         self.batches_run = 0
         self.items_seen = 0
         # achieved-coalescing histogram {batch_size: count} — the number the
         # batcher exists to move (surfaced by the serving-load bench)
         self.batch_sizes: dict = {}
+        # workers > 1 pipelines batches: while batch N blocks on its device
+        # readback (GIL released), batch N+1 tokenizes and dispatches — the
+        # collector only FORMS batches, a small pool RUNS them. Results stay
+        # per-slot, so cross-batch completion order is free to vary. The
+        # semaphore implements continuous batching: when every runner is
+        # busy, the collector keeps folding new arrivals into the pending
+        # batch instead of queueing tiny batches behind the pool.
+        self._pool = None
+        self._free = None
+        if workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(
+                max_workers=workers, thread_name_prefix=f"{name}-runner"
+            )
+            self._free = threading.Semaphore(workers)
         self._thread = threading.Thread(
             target=self._collector, name=f"{name}-collector", daemon=True
         )
@@ -94,7 +112,26 @@ class MicroBatcher(Generic[T]):
                     batch.append(self._queue.get(timeout=remaining))
                 except queue.Empty:
                     break
-            self._run(batch)
+            if self._pool is not None:
+                # continuous batching: while no runner is free, fold new
+                # arrivals into this batch (bounded by max_batch) instead of
+                # forming tiny follow-on batches behind a saturated pool
+                permit = False
+                while not self._closed.is_set():
+                    if self._free.acquire(timeout=0.002):
+                        permit = True
+                        break
+                    while len(batch) < self._max_batch:
+                        try:
+                            batch.append(self._queue.get_nowait())
+                        except queue.Empty:
+                            break
+                if permit:
+                    self._pool.submit(self._run_released, batch)
+                else:
+                    self._run(batch)  # drain synchronously on shutdown
+            else:
+                self._run(batch)
         # drain: fail any slots enqueued after the collector stopped looking
         while True:
             try:
@@ -104,10 +141,17 @@ class MicroBatcher(Generic[T]):
             slot.error = RuntimeError("batcher closed before running this item")
             slot.event.set()
 
+    def _run_released(self, batch: List[_Slot[T]]) -> None:
+        try:
+            self._run(batch)
+        finally:
+            self._free.release()
+
     def _run(self, batch: List[_Slot[T]]) -> None:
-        self.batches_run += 1
-        self.items_seen += len(batch)
-        self.batch_sizes[len(batch)] = self.batch_sizes.get(len(batch), 0) + 1
+        with self._stats_lock:
+            self.batches_run += 1
+            self.items_seen += len(batch)
+            self.batch_sizes[len(batch)] = self.batch_sizes.get(len(batch), 0) + 1
         try:
             results = self._fn([s.item for s in batch])
             if len(results) != len(batch):
@@ -143,6 +187,8 @@ class MicroBatcher(Generic[T]):
     def close(self) -> None:
         self._closed.set()
         self._thread.join(timeout=5.0)
+        if self._pool is not None:
+            self._pool.shutdown(wait=True)
         # the collector drains on exit; cover the case where it never got to
         while True:
             try:

@@ -390,8 +390,14 @@ class ApiHandler(BaseHTTPRequestHandler):
         # Gemini round-trip, not just retrieval
         @cache.chat_cache(lambda u: engine.versions.get(u))
         def _cached_chat(user_id: str, q: str, video_id=None):
-            retrieved = retrieve.retrieve(user_id, q, engine, document_id=video_id)
-            resp = generate.generate_response(q, retrieved["results"], app_cfg)
+            with stage("chat.retrieve", self._request_id):
+                retrieved = retrieve.retrieve(
+                    user_id, q, engine, document_id=video_id
+                )
+            with stage("chat.generate", self._request_id):
+                resp = generate.generate_response(
+                    q, retrieved["results"], app_cfg
+                )
             resp["results"] = retrieved["results"]
             resp["index_version"] = retrieved["index_version"]
             return resp
@@ -430,6 +436,10 @@ def serve_forever(host: str = "0.0.0.0", port: int = 8000) -> None:
     import threading
 
     server = make_server(host, port)
+    ctx0 = server.ctx  # type: ignore[attr-defined]
+    if ctx0.cfg.tpu.serving_warmup:
+        n = ctx0.engine.warmup_serving()
+        logger.info("serving warmup: %d query-path dispatches compiled", n)
 
     def _graceful(signum, _frame):
         logger.info("signal %s: draining jobs and shutting down", signum)

@@ -231,9 +231,11 @@ class TpuSettings:
     profile_dir: str
     microbatch_window_ms: float  # 0 disables cross-request query batching
     microbatch_max: int
+    microbatch_workers: int  # pipelined batch runners (1 = serial)
     index_journal: bool  # cross-process index mutation replication
     journal_poll_sec: float
     job_workers: int  # 0 = enqueue-only api (dedicated worker process)
+    serving_warmup: bool  # pre-compile query-path buckets at server start
 
 
 @dataclass(frozen=True)
@@ -378,11 +380,17 @@ def load_settings(env: Optional[Mapping[str, str]] = None) -> Settings:
                 env, "TPU_MICROBATCH_WINDOW_MS", d.tpu.microbatch_window_ms
             ),
             microbatch_max=_read_int(env, "TPU_MICROBATCH_MAX", d.tpu.microbatch_max),
+            microbatch_workers=_read_int(
+                env, "TPU_MICROBATCH_WORKERS", d.tpu.microbatch_workers
+            ),
             index_journal=_read_bool(env, "TPU_INDEX_JOURNAL", d.tpu.index_journal),
             journal_poll_sec=_read_float(
                 env, "TPU_JOURNAL_POLL_SEC", d.tpu.journal_poll_sec
             ),
             job_workers=_read_int(env, "TPU_JOB_WORKERS", d.tpu.job_workers),
+            serving_warmup=_read_bool(
+                env, "TPU_SERVING_WARMUP", d.tpu.serving_warmup
+            ),
         ),
     )
 

@@ -98,7 +98,10 @@ def test_approx_backend_high_recall(rng):
 
 
 def test_auto_routes_batched_queries_to_pallas(rng, monkeypatch):
-    """auto = pallas for q>=8 on tile-aligned corpora (off-CPU), else xla."""
+    """auto = pallas for q>=8 on tile-aligned corpora >= the 128k-row floor
+    (off-CPU); small corpora, single queries, and unaligned corpora stay on
+    the dense XLA path (below the floor lax.top_k is already micro-seconds,
+    and XLA avoids the sporadic Mosaic client-poisoning hazard)."""
 
     import mmrag_tpu.ops.topk as T
     from mmrag_tpu.ops import pallas_topk as PT
@@ -113,7 +116,7 @@ def test_auto_routes_batched_queries_to_pallas(rng, monkeypatch):
 
     monkeypatch.setattr(PT, "fused_cosine_topk", spy)
     monkeypatch.setattr(T.jax, "default_backend", lambda: "tpu")
-    n = 2 * PT.TILE_N
+    n = 131072  # the auto floor (64 TILE_N tiles)
     c = l2_normalize(jnp.asarray(rng.standard_normal((n, 64)), jnp.float32))
     q = l2_normalize(jnp.asarray(rng.standard_normal((8, 64)), jnp.float32))
     mask = jnp.ones(n, dtype=bool)
@@ -122,4 +125,8 @@ def test_auto_routes_batched_queries_to_pallas(rng, monkeypatch):
     # single query or unaligned corpus stays on the dense path
     T.cosine_topk(q[:1], c, mask, 5, backend="auto")
     T.cosine_topk(q, c[: n - 5], mask[: n - 5], 5, backend="auto")
+    assert calls == ["pallas"]
+    # a tile-aligned corpus below the floor stays on the dense path too
+    small = 2 * PT.TILE_N
+    T.cosine_topk(q, c[:small], mask[:small], 5, backend="auto")
     assert calls == ["pallas"]
