@@ -195,6 +195,10 @@ class TpuDefaults:
     # first-compile inside a request; pays ~10-30 s once per cold compile
     # cache at startup
     serving_warmup: bool = True
+    # persistent XLA compile cache ("" = off): restarts and warmup reuse
+    # compiled executables instead of re-lowering every bucket (a cold
+    # serving warmup over a remote-compile tunnel otherwise takes minutes)
+    compile_cache_dir: str = "~/.cache/mmrag_tpu/jax_cache"
 
 
 @dataclass(frozen=True)

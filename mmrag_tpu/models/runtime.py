@@ -50,6 +50,30 @@ def _pad_rows(arr: np.ndarray, rows: int) -> np.ndarray:
     return np.concatenate([arr, pad], axis=0)
 
 
+_compile_cache_applied = False
+
+
+def _apply_compile_cache(cfg: Settings) -> None:
+    """Point XLA's persistent compile cache at ``TPU_COMPILE_CACHE_DIR`` (once
+    per process, before the first jit): server restarts and the serving
+    warmup reuse compiled executables instead of re-lowering every bucket —
+    a cold warmup over a remote-compile tunnel otherwise takes minutes."""
+
+    global _compile_cache_applied
+    if _compile_cache_applied or not cfg.tpu.compile_cache_dir:
+        return
+    _compile_cache_applied = True
+    import os as _os
+
+    path = _os.path.expanduser(cfg.tpu.compile_cache_dir)
+    try:
+        _os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as exc:  # unwritable dir must never block serving
+        logger.warning("compile cache disabled (%s): %s", path, exc)
+
+
 class EncoderRuntime:
     """Holds MiniLM + CLIP + cross-encoder params and their jitted forwards."""
 
@@ -61,6 +85,7 @@ class EncoderRuntime:
         mesh=None,
     ) -> None:
         self.cfg = cfg or _default_settings
+        _apply_compile_cache(self.cfg)
         self.bert_cfg = bert_cfg
         self.clip_cfg = clip_cfg
         # Multi-chip engine mode (SURVEY §2c "torch minibatching" row): with

@@ -438,8 +438,18 @@ def serve_forever(host: str = "0.0.0.0", port: int = 8000) -> None:
     server = make_server(host, port)
     ctx0 = server.ctx  # type: ignore[attr-defined]
     if ctx0.cfg.tpu.serving_warmup:
-        n = ctx0.engine.warmup_serving()
-        logger.info("serving warmup: %d query-path dispatches compiled", n)
+        # warm in the background so /healthz (compose healthchecks) responds
+        # immediately; early requests just compile lazily as before
+        def _warm():
+            try:
+                n = ctx0.engine.warmup_serving()
+                logger.info(
+                    "serving warmup: %d query-path dispatches compiled", n
+                )
+            except Exception:
+                logger.exception("serving warmup failed (continuing)")
+
+        threading.Thread(target=_warm, name="serving-warmup", daemon=True).start()
 
     def _graceful(signum, _frame):
         logger.info("signal %s: draining jobs and shutting down", signum)

@@ -236,6 +236,7 @@ class TpuSettings:
     journal_poll_sec: float
     job_workers: int  # 0 = enqueue-only api (dedicated worker process)
     serving_warmup: bool  # pre-compile query-path buckets at server start
+    compile_cache_dir: str  # persistent XLA compile cache ("" = off)
 
 
 @dataclass(frozen=True)
@@ -390,6 +391,9 @@ def load_settings(env: Optional[Mapping[str, str]] = None) -> Settings:
             job_workers=_read_int(env, "TPU_JOB_WORKERS", d.tpu.job_workers),
             serving_warmup=_read_bool(
                 env, "TPU_SERVING_WARMUP", d.tpu.serving_warmup
+            ),
+            compile_cache_dir=env.get(
+                "TPU_COMPILE_CACHE_DIR", d.tpu.compile_cache_dir
             ),
         ),
     )
