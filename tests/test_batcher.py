@@ -134,3 +134,65 @@ def test_engine_batcher_gated_by_setting(tmp_path):
 class _EngineRuntimeStub(_FakeRuntime):
     text_dim = 4
     clip_dim = 8
+
+
+def test_pipelined_workers_overlap_batches():
+    """workers=2: a second batch runs while the first is still blocked (the
+    continuous-batching pipeline behind TPU_MICROBATCH_WORKERS)."""
+
+    active = []
+    peak = []
+    lock = threading.Lock()
+
+    def fn(items):
+        with lock:
+            active.append(1)
+            peak.append(sum(active))
+        time.sleep(0.05)
+        with lock:
+            active.pop()
+        return [x * 2 for x in items]
+
+    b = MicroBatcher(fn, max_batch=2, window_ms=1, workers=2)
+    results = {}
+
+    def worker(i):
+        results[i] = b.submit(i)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    b.close()
+    assert results == {i: i * 2 for i in range(8)}
+    assert max(peak) == 2  # two batches genuinely in flight at once
+
+
+def test_pipelined_workers_fold_arrivals_when_saturated():
+    """With every runner busy, later arrivals coalesce into the pending batch
+    instead of forming size-1 batches behind the pool."""
+
+    def fn(items):
+        time.sleep(0.05)
+        return list(items)
+
+    b = MicroBatcher(fn, max_batch=16, window_ms=1, workers=1 + 1)
+    results = {}
+
+    def worker(i):
+        # first two arrive together (occupy both runners); the rest trickle
+        # in while the pool is saturated and must fold into one batch
+        if i >= 2:
+            time.sleep(0.01 + i * 0.002)
+        results[i] = b.submit(i)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(10)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    b.close()
+    assert results == {i: i for i in range(10)}
+    # 10 items should take far fewer than 10 batches
+    assert b.batches_run <= 5, dict(b.batch_sizes)

@@ -426,3 +426,75 @@ def test_load_refuses_mismatched_snapshot(tmp_path, index):
     (tmp_path / "snap.manifest.json").write_text(json.dumps(manifest))
     with pytest.raises(ValueError, match="refusing"):
         VectorIndex.load(str(tmp_path), "snap", dtype="float32")
+
+
+def test_search_batch_multi_async_matches_sync(index):
+    """The dispatch/collect split (serving hot path) returns exactly what the
+    synchronous form returns, for device-array queries too."""
+
+    import jax.numpy as jnp
+
+    index.upsert([_row(f"c{i}", user=f"u{i % 2}", vec=_basis(i)) for i in range(6)])
+    queries = np.stack([_basis(i) for i in range(3)])
+    users = ["u0", "u1", "u0"]
+    sync = index.search_batch_multi(queries, users, k=3)
+    pending = index.search_batch_multi_async(jnp.asarray(queries), users, k=3)
+    assert pending() == sync
+    # empty-index short circuit returns a collector as well
+    empty = VectorIndex(dim=8, dtype="float32")
+    assert empty.search_batch_multi_async(queries, users, k=3)() == [[], [], []]
+
+
+def test_query_batch_bucketing_pads_and_slices():
+    """Any coalesce size returns exactly its own results — pad rows carry the
+    never-matching tenant sentinel and are sliced off."""
+
+    index = VectorIndex(dim=8, dtype="float32")
+    index.upsert([_row(f"c{i}", vec=_basis(i)) for i in range(8)])
+    for q in (1, 2, 3, 5, 7):
+        queries = np.stack([_basis(i % 8) for i in range(q)])
+        out = index.search_batch_multi(queries, ["u1"] * q, k=2)
+        assert len(out) == q
+        for i, hits in enumerate(out):
+            assert hits[0][0] == f"c{i % 8}"
+
+
+def test_engine_warmup_serving(tmp_path):
+    """warmup_serving pre-compiles every coalesce bucket without touching
+    real rows (the warmup tenant is never interned) and leaves retrieval
+    results unchanged."""
+
+    from mmrag_tpu.rag.engine import RagEngine
+    from mmrag_tpu.rag import index_build as ib
+    from mmrag_tpu.settings import load_settings
+    from mmrag_tpu.storage import Document
+
+    env = {
+        "TPU_INDEX_DIR": str(tmp_path / "index"),
+        "NOTES_DB_PATH": str(tmp_path / "notes.db"),
+        "MEDIA_DIR": str(tmp_path / "media"),
+        "INGEST_CACHE_DIR": str(tmp_path / "cache"),
+        "TPU_MICROBATCH_WINDOW_MS": "0",
+        "TPU_COMPILE_CACHE_DIR": "",
+    }
+    cfg = load_settings(env)
+    engine = RagEngine(cfg)
+    engine.metadata.upsert_document(
+        Document(document_id="d", user_id="u1", doc_type="pdf", title="T")
+    )
+    ib.index_text_nodes(
+        "u1",
+        [{"id": "c0", "text": "alpha beta gamma " * 20,
+          "metadata": {"document_id": "d", "page": 1}}],
+        engine,
+    )
+    before = engine.text_index.search_batch_multi(
+        np.ones((1, engine.text_index.dim), np.float32), ["u1"], k=1
+    )
+    n = engine.warmup_serving(max_coalesce=4)
+    assert n >= 8  # >= (2 embed + 1 text search + 1 rerank) per bucket
+    after = engine.text_index.search_batch_multi(
+        np.ones((1, engine.text_index.dim), np.float32), ["u1"], k=1
+    )
+    assert after == before  # warmup left the corpus untouched
+    engine.close()
