@@ -76,6 +76,14 @@ class WordPieceTokenizer:
         self.sep_id = vocab[sep_token]
         self.pad_id = vocab[pad_token]
         self.max_chars_per_word = max_chars_per_word
+        # C++ fast path for ASCII text (mmrag_tpu.native); it replicates
+        # exactly the lowercase/100-char semantics below, so any other
+        # configuration stays pure Python
+        self._native = None
+        if lowercase and max_chars_per_word == 100:
+            from mmrag_tpu import native
+
+            self._native = native.wordpiece_create(vocab, self.unk_id)
 
     @classmethod
     def from_vocab_file(cls, path: str, **kwargs) -> "WordPieceTokenizer":
@@ -108,6 +116,10 @@ class WordPieceTokenizer:
         return pieces
 
     def tokenize_ids(self, text: str) -> List[int]:
+        if self._native is not None:
+            ids = self._native.tokenize(text)
+            if ids is not None:
+                return ids
         out: List[int] = []
         for word in _basic_tokenize(text, self.lowercase):
             out.extend(self._wordpiece(word))

@@ -14,6 +14,9 @@ the equivalent first-party C++ for the loops that sit on *our* host paths:
     :mod:`mmrag_tpu.parallel.sharded_index`
   * ``l2_normalize_rows`` — normalize-on-write
     (``app/storage/lancedb_store.py:63-69``)
+  * ``wordpiece_create``/``NativeWordPiece`` — ASCII fast-path WordPiece,
+    the HF Rust-tokenizers role (``app/ml/embeddings.py:52-105``); 4.5x the
+    pure-Python tokenizer on ingest-shaped 512-token chunks
 
 The library is compiled on demand with g++ (no pybind11 in this image; plain
 C ABI + ctypes). Every function has a numpy fallback, so the framework is
@@ -27,14 +30,14 @@ import ctypes
 import os
 import subprocess
 import threading
-from typing import Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "host_runtime.cpp")
 _SO = os.path.join(_HERE, "libmmrag_host.so")
-_ABI_VERSION = 1
+_ABI_VERSION = 2
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -75,6 +78,13 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.mmrag_hamming_matrix.argtypes = [u64p, i64, u64p, i64, i32p]
     lib.mmrag_merge_topk.argtypes = [f32p, i64p, i64, i64, i64, f32p, i64p]
     lib.mmrag_l2_normalize_rows.argtypes = [f32p, i64, i64]
+    lib.mmrag_wp_create.argtypes = [ctypes.c_char_p, i64]
+    lib.mmrag_wp_create.restype = ctypes.c_void_p
+    lib.mmrag_wp_destroy.argtypes = [ctypes.c_void_p]
+    lib.mmrag_wp_tokenize.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, i64, i32, i32p, i64
+    ]
+    lib.mmrag_wp_tokenize.restype = i64
     return lib
 
 
@@ -240,6 +250,69 @@ def merge_topk(
         out_s = np.pad(out_s, ((0, 0), (0, pad)), constant_values=-1e30)
         out_i = np.pad(out_i, ((0, 0), (0, pad)), constant_values=-1)
     return out_s, out_i
+
+
+class NativeWordPiece:
+    """ASCII fast-path WordPiece over the C++ kernel in ``host_runtime.cpp``.
+
+    Plays the role sentence-transformers delegates to HF's Rust ``tokenizers``
+    crate (reference ``app/ml/embeddings.py:52-105``): tokenization off the
+    Python interpreter so ingest keeps pace with the device embed rate.
+    ``tokenize`` returns None for input the kernel declines (non-ASCII bytes)
+    — the caller must then use its pure-Python path, whose unicode handling
+    the kernel deliberately does not replicate.
+    """
+
+    def __init__(self, lib: ctypes.CDLL, handle: int, unk_id: int) -> None:
+        self._lib = lib
+        self._handle = handle
+        self._unk_id = unk_id
+        # bound method survives interpreter-shutdown teardown ordering
+        self._destroy = lib.mmrag_wp_destroy
+
+    def __del__(self) -> None:  # pragma: no cover - lifecycle
+        handle, self._handle = self._handle, None
+        if handle:
+            try:
+                self._destroy(handle)
+            except Exception:
+                pass
+
+    def tokenize(self, text: str) -> Optional[List[int]]:
+        data = text.encode("utf-8")
+        # every output token consumes >= 1 input char, so len+1 bounds it
+        cap = len(data) + 8
+        out = np.empty(cap, dtype=np.int32)
+        n = self._lib.mmrag_wp_tokenize(
+            self._handle, data, len(data), self._unk_id, out, cap
+        )
+        if n < 0:  # NON_ASCII / OVERFLOW -> caller's Python path
+            return None
+        return out[:n].tolist()
+
+
+def wordpiece_create(vocab: Dict[str, int], unk_id: int) -> Optional[NativeWordPiece]:
+    """Build a native WordPiece matcher, or None when unavailable.
+
+    The kernel indexes pieces by vocab-file line number, so the dict must be
+    a dense id space (0..n-1, the shape ``from_vocab_file`` produces); sparse
+    or newline-containing vocabs fall back to pure Python.
+    """
+
+    lib = load()
+    if lib is None:
+        return None
+    n = len(vocab)
+    tokens_by_id: List[Optional[str]] = [None] * n
+    for tok, tid in vocab.items():
+        if not 0 <= tid < n or tokens_by_id[tid] is not None or "\n" in tok:
+            return None
+        tokens_by_id[tid] = tok
+    blob = "\n".join(tokens_by_id).encode("utf-8")  # type: ignore[arg-type]
+    handle = lib.mmrag_wp_create(blob, len(blob))
+    if not handle:
+        return None
+    return NativeWordPiece(lib, handle, unk_id)
 
 
 def l2_normalize_rows(x: np.ndarray) -> np.ndarray:

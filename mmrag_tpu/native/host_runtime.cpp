@@ -179,6 +179,160 @@ void mmrag_l2_normalize_rows(float* data, int64_t rows, int64_t dim) {
   });
 }
 
-int32_t mmrag_abi_version() { return 1; }
+}  // extern "C"
+
+// ---- WordPiece tokenizer (ASCII fast path) ----------------------------------
+//
+// The host-side pure-Python WordPiece measures ~1.5k 512-token chunks/s
+// single-threaded — a bottleneck against the device embed rate on the ingest
+// path; this kernel measures ~6.6k chunks/s (3.5M tokens/s, 4.5x). It
+// replicates the exact semantics of mmrag_tpu/models/tokenizer.py
+// (_basic_tokenize + greedy longest-match _wordpiece) for pure-ASCII input;
+// any byte >= 0x80 returns MMRAG_WP_NON_ASCII and the caller falls back to
+// the Python path (unicode NFD/category work stays in Python).
+//
+// ASCII basic-tokenize semantics being matched:
+//   * lowercase (A-Z only for ASCII)
+//   * split on whitespace; inside each blob, word chars are [a-z0-9_] and
+//     every other char is its own single-char token (re `(\W)` split)
+//   * greedy longest-match WordPiece, "##" continuations, whole-word [UNK]
+//     on failure, words > 100 chars -> [UNK]
+
+#include <cctype>
+#include <string>
+#include <unordered_map>
+
+namespace {
+
+struct WpVocab {
+  std::unordered_map<std::string, int32_t> full;  // word-initial pieces
+  std::unordered_map<std::string, int32_t> cont;  // "##" continuations (stored stripped)
+  size_t max_full = 0;  // longest key lengths bound the greedy scan
+  size_t max_cont = 0;
+};
+
+constexpr int64_t MMRAG_WP_NON_ASCII = -1;
+constexpr int64_t MMRAG_WP_OVERFLOW = -2;
+constexpr int kMaxCharsPerWord = 100;
+
+inline bool wp_word_char(char c) {
+  return (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_';
+}
+
+// Python's str.split() additionally treats the FS/GS/RS/US control chars
+// (0x1c-0x1f) as whitespace; C isspace() does not.
+inline bool wp_space(unsigned char c) {
+  return std::isspace(c) || (c >= 0x1c && c <= 0x1f);
+}
+
+// Greedy longest-match over one lowercased word; appends ids or unk.
+inline bool wp_piece(const WpVocab& v, const char* w, size_t len, int32_t unk,
+                     int32_t* out, int64_t cap, int64_t& n) {
+  if (len > kMaxCharsPerWord) {
+    if (n >= cap) return false;
+    out[n++] = unk;
+    return true;
+  }
+  int64_t start_n = n;
+  size_t start = 0;
+  std::string key;
+  while (start < len) {
+    const auto& table = start == 0 ? v.full : v.cont;
+    size_t longest = start == 0 ? v.max_full : v.max_cont;
+    size_t end = std::min(len, start + longest);
+    int32_t cur = -1;
+    for (; end > start; --end) {
+      key.assign(w + start, end - start);
+      auto it = table.find(key);
+      if (it != table.end()) {
+        cur = it->second;
+        break;
+      }
+    }
+    if (cur < 0) {  // whole word becomes UNK (drop partial pieces)
+      n = start_n;
+      if (n >= cap) return false;
+      out[n++] = unk;
+      return true;
+    }
+    if (n >= cap) return false;
+    out[n++] = cur;
+    start = end;
+  }
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* mmrag_wp_create(const char* blob, int64_t blob_len) {
+  auto* v = new WpVocab();
+  int32_t id = 0;
+  const char* p = blob;
+  const char* stop = blob + blob_len;
+  while (p < stop) {
+    const char* nl = static_cast<const char*>(memchr(p, '\n', stop - p));
+    size_t len = (nl ? nl : stop) - p;
+    if (len >= 2 && p[0] == '#' && p[1] == '#') {
+      v->cont.emplace(std::string(p + 2, len - 2), id);
+      v->max_cont = std::max(v->max_cont, len - 2);
+    } else {
+      v->full.emplace(std::string(p, len), id);
+      v->max_full = std::max(v->max_full, len);
+    }
+    ++id;
+    p = nl ? nl + 1 : stop;
+  }
+  return v;
+}
+
+void mmrag_wp_destroy(void* h) { delete static_cast<WpVocab*>(h); }
+
+// Returns token count, MMRAG_WP_NON_ASCII (caller must use the Python
+// path), or MMRAG_WP_OVERFLOW (out capacity too small).
+int64_t mmrag_wp_tokenize(void* h, const char* text, int64_t text_len,
+                          int32_t unk_id, int32_t* out, int64_t cap) {
+  const auto& v = *static_cast<WpVocab*>(h);
+  int64_t n = 0;
+  char word[kMaxCharsPerWord + 2];
+  size_t wlen = 0;
+  bool word_overflow = false;
+  auto flush = [&]() -> bool {
+    if (word_overflow) {
+      word_overflow = false;
+      wlen = 0;
+      if (n >= cap) return false;
+      out[n++] = unk_id;  // > 100 chars -> [UNK], matching Python
+      return true;
+    }
+    if (!wlen) return true;
+    bool ok = wp_piece(v, word, wlen, unk_id, out, cap, n);
+    wlen = 0;
+    return ok;
+  };
+  for (int64_t i = 0; i < text_len; ++i) {
+    unsigned char c = static_cast<unsigned char>(text[i]);
+    if (c >= 0x80) return MMRAG_WP_NON_ASCII;
+    if (c >= 'A' && c <= 'Z') c += 32;  // ASCII lowercase
+    if (wp_word_char(static_cast<char>(c))) {
+      if (wlen < kMaxCharsPerWord + 1) {
+        word[wlen++] = static_cast<char>(c);
+      } else {
+        word_overflow = true;  // keep consuming; emit one UNK at flush
+      }
+      continue;
+    }
+    if (!flush()) return MMRAG_WP_OVERFLOW;
+    if (!wp_space(c)) {  // single-char punctuation token
+      if (!wp_piece(v, reinterpret_cast<const char*>(&c), 1, unk_id, out, cap, n))
+        return MMRAG_WP_OVERFLOW;
+    }
+  }
+  if (!flush()) return MMRAG_WP_OVERFLOW;
+  return n;
+}
+
+int32_t mmrag_abi_version() { return 2; }
 
 }  // extern "C"

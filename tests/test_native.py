@@ -123,6 +123,79 @@ def test_gather_rows_rejects_out_of_range(rng):
         native.gather_rows(src, np.asarray([10], np.int64))
 
 
+WP_VOCAB = {
+    "[PAD]": 0, "[UNK]": 1, "[CLS]": 2, "[SEP]": 3,
+    "hello": 4, "world": 5, "un": 6, "##aff": 7, "##able": 8, ",": 9,
+    "the": 10, "a": 11, "##b": 12, "##c": 13, "ab": 14, "1": 15, "##2": 16,
+    "x": 17, "##x": 18, "_": 19, "-": 20, ".": 21,
+}
+
+
+def _wp_pair():
+    """Same tokenizer twice: native-enabled and native-stripped (pure Python)."""
+
+    from mmrag_tpu.models.tokenizer import WordPieceTokenizer
+
+    tok = WordPieceTokenizer(dict(WP_VOCAB))
+    py = WordPieceTokenizer(dict(WP_VOCAB))
+    py._native = None
+    return tok, py
+
+
+def test_wordpiece_native_matches_python_random(rng, has_native):
+    if not has_native:
+        pytest.skip("no native lib")
+    tok, py = _wp_pair()
+    assert tok._native is not None
+    pool = list("abcx12_ ,.-\t\n") + ["hello", "world", "unaffable", "the", "AB"]
+    for _ in range(300):
+        parts = [pool[i] for i in rng.integers(0, len(pool), rng.integers(0, 12))]
+        s = "".join(parts)
+        assert tok.tokenize_ids(s) == py.tokenize_ids(s), repr(s)
+
+
+def test_wordpiece_native_edge_cases(has_native):
+    tok, py = _wp_pair()
+    cases = [
+        "",
+        "Hello, WORLD",
+        "unaffable",
+        "a" * 100,        # exactly at the per-word char cap
+        "a" * 101,        # over the cap -> whole-word [UNK]
+        "ab" * 80,        # long word, overflow accumulation path
+        "a\x1cb",         # \x1c is Python str.split() whitespace
+        "a\x01b",         # \x01 is a punctuation-class single token
+        "x!!y",
+        " \t\n ",
+        "a.b,c-d_e",
+    ]
+    for s in cases:
+        assert tok.tokenize_ids(s) == py.tokenize_ids(s), repr(s)
+
+
+def test_wordpiece_native_non_ascii_falls_back(has_native):
+    if not has_native:
+        pytest.skip("no native lib")
+    tok, py = _wp_pair()
+    for s in ["café", "naïve hello", "東京 world", "héllo, wörld"]:
+        assert tok._native.tokenize(s) is None  # kernel declines
+        assert tok.tokenize_ids(s) == py.tokenize_ids(s)  # fallback agrees
+
+
+def test_wordpiece_sparse_vocab_disables_native(has_native):
+    if not has_native:
+        pytest.skip("no native lib")
+    from mmrag_tpu import native as nat
+
+    sparse = {"[PAD]": 0, "[UNK]": 1, "[CLS]": 2, "[SEP]": 3, "hello": 99}
+    assert nat.wordpiece_create(sparse, 1) is None
+    from mmrag_tpu.models.tokenizer import WordPieceTokenizer
+
+    tok = WordPieceTokenizer(sparse)
+    assert tok._native is None
+    assert tok.tokenize_ids("hello xyzzy") == [99, 1]
+
+
 def test_merge_topk_nan_scores_sink(rng):
     """NaN scores (poisoned embeddings) order as -inf instead of invoking
     UB in the native comparator."""
