@@ -115,15 +115,58 @@ class WordPieceTokenizer:
             start = end
         return pieces
 
+    def _py_tokenize_ids(self, text: str) -> List[int]:
+        out: List[int] = []
+        for word in _basic_tokenize(text, self.lowercase):
+            out.extend(self._wordpiece(word))
+        return out
+
     def tokenize_ids(self, text: str) -> List[int]:
         if self._native is not None:
             ids = self._native.tokenize(text)
             if ids is not None:
                 return ids
-        out: List[int] = []
-        for word in _basic_tokenize(text, self.lowercase):
-            out.extend(self._wordpiece(word))
-        return out
+        return self._py_tokenize_ids(text)
+
+    def tokenize_matrix(self, texts: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
+        """All texts tokenized into one padded matrix: ``(ids (n, L) int32,
+        lengths (n,) int64)`` with rows padded by ``pad_id`` to the longest.
+
+        The batched-ingest fast path: the native kernel writes each row in
+        place (no per-token Python lists), and callers assemble the final
+        ``[CLS] body [SEP]`` layout with numpy. Rows the kernel declines
+        (non-ASCII) fall back to Python individually — token count never
+        exceeds byte count, so every fallback row fits its buffer slot.
+        """
+
+        n = len(texts)
+        if self._native is not None:
+            data = [t.encode("utf-8") for t in texts]
+            cap = max((len(d) for d in data), default=1) + 8
+            # calloc's lazy zero pages make the (often large) pad prefill
+            # free for the common pad_id == 0 vocab layout
+            buf = (
+                np.zeros((n, cap), dtype=np.int32)
+                if self.pad_id == 0
+                else np.full((n, cap), self.pad_id, dtype=np.int32)
+            )
+            lengths = np.empty(n, dtype=np.int64)
+            for i, d in enumerate(data):
+                ln = self._native.tokenize_into(d, buf[i])
+                if ln < 0:
+                    ids = self._py_tokenize_ids(texts[i])
+                    ln = len(ids)
+                    buf[i, :ln] = ids
+                lengths[i] = ln
+            return buf, lengths
+        lists = [self._py_tokenize_ids(t) for t in texts]
+        width = max((len(t) for t in lists), default=1)
+        buf = np.full((n, width), self.pad_id, dtype=np.int32)
+        lengths = np.empty(n, dtype=np.int64)
+        for i, ids in enumerate(lists):
+            buf[i, : len(ids)] = ids
+            lengths[i] = len(ids)
+        return buf, lengths
 
     def encode(
         self, texts: Sequence[str], max_len: int

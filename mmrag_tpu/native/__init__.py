@@ -290,6 +290,17 @@ class NativeWordPiece:
             return None
         return out[:n].tolist()
 
+    def tokenize_into(self, data: bytes, row: np.ndarray) -> int:
+        """Tokenize into a preallocated contiguous int32 row, skipping the
+        list materialization ``tokenize`` pays (the batched ingest path
+        assembles padded id matrices directly). Returns the token count, or
+        a negative kernel code (non-ASCII / row too small) meaning the
+        caller must tokenize this text in Python."""
+
+        return self._lib.mmrag_wp_tokenize(
+            self._handle, data, len(data), self._unk_id, row, row.shape[0]
+        )
+
 
 def wordpiece_create(vocab: Dict[str, int], unk_id: int) -> Optional[NativeWordPiece]:
     """Build a native WordPiece matcher, or None when unavailable.

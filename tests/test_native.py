@@ -196,6 +196,68 @@ def test_wordpiece_sparse_vocab_disables_native(has_native):
     assert tok.tokenize_ids("hello xyzzy") == [99, 1]
 
 
+def test_wordpiece_tokenize_matrix_matches_tokenize_ids(rng, has_native):
+    """The batched matrix path (native rows + Python fallback rows mixed)
+    produces exactly the per-text tokenize_ids streams."""
+
+    tok, py = _wp_pair()
+    texts = [
+        "hello world, the unaffable ab",
+        "café naïve",          # non-ASCII -> per-row Python fallback
+        "",
+        "a" * 120,             # over the word cap
+        "x " * 50,
+    ]
+    for impl in (tok, py):
+        buf, lengths = impl.tokenize_matrix(texts)
+        assert buf.dtype == np.int32 and lengths.shape == (len(texts),)
+        for i, t in enumerate(texts):
+            want = impl.tokenize_ids(t)
+            assert buf[i, : lengths[i]].tolist() == want, repr(t)
+            assert (buf[i, lengths[i] :] == impl.pad_id).all()
+
+
+def test_embed_text_matrix_assembly_matches_list_path(tmp_path):
+    """embed_text_batch's numpy [CLS] body [SEP] assembly (tokenize_matrix
+    branch) is bit-identical to the legacy list path, including truncation
+    and unicode fallback rows."""
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from mmrag_tpu.models import runtime as rtmod
+    from mmrag_tpu.models.tokenizer import WordPieceTokenizer
+    from mmrag_tpu.settings import load_settings
+
+    cfg = load_settings({"WEIGHTS_DIR": str(tmp_path / "w")})
+    from mmrag_tpu.models.bert import BertConfig
+
+    tiny = BertConfig(hidden_size=64, num_layers=2, num_heads=4, intermediate_size=128)
+    rtmod.reset_runtime()
+    enc = rtmod.EncoderRuntime(cfg, bert_cfg=tiny)
+    enc._ensure_minilm()
+    wp = WordPieceTokenizer(dict(WP_VOCAB))
+    enc._bert_tok = wp
+    texts = ["hello world", "café the unaffable", "ab " * 400, ""]
+    got = enc.embed_text_batch(texts)
+
+    class ListOnly:
+        """Same tokenizer minus tokenize_matrix -> legacy list branch."""
+
+        def __init__(self, inner):
+            self._inner = inner
+            self.cls_id, self.sep_id, self.pad_id = (
+                inner.cls_id, inner.sep_id, inner.pad_id,
+            )
+
+        def tokenize_ids(self, text):
+            return self._inner.tokenize_ids(text)
+
+    enc._bert_tok = ListOnly(wp)
+    want = enc.embed_text_batch(texts)
+    np.testing.assert_array_equal(got, want)
+    rtmod.reset_runtime()
+
+
 def test_merge_topk_nan_scores_sink(rng):
     """NaN scores (poisoned embeddings) order as -inf instead of invoking
     UB in the native comparator."""
