@@ -117,6 +117,50 @@ def bench_minilm_seq512(quick: bool) -> float:
     return _bench_minilm_shape(batch, 512, k1, k2)
 
 
+def bench_ingest_embed(quick: bool) -> float:
+    """Real end-to-end document-ingest embedding: raw text in, normalized
+    vectors out — host WordPiece (native C++ matrix path), [CLS]/[SEP]
+    assembly, H2D, the seq-512 forward, with readbacks deferred so tokenize
+    and compute overlap. Unlike the fori_loop benches this is wall-clock of
+    the actual `embed_text_batch` API, host costs included (reference
+    analogue: sentence-transformers ``encode`` inside
+    ``app/ml/index_build.py``)."""
+
+    import random as _random
+    import string as _string
+    import tempfile
+
+    from mmrag_tpu.models.runtime import EncoderRuntime
+    from mmrag_tpu.settings import load_settings
+
+    rnd = _random.Random(0)
+    words = ["".join(rnd.choices(_string.ascii_lowercase, k=rnd.randint(3, 9)))
+             for _ in range(8000)]
+    pool = dict.fromkeys(["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"])
+    for c in _string.ascii_lowercase + _string.digits:
+        pool.setdefault(c)
+        pool.setdefault("##" + c)
+    for w in words:
+        pool.setdefault(w)
+        pool.setdefault("##" + w[: max(1, len(w) // 2)])
+    tmp = tempfile.mkdtemp(prefix="bench_ingest_")
+    wdir = os.path.join(tmp, "sentence-transformers__all-MiniLM-L6-v2")
+    os.makedirs(wdir)
+    with open(os.path.join(wdir, "vocab.txt"), "w") as fh:
+        fh.write("\n".join(pool))
+    cfg = load_settings({"WEIGHTS_DIR": tmp})
+    runtime = EncoderRuntime(cfg)
+    n = 1024 if quick else 4096
+    # ~400 vocab words/chunk -> the 512-token splitter bucket
+    chunks = [" ".join(rnd.choices(words, k=400)) for _ in range(n)]
+    runtime.embed_text_batch(chunks[:512])  # compile
+    runtime.embed_text_batch(chunks[:512])  # warm
+    t0 = time.perf_counter()
+    out = runtime.embed_text_batch(chunks)
+    assert out.shape == (n, runtime.text_dim)
+    return n / (time.perf_counter() - t0)
+
+
 def bench_clip_images(quick: bool) -> float:
     import jax
     import jax.numpy as jnp
@@ -886,7 +930,8 @@ def main() -> None:
 
     # step order: multitenant (Pallas bucket-max) before the dense 1M benches
     # — the historical deterministic ordering for the allocator-state hazard
-    steps = ["minilm", "minilm_seq256", "minilm_seq512", "clip_images",
+    steps = ["minilm", "minilm_seq256", "minilm_seq512", "ingest_embed",
+             "clip_images",
              "clip_images_pipelined",
              "multitenant", "topk", "topk_int8",
              "topk_10m", "ivf", "ivf_int8", "ivf_int8_10m", "ivf_encoder",
@@ -959,6 +1004,7 @@ def main() -> None:
     minilm = r.get("minilm")
     minilm256 = r.get("minilm_seq256")
     minilm512 = r.get("minilm_seq512")
+    ingest = r.get("ingest_embed")
     clip_im = r.get("clip_images")
     clip_pipe = r.get("clip_images_pipelined")
     multitenant_ms = r.get("multitenant")
@@ -991,6 +1037,7 @@ def main() -> None:
                     "backend": backend,
                     "minilm_seq256_embeds_per_sec": rnd(minilm256, 1),
                     "minilm_seq512_embeds_per_sec": rnd(minilm512, 1),
+                    "ingest_embed_e2e_chunks_per_sec": rnd(ingest, 1),
                     "clip_image_embeds_per_sec": rnd(clip_im, 1),
                     "clip_image_embeds_per_sec_pipelined": rnd(clip_pipe, 1),
                     "clip_vs_target_10k": rnd(clip_im / 10_000.0 if clip_im else None),
