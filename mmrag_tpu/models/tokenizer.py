@@ -150,14 +150,12 @@ class WordPieceTokenizer:
                 if self.pad_id == 0
                 else np.full((n, cap), self.pad_id, dtype=np.int32)
             )
-            lengths = np.empty(n, dtype=np.int64)
-            for i, d in enumerate(data):
-                ln = self._native.tokenize_into(d, buf[i])
-                if ln < 0:
-                    ids = self._py_tokenize_ids(texts[i])
-                    ln = len(ids)
-                    buf[i, :ln] = ids
-                lengths[i] = ln
+            lengths = self._native.tokenize_batch(data, buf)
+            for i in np.nonzero(lengths < 0)[0]:
+                ids = self._py_tokenize_ids(texts[i])
+                buf[i] = self.pad_id
+                buf[i, : len(ids)] = ids
+                lengths[i] = len(ids)
             return buf, lengths
         lists = [self._py_tokenize_ids(t) for t in texts]
         width = max((len(t) for t in lists), default=1)

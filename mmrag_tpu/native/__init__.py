@@ -37,7 +37,7 @@ import numpy as np
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "host_runtime.cpp")
 _SO = os.path.join(_HERE, "libmmrag_host.so")
-_ABI_VERSION = 2
+_ABI_VERSION = 3
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -85,6 +85,9 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         ctypes.c_void_p, ctypes.c_char_p, i64, i32, i32p, i64
     ]
     lib.mmrag_wp_tokenize.restype = i64
+    lib.mmrag_wp_tokenize_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, i64p, i64, i32, i32p, i64, i64p
+    ]
     return lib
 
 
@@ -290,16 +293,25 @@ class NativeWordPiece:
             return None
         return out[:n].tolist()
 
-    def tokenize_into(self, data: bytes, row: np.ndarray) -> int:
-        """Tokenize into a preallocated contiguous int32 row, skipping the
-        list materialization ``tokenize`` pays (the batched ingest path
-        assembles padded id matrices directly). Returns the token count, or
-        a negative kernel code (non-ASCII / row too small) meaning the
-        caller must tokenize this text in Python."""
+    def tokenize_batch(self, data: List[bytes], out: np.ndarray) -> np.ndarray:
+        """Tokenize every text into the rows of a preallocated C-contiguous
+        ``(n, cap)`` int32 matrix in ONE C call — the kernel threads across
+        rows, and no per-token Python lists are materialized. Returns the
+        ``(n,)`` int64 token counts; a negative entry is a kernel decline
+        (non-ASCII / row too small) whose row the caller must redo in
+        Python."""
 
-        return self._lib.mmrag_wp_tokenize(
-            self._handle, data, len(data), self._unk_id, row, row.shape[0]
+        n = len(data)
+        lengths = np.empty(n, dtype=np.int64)
+        if n == 0:
+            return lengths
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([len(d) for d in data], out=offsets[1:])
+        self._lib.mmrag_wp_tokenize_batch(
+            self._handle, b"".join(data), offsets, n, self._unk_id,
+            out, out.shape[1], lengths,
         )
+        return lengths
 
 
 def wordpiece_create(vocab: Dict[str, int], unk_id: int) -> Optional[NativeWordPiece]:
