@@ -157,7 +157,10 @@ class TpuDefaults:
     compute_dtype: str = "bfloat16"  # MXU-native; params kept f32, matmuls bf16
     index_dtype: str = ""  # vector-slab storage: bfloat16|float32|int8 ("" = compute_dtype)
     param_dtype: str = "float32"
-    text_batch_buckets: str = "8,32,128,512"  # static batch sizes for text encoder
+    # static batch sizes for the text encoder; the 2048 rung only engages for
+    # short sequences (embed_text_batch caps each dispatch at ~256k padded
+    # tokens, so seq-512 splitter chunks still go 512/dispatch)
+    text_batch_buckets: str = "8,32,128,512,2048"
     image_batch_buckets: str = "8,32,128"  # static batch sizes for CLIP vision
     text_seq_buckets: str = "64,128,256,512"  # padded sequence-length buckets
     rerank_seq_len: int = 256  # cross-encoder pair length (fixed bucket)

@@ -36,6 +36,29 @@ def _sanitize(model_id: str) -> str:
     return model_id.replace("/", "__")
 
 
+# max padded tokens (batch x seq) per encoder dispatch — 512 rows at the
+# 512-token splitter shape; see embed_text_batch for the measurements
+_DISPATCH_TOKEN_CAP = 512 * 512
+
+
+def _assemble_bert_inputs(buf, lengths, btok, seq: int):
+    """``[CLS] body [SEP]`` ids + attention mask from a tokenize_matrix
+    block, entirely in numpy (the list path costs ~30 us/row at seq 512)."""
+
+    n = lengths.shape[0]
+    body_len = np.minimum(lengths, seq - 2)
+    width = min(buf.shape[1], seq - 2)
+    cols = np.arange(width)
+    ids = np.full((n, seq), btok.pad_id, dtype=np.int32)
+    ids[:, 1 : width + 1] = np.where(
+        cols[None, :] < body_len[:, None], buf[:, :width], btok.pad_id
+    )
+    ids[:, 0] = btok.cls_id
+    ids[np.arange(n), body_len + 1] = btok.sep_id
+    mask = (np.arange(seq)[None, :] < (body_len + 2)[:, None]).astype(np.int32)
+    return ids, mask
+
+
 def _bucket(value: int, buckets: Sequence[int]) -> int:
     for b in buckets:
         if value <= b:
@@ -262,45 +285,52 @@ class EncoderRuntime:
             return np.zeros((0, self.text_dim), dtype=np.float32)
         params = self._ensure_minilm()
         tpu = self.cfg.tpu
+        buckets = tpu.text_batch_buckets
+        btok = self._bert_tok
         pending = []
-        max_batch = tpu.text_batch_buckets[-1]
-        for start in range(0, len(texts), max_batch):
-            chunk = list(texts[start : start + max_batch])
-            n = len(chunk)
-            btok = self._bert_tok
+
+        def dispatch(ids, mask, n):
+            bsz = self._round_batch(_bucket(n, buckets))
+            ids, mask = _pad_rows(ids, bsz), _pad_rows(mask, bsz)
+            # padded rows are all-pad-token; mean_pool guards div-by-zero.
+            # Don't force the readback here: with the dispatch left in
+            # flight, the next chunk's WordPiece runs while the device
+            # computes this one (serializing them measured ~1.8x slower on
+            # multi-batch ingest)
+            emb = self._minilm_fn(params, jnp.asarray(ids), jnp.asarray(mask))
+            pending.append((emb, n))
+
+        scan = buckets[-1]
+        for start in range(0, len(texts), scan):
+            chunk = list(texts[start : start + scan])
             if hasattr(btok, "tokenize_matrix"):
                 # batched matrix tokenization + numpy [CLS] body [SEP]
                 # assembly: no per-token Python lists on the ingest hot path
                 buf, lengths = btok.tokenize_matrix(chunk)
-                seq = _bucket(int(lengths.max(initial=0)) + 2, tpu.text_seq_buckets)
-                body_len = np.minimum(lengths, seq - 2)
-                width = min(buf.shape[1], seq - 2)
-                cols = np.arange(width)
-                ids = np.full((n, seq), btok.pad_id, dtype=np.int32)
-                ids[:, 1 : width + 1] = np.where(
-                    cols[None, :] < body_len[:, None], buf[:, :width], btok.pad_id
+                seq_all = _bucket(int(lengths.max(initial=0)) + 2, tpu.text_seq_buckets)
+                # dispatch-size cap: big batches amortize the fixed dispatch
+                # cost (seq-64 ingest measured 2x going 512->2048 rows), but
+                # past ~256k padded tokens the step is long enough that
+                # bigger only adds VMEM pressure and pipeline granularity
+                # loss (seq-512 x 1024 rows measured 10% SLOWER than 512)
+                rows = max(
+                    (b for b in buckets if b * seq_all <= _DISPATCH_TOKEN_CAP),
+                    default=buckets[0],
                 )
-                ids[:, 0] = btok.cls_id
-                ids[np.arange(n), body_len + 1] = btok.sep_id
-                mask = (np.arange(seq)[None, :] < (body_len + 2)[:, None]).astype(
-                    np.int32
-                )
+                for g in range(0, len(chunk), rows):
+                    glen = lengths[g : g + rows]
+                    seq = _bucket(int(glen.max(initial=0)) + 2, tpu.text_seq_buckets)
+                    ids, mask = _assemble_bert_inputs(
+                        buf[g : g + rows], glen, btok, seq
+                    )
+                    dispatch(ids, mask, len(glen))
             else:  # HashTokenizer fallback keeps the list path
                 tokenized = [btok.tokenize_ids(t) for t in chunk]
                 longest = max((len(t) for t in tokenized), default=1) + 2
                 seq = _bucket(longest, tpu.text_seq_buckets)
                 seqs = [[btok.cls_id, *t[: seq - 2], btok.sep_id] for t in tokenized]
                 ids, mask = tok._pad_batch(seqs, seq, btok.pad_id)
-            bsz = self._round_batch(_bucket(n, tpu.text_batch_buckets))
-            ids, mask = _pad_rows(ids, bsz), _pad_rows(mask, bsz)
-            # padded rows are all-pad-token; mean_pool guards div-by-zero.
-            # Don't force the readback here: with the dispatch left in
-            # flight, the next chunk's WordPiece runs while the device
-            # computes this one (host tokenize ~6.6k chunks/s and the seq-512
-            # tower ~8.4k/s are same-order — serializing them costs ~1.8x
-            # on multi-batch ingest)
-            emb = self._minilm_fn(params, jnp.asarray(ids), jnp.asarray(mask))
-            pending.append((emb, n))
+                dispatch(ids, mask, len(chunk))
         return np.concatenate(
             [np.asarray(emb[:n], dtype=np.float32) for emb, n in pending], axis=0
         )
