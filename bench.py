@@ -879,12 +879,24 @@ def bench_asr(quick: bool) -> float:
     wall-second for the full on-device path (log-mel -> encoder -> 32-token
     KV-cached greedy decode) on 30 s windows."""
 
+    return _bench_asr_cfg(quick, "base")
+
+
+def bench_asr_small(quick: bool) -> float:
+    """Whisper-SMALL real-time factor — the reference's actual model size
+    (``app/ingest/youtube.py`` loads ``whisper.load_model(\"small\")``), so
+    this is the apples-to-apples ASR number."""
+
+    return _bench_asr_cfg(quick, "small")
+
+
+def _bench_asr_cfg(quick: bool, size: str) -> float:
     import jax
     import jax.numpy as jnp
 
     from mmrag_tpu.models import whisper
 
-    cfg = whisper.WHISPER_BASE
+    cfg = {"base": whisper.WHISPER_BASE, "small": whisper.WHISPER_SMALL}[size]
     params = whisper.init_whisper_params(jax.random.PRNGKey(5), cfg)
     batch = 2 if quick else 8
     max_tokens = 8 if quick else 32
@@ -936,7 +948,7 @@ def main() -> None:
              "multitenant", "topk", "topk_int8",
              "topk_10m", "ivf", "ivf_int8", "ivf_int8_10m", "ivf_encoder",
              "rerank",
-             "rerank64", "chat_path", "serving_load", "asr"]
+             "rerank64", "chat_path", "serving_load", "asr", "asr_small"]
 
     if args.steps:
         # child mode: run the listed steps in THIS process, streaming one
@@ -1024,6 +1036,7 @@ def main() -> None:
     chat_ms = r.get("chat_path")
     serving = r.get("serving_load") or {}
     asr_rtf = r.get("asr")
+    asr_small_rtf = r.get("asr_small")
 
     rnd = lambda v, p=3: round(v, p) if v is not None else None  # noqa: E731
     print(
@@ -1064,6 +1077,7 @@ def main() -> None:
                     "serving_rps": serving.get("rps"),
                     "serving_coalesce_mean": serving.get("coalesce_mean"),
                     "whisper_base_asr_x_realtime": rnd(asr_rtf, 1),
+                    "whisper_small_asr_x_realtime": rnd(asr_small_rtf, 1),
                     "quick": args.quick,
                 },
             }
