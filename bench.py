@@ -581,6 +581,84 @@ def bench_ivf_encoder(quick: bool):
     return recall, round(float(ratio), 2)
 
 
+def bench_frames_pipeline(quick: bool):
+    """Scene-frame ingest end-to-end (BASELINE config #4): video decode ->
+    device HSV-Bhattacharyya scene scoring -> device DCT-phash dedup ->
+    streaming CLIP embed (readbacks overlapped) -> index add, wall-clock on
+    the real ingest code path. A warmup pass over the same video compiles
+    every shape, so the timed pass measures steady-state ingest. Returns
+    ``{x_realtime, frames_per_sec, kept}``."""
+
+    import tempfile
+
+    import cv2
+
+    from mmrag_tpu.ingest.frames import extract_scene_frames
+    from mmrag_tpu.rag.engine import RagEngine
+    from mmrag_tpu.rag.stream import stream_index_video_frames
+    from mmrag_tpu.settings import load_settings
+    from mmrag_tpu.storage import Document
+
+    td = tempfile.mkdtemp(prefix="mmrag_bench_frames_")
+    env = dict(os.environ)
+    env.update(
+        {
+            "TPU_INDEX_DIR": f"{td}/index",
+            "NOTES_DB_PATH": f"{td}/notes.db",
+            "MEDIA_DIR": f"{td}/media",
+            "INGEST_CACHE_DIR": f"{td}/cache",
+        }
+    )
+    cfg = load_settings(env)
+    seconds = 60 if quick else 300
+    fps, w, h = 24, 640, 360  # the reference's <=360p ladder rung
+
+    path = os.path.join(td, "bench.mp4")
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    rng = np.random.default_rng(0)
+    # per-scene coarse block textures: structurally distinct (so phash dedup
+    # keeps one frame per scene, like real footage) yet cheap to encode
+    scene_len = 20 * fps
+    n_scenes = seconds * fps // scene_len + 1
+    textures = [
+        cv2.resize(
+            rng.integers(0, 255, (9, 16, 3)).astype(np.uint8), (w, h),
+            interpolation=cv2.INTER_NEAREST,
+        )
+        for _ in range(n_scenes)
+    ]
+    for f in range(seconds * fps):
+        img = textures[f // scene_len].copy()
+        x = (f * 7) % (w - 80)
+        img[120:200, x : x + 80] = 255 - img[120:200, x : x + 80]  # motion
+        writer.write(img)
+    writer.release()
+
+    engine = RagEngine(cfg)
+    for doc in ("vid-warm", "vid-bench"):
+        engine.metadata.upsert_document(
+            Document(document_id=doc, user_id="u1", doc_type="youtube", title=doc)
+        )
+    frames, arrays = extract_scene_frames(
+        "u1", "vid-warm", path, cfg=cfg, return_arrays=True
+    )
+    stream_index_video_frames("u1", "vid-warm", frames, arrays, engine)
+
+    t0 = time.perf_counter()
+    frames, arrays = extract_scene_frames(
+        "u1", "vid-bench", path, cfg=cfg, return_arrays=True
+    )
+    written = stream_index_video_frames("u1", "vid-bench", frames, arrays, engine)
+    dt = time.perf_counter() - t0
+    engine.close()
+    sampled = seconds // cfg.youtube.frame_stride_sec  # stride-decoded frames
+    return {
+        "x_realtime": seconds / dt,
+        "frames_per_sec": sampled / dt,
+        "kept": written,
+    }
+
+
 def bench_multitenant(quick: bool) -> float:
     """BASELINE config #5 core: cross-tenant batched queries over a large
     index — per-query tenant masks inside one scoring dispatch."""
@@ -948,7 +1026,8 @@ def main() -> None:
              "multitenant", "topk", "topk_int8",
              "topk_10m", "ivf", "ivf_int8", "ivf_int8_10m", "ivf_encoder",
              "rerank",
-             "rerank64", "chat_path", "serving_load", "asr", "asr_small"]
+             "rerank64", "chat_path", "serving_load", "frames_pipeline",
+             "asr", "asr_small"]
 
     if args.steps:
         # child mode: run the listed steps in THIS process, streaming one
@@ -1037,6 +1116,7 @@ def main() -> None:
     serving = r.get("serving_load") or {}
     asr_rtf = r.get("asr")
     asr_small_rtf = r.get("asr_small")
+    frames_pipe = r.get("frames_pipeline") or {}
 
     rnd = lambda v, p=3: round(v, p) if v is not None else None  # noqa: E731
     print(
@@ -1078,6 +1158,10 @@ def main() -> None:
                     "serving_coalesce_mean": serving.get("coalesce_mean"),
                     "whisper_base_asr_x_realtime": rnd(asr_rtf, 1),
                     "whisper_small_asr_x_realtime": rnd(asr_small_rtf, 1),
+                    "frames_pipeline_x_realtime": rnd(
+                        frames_pipe.get("x_realtime"), 1),
+                    "frames_pipeline_frames_per_sec": rnd(
+                        frames_pipe.get("frames_per_sec"), 1),
                     "quick": args.quick,
                 },
             }

@@ -58,12 +58,14 @@ def _hsv_histograms(stack: jnp.ndarray) -> jnp.ndarray:
     youtube_extractor.py:105-112``): ``cv2.calcHist`` over HSV with 8 bins
     per channel on ranges H [0,180) S [0,256) V [0,256), then
     ``cv2.normalize`` (default = L2). Expressed as batched XLA ops: the HSV
-    conversion + binning are elementwise VPU work, the per-frame histogram a
-    vmapped scatter-add. 2x spatial stride bounds the cost; scene *distance*
-    between downsampled histograms tracks the full-res metric.
+    conversion + binning are elementwise VPU work, the per-frame joint
+    histogram a factored one-hot MXU contraction (see below). 4x spatial
+    stride bounds the cost (~14k samples/frame at 360p — ample for 512
+    bins); scene *distance* between downsampled histograms tracks the
+    full-res metric.
     """
 
-    x = stack[:, ::2, ::2, :].astype(jnp.float32) / 255.0
+    x = stack[:, ::4, ::4, :].astype(jnp.float32) / 255.0
     r, g, b = x[..., 0], x[..., 1], x[..., 2]
     mx = jnp.max(x, axis=-1)
     mn = jnp.min(x, axis=-1)
@@ -84,10 +86,20 @@ def _hsv_histograms(stack: jnp.ndarray) -> jnp.ndarray:
     hb = jnp.clip((h_cv * (8.0 / 180.0)).astype(jnp.int32), 0, 7)
     sb = jnp.clip((s_cv * (8.0 / 256.0)).astype(jnp.int32), 0, 7)
     vb = jnp.clip((v_cv * (8.0 / 256.0)).astype(jnp.int32), 0, 7)
-    idx = (hb * 64 + sb * 8 + vb).reshape(stack.shape[0], -1)
-    hist = jax.vmap(
-        lambda i: jnp.zeros((512,), jnp.float32).at[i].add(1.0)
-    )(idx)
+    # TPU-friendly joint histogram: factor the 8x8x8 one-hot into per-channel
+    # one-hots and contract on the MXU — hist[h*64+s*8+v] = sum_p A_ph B_ps
+    # C_pv. The scatter-add form (`zeros.at[idx].add(1)`) serializes on TPU
+    # (measured ~5 s for a 60-frame 360p stack), and a flat 512-bin
+    # compare-reduce materializes a (frames, pixels, 512) tensor. 0/1 values
+    # are exact in bf16; counts accumulate in f32.
+    n = stack.shape[0]
+    a = jax.nn.one_hot(hb.reshape(n, -1), 8, dtype=jnp.bfloat16)
+    b = jax.nn.one_hot(sb.reshape(n, -1), 8, dtype=jnp.bfloat16)
+    c = jax.nn.one_hot(vb.reshape(n, -1), 8, dtype=jnp.bfloat16)
+    hs = (a[:, :, :, None] * b[:, :, None, :]).reshape(n, -1, 64)
+    hist = jnp.einsum(
+        "npm,npv->nmv", hs, c, preferred_element_type=jnp.float32
+    ).reshape(n, 512)
     return hist / jnp.maximum(
         jnp.linalg.norm(hist, axis=-1, keepdims=True), 1e-12
     )
@@ -107,10 +119,10 @@ def _bhattacharyya_scores(hist: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([jnp.ones((1,), jnp.float32), d])
 
 
-# frames per histogram dispatch: bounds the device transient (f32 HSV planes
-# + the int32 bin-index tensor) to ~400 MB at 1080p instead of ~8 GB for a
-# 2000-frame stack (review finding: long-video ingest risked device OOM
-# alongside the resident encoder weights). One static shape -> one compile.
+# frames per histogram dispatch: bounds the device transient (the (n, p, 64)
+# bf16 pair-one-hot) to ~530 MB at 1080p instead of growing with video
+# length (review finding: long-video ingest risked device OOM alongside the
+# resident encoder weights). One static shape -> one compile.
 _SCENE_CHUNK = 32
 
 
@@ -158,18 +170,33 @@ def _decode_sampled_frames(
     step = max(int(round(fps * stride_sec)), 1)
     frames: List[np.ndarray] = []
     stamps: List[float] = []
-    idx = 0
-    while len(frames) < max_samples:
-        ok = cap.grab()
-        if not ok:
-            break
-        if idx % step == 0:
-            ok, frame = cap.retrieve()
+    # wide strides: seek straight to the sampled positions (measured 4x
+    # faster than grab-walking every frame at stride 5 s / 24 fps); narrow
+    # strides or containers without a frame count keep the grab-walk, where
+    # per-seek overhead would dominate
+    if step >= 10 and total > 0:
+        for tgt in range(0, total, step):
+            if len(frames) >= max_samples:
+                break
+            cap.set(cv2.CAP_PROP_POS_FRAMES, tgt)
+            ok, frame = cap.read()
             if not ok:
                 break
             frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
-            stamps.append(idx / fps)
-        idx += 1
+            stamps.append(tgt / fps)
+    else:
+        idx = 0
+        while len(frames) < max_samples:
+            ok = cap.grab()
+            if not ok:
+                break
+            if idx % step == 0:
+                ok, frame = cap.retrieve()
+                if not ok:
+                    break
+                frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+                stamps.append(idx / fps)
+            idx += 1
     cap.release()
     if not frames:
         raise FrameExtractionError(f"no frames decoded from {video_path} ({total} reported)")

@@ -189,7 +189,7 @@ def test_scene_scores_match_cv2_hsv_bhattacharyya(rng):
     frames[2, :, :, :] = frames[1]  # identical frame -> distance ~0
     got = np.asarray(_scene_scores(jnp.asarray(frames)))
 
-    down = frames[:, ::2, ::2, :]  # the kernel's stride
+    down = frames[:, ::4, ::4, :]  # the kernel's stride
     hists = []
     for f in down:
         hsv = cv2.cvtColor(f, cv2.COLOR_RGB2HSV)
