@@ -86,6 +86,12 @@ def _apply_compile_cache(cfg: Settings) -> None:
     if _compile_cache_applied or not cfg.tpu.compile_cache_dir:
         return
     _compile_cache_applied = True
+    if (jax.config.jax_platforms or "").startswith("cpu"):
+        # CPU AOT cache entries bake in the compile host's machine features;
+        # reloading them on a different host risks SIGILL (XLA cpu_aot_loader
+        # warns and loads anyway). CPU compiles are fast — the cache exists
+        # for the remote-TPU tunnel, so leave it off on explicit-CPU runs.
+        return
     import os as _os
 
     path = _os.path.expanduser(cfg.tpu.compile_cache_dir)
