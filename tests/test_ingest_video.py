@@ -57,6 +57,44 @@ def test_extract_frames_cap(sample_video, tmp_path):
     assert len(frames) == 2
 
 
+def test_decode_seek_matches_sequential(tmp_path, rng):
+    """The wide-stride seek decode (step >= 10) returns the same frames and
+    timestamps as a sequential read of every step-th frame."""
+
+    from mmrag_tpu.ingest.frames import _decode_sampled_frames
+
+    fps, w, h = 10, 64, 64
+    path = str(tmp_path / "seek.mp4")
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    for i in range(fps * 12):  # 12 s; per-second coarse texture scenes
+        blocks = np.full((8, 8, 3), (i // fps) * 20 + 8, np.float32)
+        writer.write(np.kron(blocks, np.ones((8, 8, 1))).astype(np.uint8))
+    writer.release()
+
+    # stride 2 s @ 10 fps -> step 20 >= 10: the seek branch
+    stack, stamps = _decode_sampled_frames(path, stride_sec=2.0)
+    assert stamps == [i * 2.0 for i in range(len(stamps))]
+    assert len(stamps) == 6
+
+    cap = cv2.VideoCapture(path)
+    want = []
+    idx = 0
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        if idx % 20 == 0:
+            want.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+        idx += 1
+    cap.release()
+    np.testing.assert_array_equal(stack, np.stack(want))
+
+    # stride 0.5 s -> step 5 < 10: the grab-walk branch, same contract
+    stack2, stamps2 = _decode_sampled_frames(path, stride_sec=0.5)
+    assert stamps2 == [i * 0.5 for i in range(len(stamps2))]
+    np.testing.assert_array_equal(stack2[::4], stack)
+
+
 def test_extract_frames_missing_video(tmp_path):
     from mmrag_tpu.ingest.frames import FrameExtractionError
 
