@@ -934,8 +934,13 @@ def bench_serving_load(quick: bool):
     )
     server.shutdown()
     engine.close()
-    if errors and not latencies:
-        raise RuntimeError("all serving-load clients failed: " + "; ".join(errors[:3]))
+    if errors:
+        # partial client failures shrink both the sample AND the offered
+        # load, silently flattering p95/rps — fail loud instead
+        raise RuntimeError(
+            f"{len(errors)}/{n_threads} serving-load clients failed "
+            f"({len(latencies)} latencies collected): " + "; ".join(errors[:3])
+        )
     stages = {
         name.removeprefix("stage."): s
         for name, s in _stage_metrics.summary()["latency_ms"].items()

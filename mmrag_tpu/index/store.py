@@ -377,34 +377,26 @@ class VectorIndex:
         zero-arg collector that materializes (with the same runtime-failure
         dense-xla retry as :meth:`_search_with_fallback`). Lets the serving
         path overlap text-index, image-index, and encoder work in one device
-        pipeline — the tunnel round-trip is paid once, not per stage."""
+        pipeline — the tunnel round-trip is paid once, not per stage.
+
+        The collector only materializes; runtime-failure retry lives in
+        :meth:`search_batch_multi_async`, which re-runs the WHOLE search
+        under the lock — re-dispatching the refs captured here would race
+        concurrent upserts, whose donated writes (``_write_rows``
+        donate_argnums) delete the captured slab buffer."""
 
         qj = jnp.asarray(queries.astype(np.float32))
         if self.dtype == jnp.int8:
-            args = (self._slab, self._scales, self._users, self._docs,
-                    self._live, qj, jnp.asarray(uids), jnp.asarray(dids),
-                    min(k, self._capacity))
-            s, i = _search_multi_int8(*args)
+            s, i = _search_multi_int8(
+                self._slab, self._scales, self._users, self._docs,
+                self._live, qj, jnp.asarray(uids), jnp.asarray(dids),
+                min(k, self._capacity))
             return lambda: (np.asarray(s), np.asarray(i))
-        args = (self._slab, self._users, self._docs, self._live, qj,
-                jnp.asarray(uids), jnp.asarray(dids), min(k, self._capacity))
-        s, i = _search_multi(*args, self.backend)
-
-        def collect():
-            try:
-                return np.asarray(s), np.asarray(i)
-            except jax.errors.JaxRuntimeError:
-                if self.backend == "xla":
-                    raise
-                self._count_fallback("dense")
-                _logger.warning(
-                    "search backend %r failed at runtime; retrying on dense xla",
-                    self.backend,
-                )
-                s2, i2 = _search_multi(*args, "xla")
-                return np.asarray(s2), np.asarray(i2)
-
-        return collect
+        s, i = _search_multi(
+            self._slab, self._users, self._docs, self._live, qj,
+            jnp.asarray(uids), jnp.asarray(dids), min(k, self._capacity),
+            self.backend)
+        return lambda: (np.asarray(s), np.asarray(i))
 
     # -- multi-chip (row-sharded slab) dispatch ------------------------------
 
@@ -736,8 +728,12 @@ class VectorIndex:
                 "_capacity", "_size", "_slab", "_users", "_docs", "_live",
                 "_scales", "_chunk_ids", "_row_user", "_row_doc", "_row_live",
                 "_chunk_to_row", "_user_intern", "_doc_intern",
-                "_ivf_warm_centroids",
+                "_ivf_warm_centroids", "_ivf_poor_at",
             ):
+                # _ivf_poor_at included: a poor-structure verdict on the
+                # pre-reload corpus must not suppress IVF builds of the
+                # replacement corpus (same stale-verdict class _build_ivf
+                # guards with the generation check)
                 setattr(self, attr, getattr(fresh, attr))
             self._ivf = None
             self._generation += 1  # aborts in-flight background IVF builds
@@ -981,9 +977,26 @@ class VectorIndex:
             chunk_ids = self._chunk_ids
 
         def collect() -> List[List[Tuple[str, float]]]:
-            s, ix = pending() if pending is not None else (
-                np.asarray(scores), np.asarray(idx)
-            )
+            try:
+                s, ix = pending() if pending is not None else (
+                    np.asarray(scores), np.asarray(idx)
+                )
+            except jax.errors.JaxRuntimeError:
+                if self.backend == "xla":
+                    raise
+                # a concurrent upsert may have donated (deleted) the slab
+                # buffers this dispatch captured, so re-dispatching them
+                # would raise "Array has been deleted"; re-run the whole
+                # search under the lock with fresh refs instead (the sync
+                # path's own fallback covers a repeat backend failure)
+                self._count_fallback("dense_async")
+                _logger.warning(
+                    "async search backend %r failed at readback; re-running "
+                    "synchronously", self.backend,
+                )
+                return self.search_batch_multi(
+                    np.asarray(queries)[:q], user_ids, k, document_ids
+                )
             out: List[List[Tuple[str, float]]] = []
             for qi in range(q):
                 hits = []

@@ -66,6 +66,19 @@ def _bucket(value: int, buckets: Sequence[int]) -> int:
     return buckets[-1]
 
 
+def _capped_batch(buckets: Sequence[int], seq: int) -> int:
+    """Largest batch bucket whose (rows x seq) padded-token dispatch stays
+    under ``_DISPATCH_TOKEN_CAP`` — every bucketed text path chunks by this,
+    so adding a big bucket to TPU_TEXT_BATCH_BUCKETS (e.g. 2048 for seq-64
+    ingest) can't push long-seq dispatches past the measured VMEM/pipeline
+    cliff (seq-512 x 1024 rows measured 10% slower than 512)."""
+
+    return max(
+        (b for b in buckets if b * seq <= _DISPATCH_TOKEN_CAP),
+        default=buckets[0],
+    )
+
+
 def _pad_rows(arr: np.ndarray, rows: int) -> np.ndarray:
     if arr.shape[0] == rows:
         return arr
@@ -319,10 +332,7 @@ class EncoderRuntime:
                 # past ~256k padded tokens the step is long enough that
                 # bigger only adds VMEM pressure and pipeline granularity
                 # loss (seq-512 x 1024 rows measured 10% SLOWER than 512)
-                rows = max(
-                    (b for b in buckets if b * seq_all <= _DISPATCH_TOKEN_CAP),
-                    default=buckets[0],
-                )
+                rows = _capped_batch(buckets, seq_all)
                 for g in range(0, len(chunk), rows):
                     glen = lengths[g : g + rows]
                     seq = _bucket(int(glen.max(initial=0)) + 2, tpu.text_seq_buckets)
@@ -333,10 +343,19 @@ class EncoderRuntime:
             else:  # HashTokenizer fallback keeps the list path
                 tokenized = [btok.tokenize_ids(t) for t in chunk]
                 longest = max((len(t) for t in tokenized), default=1) + 2
-                seq = _bucket(longest, tpu.text_seq_buckets)
-                seqs = [[btok.cls_id, *t[: seq - 2], btok.sep_id] for t in tokenized]
-                ids, mask = tok._pad_batch(seqs, seq, btok.pad_id)
-                dispatch(ids, mask, len(chunk))
+                seq_all = _bucket(longest, tpu.text_seq_buckets)
+                rows = _capped_batch(buckets, seq_all)
+                for g in range(0, len(chunk), rows):
+                    sub = tokenized[g : g + rows]
+                    seq = _bucket(
+                        max((len(t) for t in sub), default=1) + 2,
+                        tpu.text_seq_buckets,
+                    )
+                    seqs = [
+                        [btok.cls_id, *t[: seq - 2], btok.sep_id] for t in sub
+                    ]
+                    ids, mask = tok._pad_batch(seqs, seq, btok.pad_id)
+                    dispatch(ids, mask, len(sub))
         return np.concatenate(
             [np.asarray(emb[:n], dtype=np.float32) for emb, n in pending], axis=0
         )
@@ -402,7 +421,7 @@ class EncoderRuntime:
         params = self._ensure_clip()
         buckets = self.cfg.tpu.text_batch_buckets
         out = []
-        max_batch = buckets[-1]
+        max_batch = _capped_batch(buckets, 77)  # CLIP text is fixed seq-77
         for start in range(0, len(queries), max_batch):
             chunk = list(queries[start : start + max_batch])
             ids, mask = self._clip_tok.encode(chunk, max_len=77)
@@ -436,6 +455,11 @@ class EncoderRuntime:
         tokenized = [btok.tokenize_ids(t) for t in queries]
         longest = max((len(t) for t in tokenized), default=1) + 2
         seq = _bucket(longest, tpu.text_seq_buckets)
+        if bsz * seq > _DISPATCH_TOKEN_CAP:  # long queries at a wide bucket
+            return (
+                jnp.asarray(self.embed_text_batch(queries)),
+                jnp.asarray(self.embed_queries_for_images(queries)),
+            )
         seqs = [[btok.cls_id, *t[: seq - 2], btok.sep_id] for t in tokenized]
         ids, mask = tok._pad_batch(seqs, seq, btok.pad_id)
         ids, mask = _pad_rows(ids, bsz), _pad_rows(mask, bsz)
@@ -467,7 +491,7 @@ class EncoderRuntime:
         tpu = self.cfg.tpu
         seq = tpu.rerank_seq_len
         out = []
-        max_batch = tpu.text_batch_buckets[-1]
+        max_batch = _capped_batch(tpu.text_batch_buckets, seq)
         for start in range(0, len(passages), max_batch):
             qs = list(queries[start : start + max_batch])
             ps = list(passages[start : start + max_batch])

@@ -126,12 +126,17 @@ class RagEngine:
 
         import numpy as np
 
+        from ..index.store import _QUERY_BUCKETS, _query_bucket
+
         max_coalesce = max_coalesce or self.cfg.tpu.microbatch_max
-        buckets = [b for b in (1, 2, 4, 8, 16, 32) if b <= max_coalesce]
-        if not buckets:
-            buckets = [1]
-        if buckets[-1] != max_coalesce and max_coalesce <= 32:
-            buckets.append(max_coalesce)
+        # warm exactly the padding buckets the index will produce for any
+        # coalesce size <= max_coalesce (the store's bucket table, not a
+        # re-typed literal): the named buckets, then multiples of the top
+        # bucket for TPU_MICROBATCH_MAX > 32
+        top = _query_bucket(max(max_coalesce, 1))
+        buckets = [b for b in _QUERY_BUCKETS if b <= top]
+        step = _QUERY_BUCKETS[-1]
+        buckets += list(range(step * 2, top + 1, step))
         cfgr = self.cfg.retrieval
         # a mid-length passage so the rerank warms a realistic seq bucket
         passage = "warmup passage text for the cross encoder. " * 8
