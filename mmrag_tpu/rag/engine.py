@@ -28,6 +28,21 @@ from ..storage.metadata import MetadataStore
 from ..storage.notes import NoteStore
 
 
+def _warm_buckets(max_coalesce: int) -> list:
+    """The distinct padding buckets the index can produce for any coalesce
+    size <= ``max_coalesce`` — derived from the store's bucket table (not a
+    re-typed literal, so the tables can't drift): the named buckets, then
+    multiples of the top bucket for ``TPU_MICROBATCH_MAX`` > 32."""
+
+    from ..index.store import _QUERY_BUCKETS, _query_bucket
+
+    top = _query_bucket(max(max_coalesce, 1))
+    buckets = [b for b in _QUERY_BUCKETS if b <= top]
+    step = _QUERY_BUCKETS[-1]
+    buckets += list(range(step * 2, top + 1, step))
+    return buckets
+
+
 class RagEngine:
     def __init__(
         self,
@@ -126,17 +141,8 @@ class RagEngine:
 
         import numpy as np
 
-        from ..index.store import _QUERY_BUCKETS, _query_bucket
-
         max_coalesce = max_coalesce or self.cfg.tpu.microbatch_max
-        # warm exactly the padding buckets the index will produce for any
-        # coalesce size <= max_coalesce (the store's bucket table, not a
-        # re-typed literal): the named buckets, then multiples of the top
-        # bucket for TPU_MICROBATCH_MAX > 32
-        top = _query_bucket(max(max_coalesce, 1))
-        buckets = [b for b in _QUERY_BUCKETS if b <= top]
-        step = _QUERY_BUCKETS[-1]
-        buckets += list(range(step * 2, top + 1, step))
+        buckets = _warm_buckets(max_coalesce)
         cfgr = self.cfg.retrieval
         # a mid-length passage so the rerank warms a realistic seq bucket
         passage = "warmup passage text for the cross encoder. " * 8

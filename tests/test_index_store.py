@@ -459,6 +459,39 @@ def test_query_batch_bucketing_pads_and_slices():
             assert hits[0][0] == f"c{i % 8}"
 
 
+def test_warm_buckets_cover_all_coalesce_sizes():
+    """Every coalesce size <= max produces a padding bucket warmup warms —
+    including the multiples-of-32 rungs past the named table (review
+    finding: TPU_MICROBATCH_MAX=64's bucket was silently skipped)."""
+
+    from mmrag_tpu.index.store import _query_bucket
+    from mmrag_tpu.rag.engine import _warm_buckets
+
+    for max_coalesce in (1, 3, 16, 32, 64, 100):
+        warmed = set(_warm_buckets(max_coalesce))
+        for c in range(1, max_coalesce + 1):
+            assert _query_bucket(c) in warmed, (max_coalesce, c)
+
+
+def test_capped_batch_respects_dispatch_token_cap():
+    """No batch bucket choice may exceed the padded-token dispatch cap at
+    any seq bucket (review finding: the 2048 rung bypassed the cap in the
+    rerank/CLIP-text/list-fallback paths)."""
+
+    from mmrag_tpu.models.runtime import _DISPATCH_TOKEN_CAP, _capped_batch
+
+    buckets = (8, 32, 128, 512, 2048)
+    assert _capped_batch(buckets, 64) == 2048
+    assert _capped_batch(buckets, 256) == 512  # the rerank shape
+    assert _capped_batch(buckets, 512) == 512  # the ingest splitter shape
+    assert _capped_batch(buckets, 77) == 2048  # CLIP text
+    # degenerate: even the smallest bucket over the cap still returns it
+    assert _capped_batch((8,), 10**6) == 8
+    for seq in (64, 77, 128, 256, 512):
+        b = _capped_batch(buckets, seq)
+        assert b == buckets[0] or b * seq <= _DISPATCH_TOKEN_CAP
+
+
 def test_engine_warmup_serving(tmp_path):
     """warmup_serving pre-compiles every coalesce bucket without touching
     real rows (the warmup tenant is never interned) and leaves retrieval
