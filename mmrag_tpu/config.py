@@ -204,6 +204,12 @@ class TpuDefaults:
     # compiled executables instead of re-lowering every bucket (a cold
     # serving warmup over a remote-compile tunnel otherwise takes minutes)
     compile_cache_dir: str = "~/.cache/mmrag_tpu/jax_cache"
+    # device-health watchdog probe period in seconds (0 = off): a remote
+    # runtime can wedge so every dispatch blocks forever with no exception;
+    # the watchdog surfaces that in /healthz ("device": ok|wedged) and
+    # /metrics (device.watchdog.wedged) instead of the server looking live
+    # while every query hangs
+    device_watchdog_sec: float = 60.0
 
 
 @dataclass(frozen=True)

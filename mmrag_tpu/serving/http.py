@@ -185,7 +185,9 @@ class ApiHandler(BaseHTTPRequestHandler):
         started = time.monotonic()
         try:
             if path == "/healthz":
-                return self._json(200, {"status": "ok"})
+                from ..utils import watchdog
+
+                return self._json(200, {"status": "ok", **watchdog.status()})
             if path in ("/", "/index.html"):
                 return self._console()
             user = self._auth()
@@ -450,6 +452,10 @@ def serve_forever(host: str = "0.0.0.0", port: int = 8000) -> None:
                 logger.exception("serving warmup failed (continuing)")
 
         threading.Thread(target=_warm, name="serving-warmup", daemon=True).start()
+
+    from ..utils.watchdog import start_watchdog
+
+    start_watchdog(ctx0.cfg.tpu.device_watchdog_sec)
 
     def _graceful(signum, _frame):
         logger.info("signal %s: draining jobs and shutting down", signum)

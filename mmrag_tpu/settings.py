@@ -237,6 +237,7 @@ class TpuSettings:
     job_workers: int  # 0 = enqueue-only api (dedicated worker process)
     serving_warmup: bool  # pre-compile query-path buckets at server start
     compile_cache_dir: str  # persistent XLA compile cache ("" = off)
+    device_watchdog_sec: float  # device-health probe period (0 = off)
 
 
 @dataclass(frozen=True)
@@ -394,6 +395,9 @@ def load_settings(env: Optional[Mapping[str, str]] = None) -> Settings:
             ),
             compile_cache_dir=env.get(
                 "TPU_COMPILE_CACHE_DIR", d.tpu.compile_cache_dir
+            ),
+            device_watchdog_sec=_read_float(
+                env, "TPU_DEVICE_WATCHDOG_SEC", d.tpu.device_watchdog_sec
             ),
         ),
     )

@@ -137,3 +137,53 @@ def test_bench_child_step_smoke():
     assert lines, proc.stdout
     value = json.loads(lines[0][len("RESULT topk "):])
     assert isinstance(value, float) and value > 0
+
+
+def test_device_watchdog_state_machine():
+    """ok -> wedged -> recovered transitions with injected probes; a stuck
+    probe must not stack a second probe thread behind it."""
+
+    import threading
+    import time
+
+    from mmrag_tpu.utils.watchdog import DeviceWatchdog
+    from mmrag_tpu.utils.profiling import metrics
+
+    metrics.reset()
+    release = threading.Event()
+    calls = []
+
+    def probe():
+        calls.append(time.monotonic())
+        if len(calls) == 2:  # second probe wedges until released
+            release.wait(10)
+
+    wd = DeviceWatchdog(period_sec=0.05, timeout_sec=0.2, probe=probe)
+    try:
+        wd._tick()
+        assert wd.status()["device"] == "ok"
+        assert wd.status()["last_ok_age_sec"] is not None
+
+        wd._tick()  # probe hangs -> wedged after timeout
+        assert wd.status()["device"] == "wedged"
+        assert metrics.summary()["counters"]["device.watchdog.wedged"] == 1
+
+        n_before = len(calls)
+        wd._tick()  # stuck probe still alive: no new probe starts
+        assert len(calls) == n_before
+        assert wd.status()["device"] == "wedged"
+
+        release.set()  # runtime "recovers"
+        time.sleep(0.05)
+        wd._tick()
+        assert wd.status()["device"] == "ok"
+        assert metrics.summary()["counters"]["device.watchdog.recovered"] == 1
+    finally:
+        release.set()
+
+
+def test_watchdog_disabled_reports_unknown():
+    from mmrag_tpu.utils import watchdog
+
+    assert watchdog.start_watchdog(0) is None
+    assert watchdog.status()["device"] == "unknown"
