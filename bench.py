@@ -530,6 +530,83 @@ def bench_ivf_int8_10m(quick: bool):
     return _ivf_int8_bench(2_097_152 if quick else 10_485_760, 4096, quick)
 
 
+def bench_pq(quick: bool):
+    """Product-quantized index (TPU_INDEX_DTYPE=pq, ops/pq.py — the
+    reference's IVF_PQ num_sub_vectors=16 compression): 16 B/row device
+    codes + ADC scan + exact host refine. Measures on clustered
+    (embedding-like) rows @1M x 384: device ADC p50, end-to-end (ADC +
+    readback + host refine) p50, and refined recall@10 vs exact. Returns
+    ``{adc_ms, e2e_ms, recall}``. 10M variant: codes are 160 MB, so the
+    10M run measures the SAME corpus the bf16 exact scan needs 7.7 GB for."""
+
+    import jax
+    import jax.numpy as jnp
+
+    from mmrag_tpu.ops import pq as pqops
+    from mmrag_tpu.ops.topk import cosine_topk, l2_normalize
+
+    n, d, k, q_n = (131_072 if quick else 1_048_576), 384, 50, 16
+    centers = 4096
+    # clustered generation in slabs (same geometry as the ivf benches)
+    key = jax.random.PRNGKey(0)
+    cents = l2_normalize(jax.random.normal(key, (centers, d), jnp.float32))
+    slab_rows = 131_072
+
+    def make_slab(i):
+        kk = jax.random.PRNGKey(100 + i)
+        assign = jax.random.randint(kk, (slab_rows,), 0, centers)
+        noise = 0.25 * jax.random.normal(kk, (slab_rows, d), jnp.float32)
+        return l2_normalize(cents[assign] + noise)
+
+    slabs = max(n // slab_rows, 1)
+    rows = jnp.concatenate([jax.jit(make_slab)(i) for i in range(slabs)])
+    n = rows.shape[0]
+    books = pqops.train_pq(rows, m=16)
+    codes = pqops.pq_encode(rows, books)
+    queries = l2_normalize(
+        rows[:q_n] + 0.05 * jax.random.normal(jax.random.PRNGKey(7), (q_n, d))
+    ).astype(jnp.float32)
+    mask = jnp.ones((n,), bool)
+    cand = 16 * 10
+
+    # device ADC per-dispatch (fori-chained, tunnel-robust)
+    def make_step(kk, queries, books, codes, mask):
+        def body(i, acc):
+            qq = queries + 1e-6 * i
+            s, ix = pqops.pq_topk(qq, books, codes, mask, cand)
+            return acc + s[0, 0] + ix[0, 0].astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, kk, body, jnp.float32(0.0))
+
+    k1, k2 = (8, 2) if quick else (16, 4)
+    adc_sec = _per_iter_seconds(make_step, k1, k2, queries, books, codes, mask)
+
+    # end-to-end including readback + host refine
+    rows_host = np.asarray(rows, np.float32)
+    q_host = np.asarray(queries, np.float32)
+
+    def full():
+        s, ix = pqops.pq_topk(queries, books, codes, mask, cand)
+        return pqops.refine_exact(
+            q_host, rows_host, np.asarray(ix), np.asarray(s), 10
+        )[1]
+
+    e2e_sec = _timed_readback(lambda: full(), repeats=5)
+
+    # refined recall@10 vs the exact scan
+    _, ei = cosine_topk(queries, rows.astype(jnp.bfloat16), mask, 10)
+    ri = full()
+    ei = np.asarray(ei)
+    recall = float(np.mean([
+        len(set(ri[i]) & set(ei[i])) / 10.0 for i in range(q_n)
+    ]))
+    return {
+        "adc_ms": round(adc_sec * 1e3, 3),
+        "e2e_ms": round(e2e_sec * 1e3, 3),
+        "recall": recall,
+    }
+
+
 def bench_ivf_encoder(quick: bool):
     """IVF on ENCODER-GENERATED embeddings (VERDICT r1 weak #2): a templated
     text corpus through the production MiniLM runtime -> ivf build ->
@@ -1030,6 +1107,7 @@ def main() -> None:
              "clip_images_pipelined",
              "multitenant", "topk", "topk_int8",
              "topk_10m", "ivf", "ivf_int8", "ivf_int8_10m", "ivf_encoder",
+             "pq",
              "rerank",
              "rerank64", "chat_path", "serving_load", "frames_pipeline",
              "asr", "asr_small"]
@@ -1115,6 +1193,7 @@ def main() -> None:
     ivf_i8_ms, ivf_i8_recall = ivf_i8
     ivf_i8_10m = r.get("ivf_int8_10m") or (None, None)
     ivf_i8_10m_ms, ivf_i8_10m_recall = ivf_i8_10m
+    pq_r = r.get("pq") or {}
     rerank = r.get("rerank")
     rerank64 = r.get("rerank64")
     chat_ms = r.get("chat_path")
@@ -1151,6 +1230,9 @@ def main() -> None:
                     "ivf_int8_10m_recall_at_10": rnd(ivf_i8_10m_recall),
                     "ivf_10m_vs_target_5ms": rnd(
                         5.0 / ivf_i8_10m_ms if ivf_i8_10m_ms else None),
+                    "pq_1m_adc_p50_ms": pq_r.get("adc_ms"),
+                    "pq_1m_e2e_p50_ms": pq_r.get("e2e_ms"),
+                    "pq_refined_recall_at_10": rnd(pq_r.get("recall")),
                     "ivf_encoder_recall_at_10": rnd(ivf_enc_recall),
                     "ivf_encoder_structure_ratio": rnd(ivf_enc_structure, 2),
                     "multitenant_16q_1m_ms": rnd(multitenant_ms),

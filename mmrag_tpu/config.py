@@ -173,6 +173,12 @@ class TpuDefaults:
     # x the structureless baseline sqrt(2 ln C / d) — probing structureless
     # data buys no recall, so the exact dense path serves instead (0 = off)
     ivf_min_structure: float = 1.5
+    # product-quantized index mode (TPU_INDEX_DTYPE=pq): subvector count —
+    # the reference's IVF_PQ num_sub_vectors (lancedb_store.py:51-58). Each
+    # row's device footprint is pq_m bytes; pq_refine x k ADC candidates are
+    # exactly rescored against the host-RAM originals per query
+    pq_m: int = 16
+    pq_refine: int = 16
     index_shard_rows: int = 131072  # rows per device shard slab (static shape)
     index_growth_factor: int = 2  # append-buffer geometric growth
     mesh_data_axis: str = "data"  # batch DP axis name

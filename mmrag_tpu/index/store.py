@@ -124,6 +124,24 @@ def _search_multi(
     return cosine_topk(queries, slab, mask, k, backend)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _pq_search_multi(
+    codebooks: jnp.ndarray,  # (m, K, ds) f32
+    codes: jnp.ndarray,  # (capacity, m) int8
+    users: jnp.ndarray,
+    docs: jnp.ndarray,
+    live: jnp.ndarray,
+    queries: jnp.ndarray,
+    user_ids: jnp.ndarray,
+    doc_ids: jnp.ndarray,
+    k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    from ..ops.pq import pq_topk
+
+    mask = _predicate_mask_multi(users, docs, live, user_ids, doc_ids)
+    return pq_topk(queries, codebooks, codes, mask, k)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "backend"))
 def _search(
     slab: jnp.ndarray,
@@ -149,7 +167,8 @@ class VectorIndex:
                  ivf_nprobe: Optional[int] = None,
                  ivf_min_rows: Optional[int] = None,
                  ivf_min_structure: Optional[float] = None,
-                 mesh=None) -> None:
+                 mesh=None, pq_m: Optional[int] = None,
+                 pq_refine: Optional[int] = None) -> None:
         self.dim = dim
         # Multi-chip production mode (SURVEY §2c "LanceDB internal ANN
         # threading" row, lancedb_store.py:103-123): with a mesh, the slab and
@@ -167,18 +186,50 @@ class VectorIndex:
                 self._sharding = row_sharded(mesh)
                 self._n_data = n_data
         self._shard_fn_cache: Dict = {}
-        self.dtype = self._DTYPES.get(dtype, jnp.float32)
+        # dtype "pq": product-quantized mode (ops/pq.py, the reference's
+        # IVF_PQ num_sub_vectors=16 role) — the DEVICE slab holds m-byte
+        # codes (24x less HBM than bf16: 100M+ rows/chip), the f32 originals
+        # stay in host RAM for snapshots and the exact refine pass. Snapshot
+        # payloads use the bf16-bits form, so self.dtype stays bfloat16.
+        self.is_pq = dtype == "pq"
+        self.pq_m = 16 if pq_m is None else int(pq_m)
+        self.pq_refine = 16 if pq_refine is None else int(pq_refine)
+        self._pq = None  # ops.pq.PQData once trained
+        self._pq_trained_at = 0  # rows at last codebook (re)train
+        self._host_slab: Optional[np.ndarray] = (
+            np.zeros((0, dim), np.float32) if self.is_pq else None
+        )
+        self.dtype = (
+            jnp.bfloat16 if self.is_pq else self._DTYPES.get(dtype, jnp.float32)
+        )
         # backend "ivf" = k-means partitioned ANN (ops/ivf.py, the reference's
         # LanceDB IVF role): built lazily once the index is large enough,
         # probed clusters + exact spill/tail, dense scoring below threshold
         self.use_ivf = backend == "ivf"
         if self.use_ivf:
             backend = "auto"
+        if self.is_pq and self.use_ivf:
+            # flat PQ ADC already reads only m bytes/row — the partitioned
+            # layout's probe savings don't compose with codes yet; serve flat
+            _logger.info("pq index: flat ADC serves; ivf layout skipped")
+            self.use_ivf = False
+        if self.is_pq and backend not in ("auto", "xla"):
+            raise ValueError(
+                f"pq index supports backend auto/xla, not {backend!r} "
+                "(ADC scoring replaces the dense kernels)"
+            )
         if self.dtype == jnp.int8 and backend not in ("auto", "xla"):
             raise ValueError(
                 f"int8 index supports backend auto/xla, not {backend!r} "
                 "(the pallas/approx paths score bf16/f32 slabs)"
             )
+        if self.is_pq and self._sharding is not None:
+            # sharded ADC needs a code-aware shard_map kernel; until then the
+            # code slab lives on the default device (16 B/row makes a single
+            # chip hold what a bf16 mesh needed several chips for)
+            _logger.info("pq index: row-sharding disabled (single-device ADC)")
+            self._sharding = None
+            self._n_data = 1
         self.backend = backend  # cosine_topk backend: auto|xla|pallas|approx
         # knobs normally flow in from settings (TPU_IVF_NPROBE/TPU_IVF_MIN_ROWS
         # via the typed loader); constructor defaults serve direct use
@@ -216,7 +267,9 @@ class VectorIndex:
         # exact interning tables (no hash collisions)
         self._user_intern: Dict[str, int] = {}
         self._doc_intern: Dict[str, int] = {}
-        self._dtype_str = dtype if dtype in self._DTYPES else "float32"
+        self._dtype_str = (
+            dtype if self.is_pq or dtype in self._DTYPES else "float32"
+        )
         # cross-process replication (index/journal.py): when attached, every
         # logical mutation is journaled before being applied by seq-ordered
         # replay, so api and worker processes converge on one row state —
@@ -253,7 +306,13 @@ class VectorIndex:
             new_cap *= 2
         if new_cap % self._n_data:  # non-power-of-two meshes
             new_cap += self._n_data - new_cap % self._n_data
-        new_slab = jnp.zeros((new_cap, self.dim), dtype=self.dtype)
+        if self.is_pq:  # device slab = m-byte codes; originals grow host-side
+            new_slab = jnp.zeros((new_cap, self.pq_m), dtype=jnp.int8)
+            host = np.zeros((new_cap, self.dim), np.float32)
+            host[: self._size] = self._host_slab[: self._size]
+            self._host_slab = host
+        else:
+            new_slab = jnp.zeros((new_cap, self.dim), dtype=self.dtype)
         new_users = jnp.full((new_cap,), -1, dtype=jnp.int32)
         new_docs = jnp.full((new_cap,), -1, dtype=jnp.int32)
         new_live = jnp.zeros((new_cap,), dtype=bool)
@@ -275,15 +334,75 @@ class VectorIndex:
         self._capacity = new_cap
 
     def _host_rows_f32(self) -> np.ndarray:
-        """Live-prefix slab as f32 on host (dequantized in int8 mode)."""
+        """Live-prefix slab as f32 on host (dequantized in int8 mode; the
+        host-RAM originals in pq mode)."""
 
         if self._size == 0:
             return np.zeros((0, self.dim), np.float32)
+        if self.is_pq:
+            return self._host_slab[: self._size]
         if self.dtype == jnp.int8:
             q = np.asarray(self._slab[: self._size], dtype=np.float32)
             s = np.asarray(self._scales[: self._size], dtype=np.float32)
             return q * s[:, None]
         return np.asarray(self._slab[: self._size], dtype=np.float32)
+
+    # -- pq mode (ops/pq.py: codes on device, originals in host RAM) ---------
+
+    _PQ_ENCODE_CHUNK = 65536
+
+    def _pq_write_codes(self, start: int, count: int) -> None:
+        """Encode host rows [start, start+count) into the device code slab.
+
+        Codebooks (re)train when the corpus has quadrupled since the last
+        train (each retrain re-encodes everything, so total re-encode work
+        stays ~1.33x the final corpus); training itself runs on a strided
+        sample (ops.pq.train_pq), so a retrain is one sampled Lloyd loop +
+        one full encode pass."""
+
+        from ..ops import pq as pqops
+
+        total = start + count
+        if self._pq is None or total >= 4 * max(self._pq_trained_at, 1):
+            self._pq = pqops.PQData(
+                pqops.train_pq(jnp.asarray(self._host_slab[:total]), m=self.pq_m)
+            )
+            self._pq_trained_at = total
+            start, count = 0, total  # codes are stale: re-encode everything
+        for lo in range(start, start + count, self._PQ_ENCODE_CHUNK):
+            hi = min(lo + self._PQ_ENCODE_CHUNK, start + count)
+            codes = self._pq.encode(jnp.asarray(self._host_slab[lo:hi]))
+            self._slab = _write_rows(self._slab, codes, jnp.int32(lo))
+
+    def _pq_multi_async(self, queries, uids: np.ndarray, dids: np.ndarray,
+                        k: int):
+        """ADC candidate dispatch (device, no readback) + an exact host
+        refine at collect time (LanceDB refine_factor role): the collector
+        gathers the shortlist's f32 originals from host RAM, recomputes true
+        cosines, and returns the genuine top-k. The captured host-slab
+        reference stays consistent with the captured codes — growth rebinds
+        a fresh array, it never mutates captured rows — so unlike a device
+        re-dispatch this cannot race donated buffers."""
+
+        from ..ops import pq as pqops
+
+        cand = min(max(k * self.pq_refine, k), self._capacity)
+        qj = jnp.asarray(
+            queries.astype(np.float32) if isinstance(queries, np.ndarray)
+            else queries
+        )
+        s, i = _pq_search_multi(
+            self._pq.codebooks, self._slab, self._users, self._docs,
+            self._live, qj, jnp.asarray(uids), jnp.asarray(dids), cand,
+        )
+        host_rows = self._host_slab
+
+        def collect():
+            cs, ci = np.asarray(s), np.asarray(i)
+            qh = np.asarray(qj, dtype=np.float32)
+            return pqops.refine_exact(qh, host_rows, ci, cs, min(k, cand))
+
+        return collect
 
     def _tombstone(self, chunk_ids: Sequence[str]) -> None:
         rows = [self._chunk_to_row[c] for c in chunk_ids if c in self._chunk_to_row]
@@ -339,6 +458,12 @@ class VectorIndex:
         """Exact masked scan, single-tenant scalar predicates (int8 or
         bf16/f32 slab). Also the runtime-failure fallback for IVF search."""
 
+        if self.is_pq:
+            q = queries.shape[0]
+            return self._pq_multi_async(
+                queries, np.full((q,), uid, np.int32),
+                np.full((q,), did, np.int32), k,
+            )()
         if self.dtype == jnp.int8:
             scores, idx = _search_int8(
                 self._slab, self._scales, self._users, self._docs, self._live,
@@ -357,6 +482,8 @@ class VectorIndex:
                      dids: np.ndarray, k: int):
         """Exact masked scan with per-query tenant/doc predicates."""
 
+        if self.is_pq:
+            return self._pq_multi_async(queries, uids, dids, k)()
         if self.dtype == jnp.int8:
             scores, idx = _search_multi_int8(
                 self._slab, self._scales, self._users, self._docs, self._live,
@@ -385,6 +512,8 @@ class VectorIndex:
         concurrent upserts, whose donated writes (``_write_rows``
         donate_argnums) delete the captured slab buffer."""
 
+        if self.is_pq:
+            return self._pq_multi_async(queries, uids, dids, k)
         qj = jnp.asarray(queries.astype(np.float32))
         if self.dtype == jnp.int8:
             s, i = _search_multi_int8(
@@ -457,6 +586,11 @@ class VectorIndex:
         host liveness array; a :meth:`compact` mid-build aborts the install
         (row ids changed)."""
 
+        if self.is_pq:
+            raise ValueError(
+                "pq index serves flat ADC; the bucket layout doesn't hold "
+                "codes yet (set TPU_INDEX_DTYPE=int8 for ivf+compression)"
+            )
         from ..ops import ivf as ivf_ops
 
         if self._sharding is not None:
@@ -722,6 +856,7 @@ class VectorIndex:
             backend="ivf" if self.use_ivf else self.backend,
             ivf_nprobe=self.ivf_nprobe, ivf_min_rows=self.ivf_min_rows,
             ivf_min_structure=self.ivf_min_structure, mesh=self.mesh,
+            pq_m=self.pq_m, pq_refine=self.pq_refine,
         )
         with self._lock:
             for attr in (
@@ -729,6 +864,7 @@ class VectorIndex:
                 "_scales", "_chunk_ids", "_row_user", "_row_doc", "_row_live",
                 "_chunk_to_row", "_user_intern", "_doc_intern",
                 "_ivf_warm_centroids", "_ivf_poor_at",
+                "_pq", "_pq_trained_at", "_host_slab",
             ):
                 # _ivf_poor_at included: a poor-structure verdict on the
                 # pre-reload corpus must not suppress IVF builds of the
@@ -789,7 +925,10 @@ class VectorIndex:
             docs = np.asarray(
                 [self._intern(self._doc_intern, r.document_id) for r in rows], np.int32
             )
-            if self.dtype == jnp.int8:
+            if self.is_pq:
+                self._host_slab[start : start + n] = mat
+                self._pq_write_codes(start, n)
+            elif self.dtype == jnp.int8:
                 q, s = quantize_rows_int8(jnp.asarray(mat))
                 self._slab = _write_rows(self._slab, q, jnp.int32(start))
                 self._scales = _write_ids(self._scales, s, jnp.int32(start))
@@ -1024,6 +1163,10 @@ class VectorIndex:
             self._size = 0
             self._slab = self._users = self._docs = self._live = None
             self._scales = None
+            if self.is_pq:  # fresh codebooks for the compacted corpus
+                self._pq = None
+                self._pq_trained_at = 0
+                self._host_slab = np.zeros((0, self.dim), np.float32)
             self._ivf = None  # row ids change; rebuilt lazily on next search
             self._generation += 1  # aborts any in-flight background build
             self._chunk_ids, self._row_user, self._row_doc = [], [], []
@@ -1148,7 +1291,8 @@ class VectorIndex:
              backend: str = "auto", ivf_nprobe: Optional[int] = None,
              ivf_min_rows: Optional[int] = None,
              ivf_min_structure: Optional[float] = None,
-             mesh=None) -> "VectorIndex":
+             mesh=None, pq_m: Optional[int] = None,
+             pq_refine: Optional[int] = None) -> "VectorIndex":
         with open(os.path.join(directory, f"{name}.manifest.json")) as fh:
             manifest = json.load(fh)
         with np.load(os.path.join(directory, f"{name}.npz")) as data:
@@ -1169,7 +1313,8 @@ class VectorIndex:
             if "embeddings_int8" in data and dtype == "int8":
                 index = cls(dim=manifest["dim"], dtype=dtype, backend=backend,
                             ivf_nprobe=ivf_nprobe, ivf_min_rows=ivf_min_rows,
-                            ivf_min_structure=ivf_min_structure, mesh=mesh)
+                            ivf_min_structure=ivf_min_structure, mesh=mesh,
+                            pq_m=pq_m, pq_refine=pq_refine)
                 index._install_prequantized(
                     chunk_ids, user_ids, document_ids,
                     data["embeddings_int8"], data["scales"],
@@ -1190,7 +1335,8 @@ class VectorIndex:
             )
         index = cls(dim=manifest["dim"], dtype=dtype, backend=backend,
                     ivf_nprobe=ivf_nprobe, ivf_min_rows=ivf_min_rows,
-                    ivf_min_structure=ivf_min_structure, mesh=mesh)
+                    ivf_min_structure=ivf_min_structure, mesh=mesh,
+                    pq_m=pq_m, pq_refine=pq_refine)
         rows = [
             VectorRow(
                 chunk_id=c, user_id=u, document_id=d,
@@ -1210,11 +1356,14 @@ class VectorIndex:
         backend: str = "auto", ivf_nprobe: Optional[int] = None,
         ivf_min_rows: Optional[int] = None,
         ivf_min_structure: Optional[float] = None, mesh=None,
+        pq_m: Optional[int] = None, pq_refine: Optional[int] = None,
     ) -> "VectorIndex":
         if os.path.exists(os.path.join(directory, f"{name}.manifest.json")):
             return cls.load(directory, name, dtype, backend,
                             ivf_nprobe=ivf_nprobe, ivf_min_rows=ivf_min_rows,
-                            ivf_min_structure=ivf_min_structure, mesh=mesh)
+                            ivf_min_structure=ivf_min_structure, mesh=mesh,
+                            pq_m=pq_m, pq_refine=pq_refine)
         return cls(dim=dim, dtype=dtype, backend=backend,
                    ivf_nprobe=ivf_nprobe, ivf_min_rows=ivf_min_rows,
-                   ivf_min_structure=ivf_min_structure, mesh=mesh)
+                   ivf_min_structure=ivf_min_structure, mesh=mesh,
+                   pq_m=pq_m, pq_refine=pq_refine)

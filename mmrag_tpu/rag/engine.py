@@ -69,6 +69,7 @@ class RagEngine:
             ivf_min_rows=self.cfg.tpu.ivf_min_rows,
             ivf_min_structure=self.cfg.tpu.ivf_min_structure,
             mesh=self.mesh,
+            pq_m=self.cfg.tpu.pq_m, pq_refine=self.cfg.tpu.pq_refine,
         )
         self.image_index = VectorIndex.load_or_create(
             paths.index_dir, "image_collection",
@@ -78,6 +79,7 @@ class RagEngine:
             ivf_min_rows=self.cfg.tpu.ivf_min_rows,
             ivf_min_structure=self.cfg.tpu.ivf_min_structure,
             mesh=self.mesh,
+            pq_m=self.cfg.tpu.pq_m, pq_refine=self.cfg.tpu.pq_refine,
         )
         # cross-process replication (reference api/Celery-worker split): both
         # processes journal index mutations into one SQLite log and replay

@@ -223,6 +223,8 @@ class TpuSettings:
     ivf_nprobe: int
     ivf_min_rows: int
     ivf_min_structure: float
+    pq_m: int  # PQ subvectors (TPU_INDEX_DTYPE=pq; bytes per device row)
+    pq_refine: int  # exact-rescore shortlist factor (k * refine candidates)
     index_shard_rows: int
     index_growth_factor: int
     mesh_data_axis: str
@@ -370,6 +372,8 @@ def load_settings(env: Optional[Mapping[str, str]] = None) -> Settings:
             ivf_min_structure=_read_float(
                 env, "TPU_IVF_MIN_STRUCTURE", d.tpu.ivf_min_structure
             ),
+            pq_m=_read_int(env, "TPU_PQ_M", d.tpu.pq_m),
+            pq_refine=_read_int(env, "TPU_PQ_REFINE", d.tpu.pq_refine),
             index_shard_rows=_read_int(env, "TPU_INDEX_SHARD_ROWS", d.tpu.index_shard_rows),
             index_growth_factor=_read_int(
                 env, "TPU_INDEX_GROWTH_FACTOR", d.tpu.index_growth_factor

@@ -105,3 +105,142 @@ def test_wraps_when_fewer_rows_than_centroids(rng):
     assert books.shape == (4, 256, 8)
     codes = pq.pq_encode(rows, books)
     assert codes.shape == (100, 4)
+
+
+# ---------------------------------------------------------------------------
+# VectorIndex pq mode (TPU_INDEX_DTYPE=pq)
+# ---------------------------------------------------------------------------
+
+
+def _mk_rows(rng, n, d=64, user="u1", doc="d1", start=0):
+    from mmrag_tpu.storage.records import VectorRow
+
+    mat = _clustered(rng, n=n, d=d, centers=16)
+    return [
+        VectorRow(chunk_id=f"c{start + i}", user_id=user, document_id=doc,
+                  modality="text", embedding=mat[i])
+        for i in range(n)
+    ], mat
+
+
+def test_index_pq_matches_exact_ordering(rng):
+    from mmrag_tpu.index.store import VectorIndex
+
+    rows, mat = _mk_rows(rng, 512)
+    exact = VectorIndex(dim=64, dtype="float32", backend="xla")
+    pq_ix = VectorIndex(dim=64, dtype="pq")
+    exact.upsert(rows)
+    pq_ix.upsert(rows)
+    assert pq_ix.is_pq and pq_ix._pq is not None
+    assert pq_ix._slab.shape[1] == 16 and pq_ix._slab.dtype == jnp.int8
+
+    q = mat[:8] + 0.05 * rng.standard_normal((8, 64)).astype(np.float32)
+    want = exact.search_batch(q, "u1", k=5)
+    got = pq_ix.search_batch(q, "u1", k=5)
+    # refined scores are exact cosines, so ids AND scores line up
+    for w, g in zip(want, got):
+        assert [c for c, _ in w] == [c for c, _ in g]
+        np.testing.assert_allclose(
+            [s for _, s in w], [s for _, s in g], atol=2e-2
+        )  # exact index stores f32; pq refine rescores f32 originals
+
+
+def test_index_pq_tenant_isolation_and_delete(rng):
+    from mmrag_tpu.index.store import VectorIndex
+
+    rows_a, mat_a = _mk_rows(rng, 64, user="alice", doc="da")
+    rows_b, _ = _mk_rows(rng, 64, user="bob", doc="db", start=64)
+    ix = VectorIndex(dim=64, dtype="pq")
+    ix.upsert(rows_a)
+    ix.upsert(rows_b)
+    hits = ix.search_batch(mat_a[:4], "alice", k=8)
+    assert all(c.startswith("c") and int(c[1:]) < 64 for h in hits for c, _ in h)
+    hits_multi = ix.search_batch_multi(
+        mat_a[:2], ["alice", "bob"], k=8
+    )
+    assert all(int(c[1:]) < 64 for c, _ in hits_multi[0])
+    assert all(int(c[1:]) >= 64 for c, _ in hits_multi[1])
+    ix.delete_document("da")
+    assert ix.search_batch(mat_a[:2], "alice", k=4) == [[], []]
+
+
+def test_index_pq_save_load_compact_roundtrip(tmp_path, rng):
+    from mmrag_tpu.index.store import VectorIndex
+
+    rows, mat = _mk_rows(rng, 256)
+    ix = VectorIndex(dim=64, dtype="pq")
+    ix.upsert(rows)
+    before = ix.search_batch(mat[:4], "u1", k=5)
+    ix.save(str(tmp_path), "t")
+    loaded = VectorIndex.load(str(tmp_path), "t", dtype="pq")
+    assert loaded.is_pq and loaded._size == 256
+    after = loaded.search_batch(mat[:4], "u1", k=5)
+    for b, a in zip(before, after):
+        assert [c for c, _ in b] == [c for c, _ in a]
+    # compact retrains and re-encodes; results stay identical
+    loaded.compact()
+    post = loaded.search_batch(mat[:4], "u1", k=5)
+    for b, p in zip(before, post):
+        assert [c for c, _ in b] == [c for c, _ in p]
+
+
+def test_index_pq_retrains_on_growth(rng):
+    from mmrag_tpu.index.store import VectorIndex
+
+    ix = VectorIndex(dim=64, dtype="pq")
+    rows, _ = _mk_rows(rng, 32)
+    ix.upsert(rows)
+    t0 = ix._pq_trained_at
+    assert t0 == 32
+    rows2, _ = _mk_rows(rng, 128, start=32)
+    ix.upsert(rows2)  # 160 >= 4*32 -> retrain + full re-encode
+    assert ix._pq_trained_at == 160
+    rows3, _ = _mk_rows(rng, 32, start=160)
+    ix.upsert(rows3)  # 192 < 4*160 -> incremental encode only
+    assert ix._pq_trained_at == 160 and ix._size == 192
+
+
+def test_index_pq_rejects_kernel_backends():
+    from mmrag_tpu.index.store import VectorIndex
+
+    with pytest.raises(ValueError):
+        VectorIndex(dim=64, dtype="pq", backend="pallas")
+    with pytest.raises(ValueError):
+        VectorIndex(dim=64, dtype="pq").build_ivf()
+
+
+def test_engine_pq_mode_end_to_end(tmp_path):
+    """TPU_INDEX_DTYPE=pq through the full engine: ingest -> retrieve works
+    and snapshots persist (runs on the multi-device CPU mesh, where pq
+    disables row-sharding with a log and serves single-device ADC)."""
+
+    from mmrag_tpu.rag import index_build as ib
+    from mmrag_tpu.rag.engine import RagEngine
+    from mmrag_tpu.rag.retrieve import retrieve
+    from mmrag_tpu.settings import load_settings
+    from mmrag_tpu.storage import Document
+
+    cfg = load_settings({
+        "TPU_INDEX_DIR": str(tmp_path / "index"),
+        "NOTES_DB_PATH": str(tmp_path / "notes.db"),
+        "MEDIA_DIR": str(tmp_path / "media"),
+        "INGEST_CACHE_DIR": str(tmp_path / "cache"),
+        "TPU_INDEX_DTYPE": "pq",
+        "TPU_MICROBATCH_WINDOW_MS": "0",
+        "TPU_COMPILE_CACHE_DIR": "",
+    })
+    engine = RagEngine(cfg)
+    assert engine.text_index.is_pq and engine.image_index.is_pq
+    engine.metadata.upsert_document(
+        Document(document_id="d", user_id="u1", doc_type="pdf", title="T")
+    )
+    nodes = [
+        {"text": f"passage {i} about renewable solar energy " * 8,
+         "metadata": {"document_id": "d", "page": i}}
+        for i in range(12)
+    ]
+    ib.index_text_nodes("u1", nodes, engine)
+    res = retrieve("u1", "solar energy", engine=engine)
+    assert res["results"] and res["text"]
+    engine.persist_indexes()
+    engine.close()
