@@ -536,8 +536,22 @@ def bench_pq(quick: bool):
     codes + ADC scan + exact host refine. Measures on clustered
     (embedding-like) rows @1M x 384: device ADC p50, end-to-end (ADC +
     readback + host refine) p50, and refined recall@10 vs exact. Returns
-    ``{adc_ms, e2e_ms, recall}``. 10M variant: codes are 160 MB, so the
-    10M run measures the SAME corpus the bf16 exact scan needs 7.7 GB for."""
+    ``{adc_ms, e2e_ms, recall}``.
+
+    Tunnel-sized split: the ADC p50 runs @1M x 384 (device search state is
+    just the 16 MB code slab — no bulk readback), end-to-end (ADC +
+    readback + host refine) runs on one 131k slab so only 192 MB of f32
+    originals ever cross the tunnel (production keeps originals host-side
+    from the start; only bench generation is on device), and refined
+    recall@10 is measured on ENCODER-GENERATED embeddings (the production
+    geometry, same standard as bench_ivf_encoder) — the synthetic clustered
+    corpus is PQ's worst case (within-cluster neighbors differ only by
+    isotropic noise, which subvector centroids cannot encode; measured
+    0.26 vs 0.97 on encoder output at refine 16 — KERNELS.md §6).
+    Encoding goes through ops.pq.pq_encode's 65k chunking — a single-shot
+    1M assign would ask for a ~17 GB HBM transient, which is exactly the
+    large-transient runtime-wedge failure tools/repro_invalid_argument.py
+    documents."""
 
     import jax
     import jax.numpy as jnp
@@ -545,7 +559,7 @@ def bench_pq(quick: bool):
     from mmrag_tpu.ops import pq as pqops
     from mmrag_tpu.ops.topk import cosine_topk, l2_normalize
 
-    n, d, k, q_n = (131_072 if quick else 1_048_576), 384, 50, 16
+    n, d, q_n = (131_072 if quick else 1_048_576), 384, 16
     centers = 4096
     # clustered generation in slabs (same geometry as the ivf benches)
     key = jax.random.PRNGKey(0)
@@ -558,18 +572,21 @@ def bench_pq(quick: bool):
         noise = 0.25 * jax.random.normal(kk, (slab_rows, d), jnp.float32)
         return l2_normalize(cents[assign] + noise)
 
-    slabs = max(n // slab_rows, 1)
-    rows = jnp.concatenate([jax.jit(make_slab)(i) for i in range(slabs)])
-    n = rows.shape[0]
-    books = pqops.train_pq(rows, m=16)
-    codes = pqops.pq_encode(rows, books)
+    mk = jax.jit(make_slab)
+    slab0 = mk(0)
+    books = pqops.train_pq(slab0, m=16)
+    codes = [pqops.pq_encode(slab0, books)]
+    for i in range(1, max(n // slab_rows, 1)):
+        codes.append(pqops.pq_encode(mk(i), books))
+    codes = jnp.concatenate(codes)
+    n = codes.shape[0]
     queries = l2_normalize(
-        rows[:q_n] + 0.05 * jax.random.normal(jax.random.PRNGKey(7), (q_n, d))
+        slab0[:q_n] + 0.05 * jax.random.normal(jax.random.PRNGKey(7), (q_n, d))
     ).astype(jnp.float32)
     mask = jnp.ones((n,), bool)
     cand = 16 * 10
 
-    # device ADC per-dispatch (fori-chained, tunnel-robust)
+    # device ADC per-dispatch @n (fori-chained, tunnel-robust)
     def make_step(kk, queries, books, codes, mask):
         def body(i, acc):
             qq = queries + 1e-6 * i
@@ -581,24 +598,35 @@ def bench_pq(quick: bool):
     k1, k2 = (8, 2) if quick else (16, 4)
     adc_sec = _per_iter_seconds(make_step, k1, k2, queries, books, codes, mask)
 
-    # end-to-end including readback + host refine
-    rows_host = np.asarray(rows, np.float32)
+    # end-to-end + recall on the 131k slab (originals needed host-side)
+    codes0 = codes[:slab_rows]
+    mask0 = jnp.ones((slab_rows,), bool)
+    rows_host = np.asarray(slab0, np.float32)
     q_host = np.asarray(queries, np.float32)
 
     def full():
-        s, ix = pqops.pq_topk(queries, books, codes, mask, cand)
+        s, ix = pqops.pq_topk(queries, books, codes0, mask0, cand)
         return pqops.refine_exact(
             q_host, rows_host, np.asarray(ix), np.asarray(s), 10
         )[1]
 
     e2e_sec = _timed_readback(lambda: full(), repeats=5)
 
-    # refined recall@10 vs the exact scan
-    _, ei = cosine_topk(queries, rows.astype(jnp.bfloat16), mask, 10)
-    ri = full()
+    # refined recall@10 vs exact, on encoder-generated embeddings
+    enc, encq = _encoder_corpus(16_384 if quick else 131_072)
+    en = enc.shape[0]
+    emask = jnp.ones((en,), bool)
+    _, ei = cosine_topk(encq, enc.astype(jnp.bfloat16), emask, 10)
+    ebooks = pqops.train_pq(enc, m=16)
+    ecodes = pqops.pq_encode(enc, ebooks)
+    es, eix = pqops.pq_topk(encq, ebooks, ecodes, emask, cand)
+    _, ri = pqops.refine_exact(
+        np.asarray(encq, np.float32), np.asarray(enc, np.float32),
+        np.asarray(eix), np.asarray(es), 10,
+    )
     ei = np.asarray(ei)
     recall = float(np.mean([
-        len(set(ri[i]) & set(ei[i])) / 10.0 for i in range(q_n)
+        len(set(ri[i]) & set(ei[i])) / 10.0 for i in range(16)
     ]))
     return {
         "adc_ms": round(adc_sec * 1e3, 3),
@@ -607,24 +635,21 @@ def bench_pq(quick: bool):
     }
 
 
-def bench_ivf_encoder(quick: bool):
-    """IVF on ENCODER-GENERATED embeddings (VERDICT r1 weak #2): a templated
-    text corpus through the production MiniLM runtime -> ivf build ->
-    recall@10 vs exact for paraphrase-perturbed queries, plus the measured
-    cluster-structure ratio vs the structureless baseline (the auto-routing
-    gate's signal). Returns ``(recall, structure_ratio)``."""
+def _encoder_corpus(n: int):
+    """Templated text corpus through the production MiniLM runtime.
+
+    Returns (corpus (n, 384) f32 jnp, queries (16, 384) f32 jnp) — queries
+    are paraphrase perturbations of the first 16 texts. Shared by the
+    ivf_encoder and pq benches so both recall numbers are measured on the
+    same production geometry."""
 
     import itertools
 
     import jax.numpy as jnp
-    import numpy as np
 
     from mmrag_tpu.models.runtime import get_runtime
-    from mmrag_tpu.ops import ivf as ivf_ops
-    from mmrag_tpu.ops.topk import cosine_topk
 
     rt = get_runtime()
-    n = 16_384 if quick else 131_072
     subjects = ["the mitochondria", "photosynthesis", "newton's law",
                 "the ocean current", "a neural network", "the quantum computer",
                 "the roman empire", "a volcanic eruption", "the stock market",
@@ -638,13 +663,29 @@ def bench_ivf_encoder(quick: bool):
     combos = itertools.cycle(itertools.product(subjects, verbs, objects))
     texts = [f"{s} {v} {o} in chapter {i % 97}"
              for i, (s, v, o) in enumerate(itertools.islice(combos, n))]
-    emb = rt.embed_text_batch(texts)
-    emb_j = jnp.asarray(emb, jnp.float32)
-    ivf = ivf_ops.build_ivf(emb_j.astype(jnp.bfloat16))
-    ratio = ivf.structure / ivf_ops.structureless_baseline(ivf.n_clusters, 384)
-
+    emb = jnp.asarray(rt.embed_text_batch(texts), jnp.float32)
     qtexts = [t.replace("in chapter", "within chapter") for t in texts[:16]]
     q = jnp.asarray(rt.embed_text_batch(qtexts), jnp.float32)
+    return emb, q
+
+
+def bench_ivf_encoder(quick: bool):
+    """IVF on ENCODER-GENERATED embeddings (VERDICT r1 weak #2): a templated
+    text corpus through the production MiniLM runtime -> ivf build ->
+    recall@10 vs exact for paraphrase-perturbed queries, plus the measured
+    cluster-structure ratio vs the structureless baseline (the auto-routing
+    gate's signal). Returns ``(recall, structure_ratio)``."""
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mmrag_tpu.ops import ivf as ivf_ops
+    from mmrag_tpu.ops.topk import cosine_topk
+
+    n = 16_384 if quick else 131_072
+    emb_j, q = _encoder_corpus(n)
+    ivf = ivf_ops.build_ivf(emb_j.astype(jnp.bfloat16))
+    ratio = ivf.structure / ivf_ops.structureless_baseline(ivf.n_clusters, 384)
     mask = jnp.ones((n,), bool)
     _, ei = cosine_topk(q, emb_j.astype(jnp.bfloat16), mask, 10)
     _, ai = ivf_ops.ivf_search_pred(

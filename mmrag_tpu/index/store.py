@@ -368,6 +368,23 @@ class VectorIndex:
                 pqops.train_pq(jnp.asarray(self._host_slab[:total]), m=self.pq_m)
             )
             self._pq_trained_at = total
+            # train-quality statistic: mean cosine between rows and their PQ
+            # reconstruction on a sample. Encoder-generated corpora measure
+            # ~0.9+; isotropic-noise geometry (PQ's worst case — see
+            # KERNELS.md §6) measures much lower, and with it ADC shortlist
+            # recall. Logged + exported so the operator can see when the
+            # data resists m-byte codes (the refine pass still bounds the
+            # damage to shortlist membership, never score accuracy).
+            rc = self._pq.reconstruction_cosine(
+                jnp.asarray(self._host_slab[: min(total, 16_384)])
+            )
+            from ..utils.profiling import metrics
+
+            metrics.observe("index.pq.reconstruction_cosine", rc)
+            _logger.info(
+                "pq codebooks trained on %d rows (m=%d): reconstruction "
+                "cosine %.4f", total, self.pq_m, rc,
+            )
             start, count = 0, total  # codes are stale: re-encode everything
         for lo in range(start, start + count, self._PQ_ENCODE_CHUNK):
             hi = min(lo + self._PQ_ENCODE_CHUNK, start + count)

@@ -128,12 +128,28 @@ def train_pq(
     return codebooks
 
 
+ENCODE_CHUNK = 65536
+
+
 def pq_encode(rows: jnp.ndarray, codebooks: jnp.ndarray) -> jnp.ndarray:
-    """(n, d) -> (n, m) int8 codes (bias -128, int8 is the device dtype)."""
+    """(n, d) -> (n, m) int8 codes (bias -128, int8 is the device dtype).
+
+    Encodes in ``ENCODE_CHUNK``-row chunks: the assignment matmul
+    materializes an (m, chunk, K) f32 distance transient (~1 GB at 65k
+    rows), so a single-shot multi-million-row encode would ask for more
+    HBM than the chip has."""
 
     m = codebooks.shape[0]
-    codes = _pq_assign(_split_subvectors(rows.astype(jnp.float32), m), codebooks)
-    return (codes - 128).astype(jnp.int8)
+    n = rows.shape[0]
+    if n <= ENCODE_CHUNK:
+        codes = _pq_assign(
+            _split_subvectors(rows.astype(jnp.float32), m), codebooks
+        )
+        return (codes - 128).astype(jnp.int8)
+    return jnp.concatenate([
+        pq_encode(rows[lo : lo + ENCODE_CHUNK], codebooks)
+        for lo in range(0, n, ENCODE_CHUNK)
+    ])
 
 
 # ---------------------------------------------------------------------------
