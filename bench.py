@@ -1175,6 +1175,25 @@ def main() -> None:
         import subprocess
         import sys
 
+        def device_alive(timeout: float = 240.0) -> bool:
+            """One tiny matmul in a FRESH process. A wedged accelerator
+            runtime (the large-transient failure mode,
+            tools/repro_invalid_argument.py) hangs even this — the probe
+            distinguishes 'this step crashed' from 'the chip is gone', so a
+            wedged chip costs two probes, not two 1800 s timeouts per
+            remaining step."""
+
+            probe = ("import jax, jax.numpy as jnp; "
+                     "x = jnp.ones((128, 128)); (x @ x).block_until_ready(); "
+                     "print('ALIVE')")
+            cmd = [sys.executable, "-c", probe]
+            try:
+                proc = subprocess.run(
+                    cmd, capture_output=True, text=True, timeout=timeout)
+                return "ALIVE" in proc.stdout
+            except subprocess.TimeoutExpired:
+                return False
+
         results = {}
         start = 0
         first_step_failures = 0
@@ -1203,6 +1222,15 @@ def main() -> None:
             crashed = remaining[0]
             print(f"bench child died at step {crashed}: {stderr[-1500:]}",
                   file=sys.stderr)
+            if backend != "cpu" and not (device_alive() or device_alive()):
+                # the runtime is wedged, not the step: every further child
+                # would eat its full timeout. Record what we have.
+                print("device runtime is wedged (liveness probe hangs); "
+                      f"recording remaining steps as null: {remaining}",
+                      file=sys.stderr)
+                for s in remaining:
+                    results.setdefault(s, None)
+                break
             if len(results) == done_before:  # crashed on its FIRST step
                 first_step_failures += 1
                 if first_step_failures >= 2:  # fails even with a clean client
