@@ -223,13 +223,6 @@ class VectorIndex:
                 f"int8 index supports backend auto/xla, not {backend!r} "
                 "(the pallas/approx paths score bf16/f32 slabs)"
             )
-        if self.is_pq and self._sharding is not None:
-            # sharded ADC needs a code-aware shard_map kernel; until then the
-            # code slab lives on the default device (16 B/row makes a single
-            # chip hold what a bf16 mesh needed several chips for)
-            _logger.info("pq index: row-sharding disabled (single-device ADC)")
-            self._sharding = None
-            self._n_data = 1
         self.backend = backend  # cosine_topk backend: auto|xla|pallas|approx
         # knobs normally flow in from settings (TPU_IVF_NPROBE/TPU_IVF_MIN_ROWS
         # via the typed loader); constructor defaults serve direct use
@@ -399,7 +392,12 @@ class VectorIndex:
         cosines, and returns the genuine top-k. The captured host-slab
         reference stays consistent with the captured codes — growth rebinds
         a fresh array, it never mutates captured rows — so unlike a device
-        re-dispatch this cannot race donated buffers."""
+        re-dispatch this cannot race donated buffers.
+
+        Multi-chip mode: the code slab is row-sharded like every other
+        layout, the ADC scan runs per shard under ``shard_map`` with the
+        all_gather candidate merge (parallel/sharded_index.py), and the host
+        refine consumes the merged GLOBAL row ids — identical semantics."""
 
         from ..ops import pq as pqops
 
@@ -408,10 +406,23 @@ class VectorIndex:
             queries.astype(np.float32) if isinstance(queries, np.ndarray)
             else queries
         )
-        s, i = _pq_search_multi(
-            self._pq.codebooks, self._slab, self._users, self._docs,
-            self._live, qj, jnp.asarray(uids), jnp.asarray(dids), cand,
-        )
+        if self._sharding is not None:
+            key = ("pq", cand)
+            fn = self._shard_fn_cache.get(key)
+            if fn is None:
+                from ..parallel.sharded_index import sharded_search_pq_fn
+
+                fn = sharded_search_pq_fn(self.mesh, cand)
+                self._shard_fn_cache[key] = fn
+            s, i = fn(
+                qj, jnp.asarray(uids), jnp.asarray(dids), self._pq.codebooks,
+                self._slab, self._users, self._docs, self._live,
+            )
+        else:
+            s, i = _pq_search_multi(
+                self._pq.codebooks, self._slab, self._users, self._docs,
+                self._live, qj, jnp.asarray(uids), jnp.asarray(dids), cand,
+            )
         host_rows = self._host_slab
 
         def collect():
@@ -1025,7 +1036,10 @@ class VectorIndex:
             n_queries = queries.shape[0]
             queries = _pad_queries(queries)
             ivf = self._maybe_ivf()
-            if self._sharding is not None:
+            if self.is_pq:
+                # pq handles its own sharded dispatch inside _pq_multi_async
+                scores, idx = self._dense_single(queries, uid, did, k)
+            elif self._sharding is not None:
                 q = queries.shape[0]
                 scores, idx = self._dispatch_sharded(
                     jnp.asarray(queries.astype(np.float32)),
@@ -1111,7 +1125,11 @@ class VectorIndex:
                 dids = np.concatenate([dids, np.full(pad, -1, np.int32)])
             ivf = self._maybe_ivf()
             pending = None
-            if self._sharding is not None:
+            if self.is_pq:
+                # pq handles its own sharded dispatch inside _pq_multi_async
+                pending = self._dense_multi_async(queries, uids, dids, k)
+                scores = idx = None
+            elif self._sharding is not None:
                 scores, idx = self._dispatch_sharded(
                     jnp.asarray(queries.astype(np.float32)),
                     jnp.asarray(uids), jnp.asarray(dids),

@@ -105,6 +105,26 @@ def sharded_search_int8_fn(mesh: Mesh, k: int):
     return _merged_topk_fn(mesh, k, local_score, n_shard_args=5, n_repl_args=3)
 
 
+def sharded_search_pq_fn(mesh: Mesh, k: int):
+    """Product-quantized storage-mode variant of :func:`sharded_search_fn`:
+    ``fn(queries, uids, dids, codebooks, codes, users, docs, live)`` — the
+    m-byte code slab and predicate columns are row-sharded; queries and the
+    (tiny) codebooks are replicated. Each chip builds its own ADC tables
+    from the replicated codebooks (cheaper than any gather: the tables are
+    (m, K, q) floats) and scans only its code shard; candidates merge with
+    the shared all_gather path. The caller's exact host-refine pass then
+    rescores the merged shortlist, exactly as in the single-chip pq mode —
+    so PQ error still only ever affects shortlist membership."""
+
+    from ..ops.pq import pq_topk
+
+    def local_score(queries, uids, dids, codebooks, codes, users, docs, live):
+        mask = predicate_mask_multi(users, docs, live, uids, dids)
+        return pq_topk(queries, codebooks, codes, mask, min(k, codes.shape[0]))
+
+    return _merged_topk_fn(mesh, k, local_score, n_shard_args=4, n_repl_args=4)
+
+
 def sharded_topk_fn(mesh: Mesh, k: int, backend: str = "auto"):
     """Build a jitted ``(queries, corpus, mask) -> (scores, global_idx)``
     where ``corpus``/``mask`` are row-sharded over ``data`` and outputs are

@@ -200,6 +200,48 @@ def test_index_pq_retrains_on_growth(rng):
     assert ix._pq_trained_at == 160 and ix._size == 192
 
 
+def test_index_pq_sharded_matches_single_device(rng):
+    """Multi-chip pq mode (8-virtual-device CPU mesh): the code slab is
+    row-sharded, ADC runs per shard under shard_map with the all_gather
+    candidate merge (parallel/sharded_index.py::sharded_search_pq_fn), and
+    the host refine consumes merged GLOBAL row ids — results match the
+    single-device pq index on ids AND scores (refined scores are exact
+    cosines on both paths)."""
+
+    from mmrag_tpu.index.store import VectorIndex
+    from mmrag_tpu.parallel.mesh import build_mesh
+
+    mesh = build_mesh(model_parallel=1)
+    rows, mat = _mk_rows(rng, 500)
+    rows2, _ = _mk_rows(rng, 300, user="u2", doc="d2", start=500)
+    single = VectorIndex(dim=64, dtype="pq")
+    sharded = VectorIndex(dim=64, dtype="pq", mesh=mesh)
+    for ix in (single, sharded):
+        ix.upsert(rows)
+        ix.upsert(rows2)
+    assert sharded._sharding is not None  # code slab actually row-sharded
+    assert sharded._slab.shape[1] == 16 and sharded._slab.dtype == jnp.int8
+
+    q = mat[:4] + 0.05 * rng.standard_normal((4, 64)).astype(np.float32)
+    for user, doc in [("u1", None), ("u2", "d2"), ("u1", "d2")]:
+        a = single.search_batch(q, user, k=8, document_id=doc)
+        b = sharded.search_batch(q, user, k=8, document_id=doc)
+        for ha, hb in zip(a, b):
+            assert [c for c, _ in ha] == [c for c, _ in hb]
+            np.testing.assert_allclose(
+                [s for _, s in ha], [s for _, s in hb], rtol=1e-5
+            )
+
+    users = ["u1", "u2", "nobody", "u1"]
+    docs = [None, "d2", None, "d2"]
+    am = single.search_batch_multi(q, users, 8, docs)
+    bm = sharded.search_batch_multi(q, users, 8, docs)
+    for ha, hb in zip(am, bm):
+        assert [c for c, _ in ha] == [c for c, _ in hb]
+    assert am[2] == [] and bm[2] == []  # unknown tenant isolated
+    assert am[3] == [] and bm[3] == []  # u1 has no doc d2
+
+
 def test_index_pq_rejects_kernel_backends():
     from mmrag_tpu.index.store import VectorIndex
 
@@ -211,8 +253,8 @@ def test_index_pq_rejects_kernel_backends():
 
 def test_engine_pq_mode_end_to_end(tmp_path):
     """TPU_INDEX_DTYPE=pq through the full engine: ingest -> retrieve works
-    and snapshots persist (runs on the multi-device CPU mesh, where pq
-    disables row-sharding with a log and serves single-device ADC)."""
+    and snapshots persist (runs on the multi-device CPU mesh, so the engine
+    row-shards the code slab and serves the shard_map ADC path)."""
 
     from mmrag_tpu.rag import index_build as ib
     from mmrag_tpu.rag.engine import RagEngine
