@@ -635,13 +635,20 @@ def bench_pq(quick: bool):
     }
 
 
+_ENCODER_CORPUS_CACHE: dict = {}
+
+
 def _encoder_corpus(n: int):
     """Templated text corpus through the production MiniLM runtime.
 
     Returns (corpus (n, 384) f32 jnp, queries (16, 384) f32 jnp) — queries
     are paraphrase perturbations of the first 16 texts. Shared by the
     ivf_encoder and pq benches so both recall numbers are measured on the
-    same production geometry."""
+    same production geometry; memoized per n so a child running both steps
+    embeds the 131k texts once, not twice."""
+
+    if n in _ENCODER_CORPUS_CACHE:
+        return _ENCODER_CORPUS_CACHE[n]
 
     import itertools
 
@@ -666,6 +673,7 @@ def _encoder_corpus(n: int):
     emb = jnp.asarray(rt.embed_text_batch(texts), jnp.float32)
     qtexts = [t.replace("in chapter", "within chapter") for t in texts[:16]]
     q = jnp.asarray(rt.embed_text_batch(qtexts), jnp.float32)
+    _ENCODER_CORPUS_CACHE[n] = (emb, q)
     return emb, q
 
 

@@ -188,12 +188,21 @@ class VectorIndex:
         self._shard_fn_cache: Dict = {}
         # dtype "pq": product-quantized mode (ops/pq.py, the reference's
         # IVF_PQ num_sub_vectors=16 role) — the DEVICE slab holds m-byte
-        # codes (24x less HBM than bf16: 100M+ rows/chip), the f32 originals
-        # stay in host RAM for snapshots and the exact refine pass. Snapshot
-        # payloads use the bf16-bits form, so self.dtype stays bfloat16.
+        # codes (48x less HBM than bf16), the f32 originals stay in host RAM
+        # for snapshots and the exact refine pass. Snapshot payloads use the
+        # bf16-bits form, so self.dtype stays bfloat16.
         self.is_pq = dtype == "pq"
         self.pq_m = 16 if pq_m is None else int(pq_m)
         self.pq_refine = 16 if pq_refine is None else int(pq_refine)
+        if self.is_pq and dim % self.pq_m:
+            # fail at construction, not first ingest: _apply_upsert validates
+            # before tombstoning, and a mid-replay encode failure would wedge
+            # the journal on the same entry forever. The engine applies one
+            # TPU_PQ_M to both indexes, so it must divide 384 AND 512
+            # (16/32/64/128 do).
+            raise ValueError(
+                f"pq index dim {dim} not divisible by pq_m={self.pq_m}"
+            )
         self._pq = None  # ops.pq.PQData once trained
         self._pq_trained_at = 0  # rows at last codebook (re)train
         self._host_slab: Optional[np.ndarray] = (
@@ -342,23 +351,27 @@ class VectorIndex:
 
     # -- pq mode (ops/pq.py: codes on device, originals in host RAM) ---------
 
-    _PQ_ENCODE_CHUNK = 65536
+    _PQ_TRAIN_SAMPLE = 65536
 
     def _pq_write_codes(self, start: int, count: int) -> None:
         """Encode host rows [start, start+count) into the device code slab.
 
         Codebooks (re)train when the corpus has quadrupled since the last
         train (each retrain re-encodes everything, so total re-encode work
-        stays ~1.33x the final corpus); training itself runs on a strided
-        sample (ops.pq.train_pq), so a retrain is one sampled Lloyd loop +
-        one full encode pass."""
+        stays ~1.33x the final corpus); a retrain is one sampled Lloyd loop
+        + one full encode pass. The train sample is strided ON HOST — pq
+        exists because the f32 corpus does NOT fit in HBM, so shipping
+        ``host_slab[:total]`` to the device just for ``train_pq`` to
+        subsample it would be the large-transient wedge all over again."""
 
         from ..ops import pq as pqops
 
         total = start + count
         if self._pq is None or total >= 4 * max(self._pq_trained_at, 1):
+            stride = max(-(-total // self._PQ_TRAIN_SAMPLE), 1)  # ceil
+            sample = self._host_slab[:total:stride][: self._PQ_TRAIN_SAMPLE]
             self._pq = pqops.PQData(
-                pqops.train_pq(jnp.asarray(self._host_slab[:total]), m=self.pq_m)
+                pqops.train_pq(jnp.asarray(sample), m=self.pq_m)
             )
             self._pq_trained_at = total
             # train-quality statistic: mean cosine between rows and their PQ
@@ -379,8 +392,11 @@ class VectorIndex:
                 "cosine %.4f", total, self.pq_m, rc,
             )
             start, count = 0, total  # codes are stale: re-encode everything
-        for lo in range(start, start + count, self._PQ_ENCODE_CHUNK):
-            hi = min(lo + self._PQ_ENCODE_CHUNK, start + count)
+        # chunked at ops.pq.ENCODE_CHUNK (ONE shared constant): bounds both
+        # the host->device row transfer and the (m, chunk, K) assignment
+        # transient; each pq_encode call then fits its own chunk exactly
+        for lo in range(start, start + count, pqops.ENCODE_CHUNK):
+            hi = min(lo + pqops.ENCODE_CHUNK, start + count)
             codes = self._pq.encode(jnp.asarray(self._host_slab[lo:hi]))
             self._slab = _write_rows(self._slab, codes, jnp.int32(lo))
 

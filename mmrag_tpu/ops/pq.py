@@ -4,7 +4,7 @@ The "PQ" half of the reference's LanceDB IVF_PQ index
 (``/root/reference/app/storage/lancedb_store.py:51-58``,
 ``num_sub_vectors=16``): each row is split into ``m`` subvectors, each
 quantized to one of 256 per-subvector centroids, so a 384-d f32 row (1536 B)
-compresses to ``m`` bytes (16 by default — 96x, or 24x vs the bf16 slab).
+compresses to ``m`` bytes (16 by default — 96x, or 48x vs the bf16 slab).
 Cosine of L2-normalized vectors decomposes over subvectors
 (``cos(q, x) = sum_m q_m . x_m``), so scoring a code is ``m`` table lookups
 (asymmetric distance computation, ADC).
@@ -17,9 +17,11 @@ TPU-first design decisions:
     subvectors so the whole training step is one batched matmul + one
     ``segment_sum`` per iteration.
   * **Codes live on device as int8** (bias -128): the HBM-resident search
-    state is ``m`` bytes/row, which is what lets a single chip hold 100M+
-    rows. The f32 originals stay in HOST RAM (see ``VectorIndex``) for
-    snapshots and exact refine — host memory is the abundant tier.
+    state is ``m`` bytes/row; a query's working set adds ~8q B/row
+    (the (n, q) f32 score accumulator + its top-k copy), so a 16 GB chip
+    serves ~50M rows at q=16 where the bf16 slab caps out near 10M. The
+    f32 originals stay in HOST RAM (see ``VectorIndex``) for snapshots and
+    exact refine — host memory is the abundant tier.
   * **ADC as lax.scan of small-table gathers** (XLA path): per subvector,
     ``scores += table[m][codes[:, m]]`` — the (K, q) tables are tiny and the
     accumulator is the only large operand. A one-hot-matmul Pallas variant
@@ -51,23 +53,30 @@ PQ_K = 256  # centroids per subvector (8-bit codes; tables stay VMEM-sized)
 # ---------------------------------------------------------------------------
 
 
+def _assign_one(rows: jnp.ndarray, cents: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-centroid assignment for one subvector: argmin ||x - c||^2 =
+    argmax (x.c - ||c||^2 / 2) — one batched matmul. (n, ds), (K, ds) ->
+    (n,) int32."""
+
+    bias = 0.5 * jnp.sum(cents * cents, axis=1)
+    return jnp.argmax(
+        jnp.dot(rows, cents.T, preferred_element_type=jnp.float32)
+        - bias[None, :],
+        axis=1,
+    ).astype(jnp.int32)
+
+
 @jax.jit
 def _pq_kmeans_step(sub_rows: jnp.ndarray, codebooks: jnp.ndarray):
     """One Lloyd iteration for every subvector at once.
 
     sub_rows (m, n, ds) f32, codebooks (m, K, ds) f32 -> updated codebooks.
-    Assignment: argmin ||x - c||^2 = argmax (x.c - ||c||^2 / 2) — one
-    batched matmul. Update: per-cluster mean via segment_sum; empty clusters
-    keep their centroid (same convention as ops.ivf).
+    Update: per-cluster mean via segment_sum; empty clusters keep their
+    centroid (same convention as ops.ivf).
     """
 
     def one(rows, cents):
-        bias = 0.5 * jnp.sum(cents * cents, axis=1)
-        assign = jnp.argmax(
-            jnp.dot(rows, cents.T, preferred_element_type=jnp.float32)
-            - bias[None, :],
-            axis=1,
-        )
+        assign = _assign_one(rows, cents)
         sums = jax.ops.segment_sum(rows, assign, PQ_K)
         counts = jax.ops.segment_sum(
             jnp.ones((rows.shape[0],), jnp.float32), assign, PQ_K
@@ -81,15 +90,7 @@ def _pq_kmeans_step(sub_rows: jnp.ndarray, codebooks: jnp.ndarray):
 def _pq_assign(sub_rows: jnp.ndarray, codebooks: jnp.ndarray) -> jnp.ndarray:
     """(m, n, ds), (m, K, ds) -> codes (n, m) int32."""
 
-    def one(rows, cents):
-        bias = 0.5 * jnp.sum(cents * cents, axis=1)
-        return jnp.argmax(
-            jnp.dot(rows, cents.T, preferred_element_type=jnp.float32)
-            - bias[None, :],
-            axis=1,
-        ).astype(jnp.int32)
-
-    return jax.vmap(one)(sub_rows, codebooks).T
+    return jax.vmap(_assign_one)(sub_rows, codebooks).T
 
 
 def _split_subvectors(rows: jnp.ndarray, m: int) -> jnp.ndarray:
@@ -114,7 +115,10 @@ def train_pq(
     n = rows.shape[0]
     train = rows
     if train_sample and n > train_sample:
-        train = rows[:: max(n // train_sample, 1)][:train_sample]
+        # ceil stride: floor would give stride 1 for n < 2*train_sample and
+        # silently train on a first-rows PREFIX (insertion order is
+        # per-tenant, so a later tenant's geometry would go unseen)
+        train = rows[:: -(-n // train_sample)][:train_sample]
     sub = _split_subvectors(train.astype(jnp.float32), m)
     tn = sub.shape[1]
     stride = max(tn // PQ_K, 1)
@@ -183,21 +187,24 @@ def pq_topk(
     predicate semantics (mask applied before top-k, same contract as
     ``ops.topk.cosine_topk``). Returns (scores (q, k) f32, idx (q, k) i32).
 
-    The scan carries ONLY the (n, q) accumulator; each step gathers from a
-    (K, q) table with (n,) codes — no (n, m, K) one-hot ever materializes.
+    The scan carries ONLY the (n, q) f32 accumulator; each step gathers
+    from a (K, q) table with (n,) codes — no (n, m, K) one-hot ever
+    materializes, and the int8 codes upcast per step (an (n,) int32
+    transient), so peak search HBM is the m-byte code slab + ~8q B/row of
+    accumulator/top-k working set, not a resident 4m B/row int32 copy.
     """
 
     n = codes.shape[0]
     q = queries.shape[0]
     tables = _adc_tables(queries, codebooks)  # (m, K, q)
-    codes_u = (codes.astype(jnp.int32) + 128).T  # (m, n)
+    codes_t = codes.T  # (m, n) int8 — same bytes as the code slab
 
     def step(acc, inputs):
-        table, c = inputs  # (K, q), (n,)
-        return acc + jnp.take(table, c, axis=0), None
+        table, c = inputs  # (K, q) f32, (n,) int8
+        return acc + jnp.take(table, c.astype(jnp.int32) + 128, axis=0), None
 
     scores, _ = jax.lax.scan(
-        step, jnp.zeros((n, q), jnp.float32), (tables, codes_u)
+        step, jnp.zeros((n, q), jnp.float32), (tables, codes_t)
     )
     scores = scores.T  # (q, n)
     mask = valid_mask if valid_mask.ndim == 2 else valid_mask[None, :]

@@ -251,6 +251,18 @@ def test_index_pq_rejects_kernel_backends():
         VectorIndex(dim=64, dtype="pq").build_ivf()
 
 
+def test_index_pq_rejects_indivisible_m():
+    """dim % pq_m must fail at CONSTRUCTION: a first-ingest encode failure
+    would land after tombstoning and wedge journal replay on the same
+    entry forever (512-d CLIP index with pq_m=48, say)."""
+
+    from mmrag_tpu.index.store import VectorIndex
+
+    with pytest.raises(ValueError, match="not divisible"):
+        VectorIndex(dim=512, dtype="pq", pq_m=48)
+    VectorIndex(dim=512, dtype="pq", pq_m=32)  # 16/32/64 divide both dims
+
+
 def test_engine_pq_mode_end_to_end(tmp_path):
     """TPU_INDEX_DTYPE=pq through the full engine: ingest -> retrieve works
     and snapshots persist (runs on the multi-device CPU mesh, so the engine
