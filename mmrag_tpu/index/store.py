@@ -1281,6 +1281,17 @@ class VectorIndex:
                 ids_arrays["ivf_centroids"] = np.asarray(
                     self._ivf.centroids, np.float32
                 )
+            if self.is_pq and self._pq is not None and self._size:
+                # persist codebooks + m-byte codes (tiny next to the bf16
+                # originals) so a restart installs them directly instead of
+                # retraining and re-encoding the whole corpus at boot — the
+                # ivf_centroids analogue for the pq layout
+                ids_arrays["pq_codebooks"] = np.asarray(
+                    self._pq.codebooks, np.float32
+                )
+                ids_arrays["pq_codes"] = np.asarray(
+                    self._slab[: self._size]
+                )[live_rows]
             npz_tmp = os.path.join(directory, f"{name}.npz.tmp")
             if self.dtype == jnp.int8:
                 # lossless: persist the quantized rows + scales directly (4x
@@ -1337,6 +1348,43 @@ class VectorIndex:
             self._chunk_to_row = {c: i for i, c in enumerate(chunk_ids)}
             self._size = n
 
+    def _install_precoded(self, chunk_ids, user_ids, doc_ids, mat,
+                          codebooks, codes) -> None:
+        """Populate an EMPTY pq index from a snapshot's codebooks + codes —
+        warm restart skips both the retrain and the full re-encode pass.
+        ``mat`` (the bf16-rounded f32 originals) refills the host slab for
+        the refine pass and future retrains."""
+
+        from ..ops import pq as pqops
+
+        with self._lock:
+            assert self._size == 0 and self.is_pq
+            n = len(chunk_ids)
+            if n == 0:
+                return
+            self._ensure_capacity(n)
+            self._host_slab[:n] = np.asarray(mat, np.float32)
+            self._pq = pqops.PQData(jnp.asarray(codebooks, jnp.float32))
+            self._pq_trained_at = n
+            users = np.asarray(
+                [self._intern(self._user_intern, u) for u in user_ids], np.int32
+            )
+            docs = np.asarray(
+                [self._intern(self._doc_intern, d) for d in doc_ids], np.int32
+            )
+            self._slab = _write_rows(
+                self._slab, jnp.asarray(codes, jnp.int8), jnp.int32(0)
+            )
+            self._users = _write_ids(self._users, jnp.asarray(users), jnp.int32(0))
+            self._docs = _write_ids(self._docs, jnp.asarray(docs), jnp.int32(0))
+            self._live = _write_ids(self._live, jnp.ones(n, bool), jnp.int32(0))
+            self._chunk_ids = list(chunk_ids)
+            self._row_user = list(user_ids)
+            self._row_doc = list(doc_ids)
+            self._row_live = np.ones(n, dtype=bool)
+            self._chunk_to_row = {c: i for i, c in enumerate(chunk_ids)}
+            self._size = n
+
     @classmethod
     def load(cls, directory: str, name: str, dtype: str = "bfloat16",
              backend: str = "auto", ivf_nprobe: Optional[int] = None,
@@ -1360,6 +1408,13 @@ class VectorIndex:
             warm_centroids = (
                 np.asarray(data["ivf_centroids"]) if "ivf_centroids" in data
                 else None
+            )
+            pq_books = (
+                np.asarray(data["pq_codebooks"]) if "pq_codebooks" in data
+                else None
+            )
+            pq_codes = (
+                np.asarray(data["pq_codes"]) if "pq_codes" in data else None
             )
             if "embeddings_int8" in data and dtype == "int8":
                 index = cls(dim=manifest["dim"], dtype=dtype, backend=backend,
@@ -1388,6 +1443,17 @@ class VectorIndex:
                     ivf_nprobe=ivf_nprobe, ivf_min_rows=ivf_min_rows,
                     ivf_min_structure=ivf_min_structure, mesh=mesh,
                     pq_m=pq_m, pq_refine=pq_refine)
+        if (index.is_pq and pq_books is not None and pq_codes is not None
+                and len(pq_codes) == len(chunk_ids)
+                and pq_codes.shape[1] == index.pq_m):
+            # warm restart: install persisted codebooks + codes directly.
+            # A pq_m changed between runs falls through to the re-upsert
+            # path below, which retrains at the new m.
+            index._install_precoded(
+                chunk_ids, user_ids, document_ids, mat, pq_books, pq_codes
+            )
+            index._loaded_snapshot_seq = int(manifest.get("snapshot_seq", 0))
+            return index
         rows = [
             VectorRow(
                 chunk_id=c, user_id=u, document_id=d,

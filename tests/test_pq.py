@@ -174,8 +174,22 @@ def test_index_pq_save_load_compact_roundtrip(tmp_path, rng):
     ix.save(str(tmp_path), "t")
     loaded = VectorIndex.load(str(tmp_path), "t", dtype="pq")
     assert loaded.is_pq and loaded._size == 256
+    # warm restart: the snapshot's codebooks installed VERBATIM (a retrain
+    # on the bf16-rounded reloaded originals would differ) and codes too
+    np.testing.assert_array_equal(
+        np.asarray(loaded._pq.codebooks), np.asarray(ix._pq.codebooks)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(loaded._slab[:256]), np.asarray(ix._slab[:256])
+    )
     after = loaded.search_batch(mat[:4], "u1", k=5)
     for b, a in zip(before, after):
+        assert [c for c, _ in b] == [c for c, _ in a]
+    # pq_m changed between runs: codes don't fit -> re-upsert path retrains
+    remixed = VectorIndex.load(str(tmp_path), "t", dtype="pq", pq_m=32)
+    assert remixed.pq_m == 32 and remixed._slab.shape[1] == 32
+    re_hits = remixed.search_batch(mat[:4], "u1", k=5)
+    for b, a in zip(before, re_hits):
         assert [c for c, _ in b] == [c for c, _ in a]
     # compact retrains and re-encodes; results stay identical
     loaded.compact()
