@@ -277,6 +277,64 @@ def test_index_pq_rejects_indivisible_m():
     VectorIndex(dim=512, dtype="pq", pq_m=32)  # 16/32/64 divide both dims
 
 
+def test_index_pq_concurrent_upsert_search_compact(rng):
+    """pq-mode race safety (mirror of the dense stress in
+    test_index_store.py): the code slab's donated writes, host-slab
+    rebinds on growth, codebook retrains, and the host refine all run
+    under concurrent writers/readers/compaction without corruption."""
+
+    import threading
+
+    from mmrag_tpu.index.store import VectorIndex
+    from mmrag_tpu.storage.records import VectorRow
+
+    index = VectorIndex(dim=64, dtype="pq")
+    vecs = _clustered(rng, n=64, d=64, centers=8)
+    errors = []
+
+    def writer(tid):
+        try:
+            for i in range(8):
+                index.upsert([
+                    VectorRow(chunk_id=f"t{tid}-c{i}", user_id=f"u{tid}",
+                              document_id=f"d{tid}", modality="text",
+                              embedding=vecs[(tid * 8 + i) % 64])
+                ])
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    def reader(tid):
+        try:
+            for _ in range(6):
+                hits = index.search(vecs[tid], f"u{tid % 4}", k=5)
+                for cid, _score in hits:
+                    assert cid.startswith(f"t{tid % 4}-"), cid
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    def compactor():
+        try:
+            for _ in range(3):
+                index.compact()
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    threads = (
+        [threading.Thread(target=writer, args=(t,)) for t in range(4)]
+        + [threading.Thread(target=reader, args=(t,)) for t in range(4)]
+        + [threading.Thread(target=compactor)]
+    )
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert len(index) == 32
+    for tid in range(4):
+        hits = index.search(vecs[tid * 8], f"u{tid}", k=10)
+        assert hits and all(c.startswith(f"t{tid}-") for c, _ in hits)
+
+
 def test_engine_pq_mode_end_to_end(tmp_path):
     """TPU_INDEX_DTYPE=pq through the full engine: ingest -> retrieve works
     and snapshots persist (runs on the multi-device CPU mesh, so the engine
