@@ -22,11 +22,14 @@ TPU-first design decisions:
     serves ~50M rows at q=16 where the bf16 slab caps out near 10M. The
     f32 originals stay in HOST RAM (see ``VectorIndex``) for snapshots and
     exact refine — host memory is the abundant tier.
-  * **ADC as lax.scan of small-table gathers** (XLA path): per subvector,
-    ``scores += table[m][codes[:, m]]`` — the (K, q) tables are tiny and the
-    accumulator is the only large operand. A one-hot-matmul Pallas variant
-    (tables resident in VMEM, one-hot never touching HBM) is the headline
-    kernel once measured; the scan path is the correct-everywhere fallback.
+  * **Fused Pallas ADC** (``_pq_topk_fused``): the two-phase bucket-max
+    recipe of ``ops/pallas_topk.py`` applied to codes — per tile, one-hot
+    MXU contractions against VMEM-resident bf16 tables score 2048 rows
+    without the (n, q) matrix ever touching HBM, reduced to per-bucket
+    maxima; hottest buckets are ADC-rescored in XLA. The scan-of-gathers
+    path (``_pq_topk_scan``) remains the correct-everywhere fallback for
+    sub-tile corpora and mesh shards; both consume the same bf16-rounded
+    tables so their scores are identical.
   * **Exact refine on host**: ADC returns ``k * refine`` candidates; the
     caller rescores them against the host-RAM originals (a (q, k*refine, d)
     numpy matmul — microseconds) and keeps the true top-k. This is LanceDB's
@@ -36,12 +39,15 @@ TPU-first design decisions:
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from .topk import NEG_INF
 
@@ -176,6 +182,152 @@ def _adc_tables(queries: jnp.ndarray, codebooks: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
+def _pq_topk_scan(
+    queries: jnp.ndarray,  # (q, d) f32, L2-normalized
+    codebooks: jnp.ndarray,  # (m, K, ds) f32
+    codes: jnp.ndarray,  # (n, m) int8 (bias -128)
+    valid_mask: jnp.ndarray,  # (n,) or (q, n) bool
+    k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Scan-of-gathers ADC path (correct everywhere; serves small corpora
+    and sub-tile shards). The scan carries ONLY the (n, q) f32 accumulator;
+    each step gathers from a (K, q) table with (n,) codes — no (n, m, K)
+    one-hot ever materializes, and the int8 codes upcast per step (an (n,)
+    int32 transient), so peak search HBM is the m-byte code slab + ~8q
+    B/row of accumulator/top-k working set. Tables are rounded to bf16 —
+    the same values the fused kernel's MXU consumes — so both paths score
+    identically (each ADC term is one exact bf16 selection, f32-summed)."""
+
+    n = codes.shape[0]
+    q = queries.shape[0]
+    tables = _adc_tables(queries, codebooks).astype(jnp.bfloat16)  # (m, K, q)
+    codes_t = codes.T  # (m, n) int8 — same bytes as the code slab
+
+    def step(acc, inputs):
+        table, c = inputs  # (K, q) bf16, (n,) int8
+        sel = jnp.take(table, c.astype(jnp.int32) + 128, axis=0)
+        return acc + sel.astype(jnp.float32), None
+
+    scores, _ = jax.lax.scan(
+        step, jnp.zeros((n, q), jnp.float32), (tables, codes_t)
+    )
+    scores = scores.T  # (q, n)
+    mask = valid_mask if valid_mask.ndim == 2 else valid_mask[None, :]
+    scores = jnp.where(mask, scores, NEG_INF)
+    return jax.lax.top_k(scores, k)
+
+
+# -- fused Pallas ADC (two-phase bucket-max, mirrors ops/pallas_topk.py) -----
+
+ADC_TILE = 2048  # code rows per grid step
+ADC_BUCKET = 128  # rows per bucket (one lane tile)
+ADC_MARGIN = 4  # extra buckets rescored (tie safety)
+
+
+def _adc_bucket_max_kernel(tables_ref, codes_ref, bias_ref, out_ref):
+    """One code tile: ADC scores via one-hot MXU matmuls, reduced to
+    per-bucket maxima — the (n, q) score matrix never touches HBM.
+
+    tables (m, qp, K) bf16 resident in VMEM; per subvector j the kernel
+    builds the (K, tile) one-hot of the tile's j-th code column on the VPU
+    and contracts ``tables[j] @ onehot`` on the MXU: each output element
+    selects exactly one bf16 table entry (1.0 is exact in bf16), summed in
+    f32 — bit-identical to the scan path's gathers of the same bf16
+    tables."""
+
+    tile, m = codes_ref.shape
+    K = tables_ref.shape[2]
+    qp = tables_ref.shape[1]
+    codes = codes_ref[:].astype(jnp.int32) + 128  # (tile, m)
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (K, tile), 0)
+    acc = jnp.zeros((qp, tile), jnp.float32)
+    for j in range(m):
+        onehot = (codes[:, j][None, :] == iota_k).astype(jnp.bfloat16)
+        acc = acc + jax.lax.dot_general(
+            tables_ref[j],  # (qp, K) bf16
+            onehot,  # (K, tile) bf16
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    scores = acc + bias_ref[:]  # (qp, tile) or broadcast (1, tile)
+    out_ref[0] = jnp.max(
+        scores.reshape(qp, tile // ADC_BUCKET, ADC_BUCKET), axis=-1
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def _pq_topk_fused(
+    tables: jnp.ndarray,  # (m, qp, K) bf16 per-query ADC tables
+    codes: jnp.ndarray,  # (Np, m) int8, Np % ADC_TILE == 0
+    bias: jnp.ndarray,  # (1|qp, Np) f32: 0 live / NEG_INF masked-or-padded
+    k: int,
+    interpret: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    m, qp, K = tables.shape
+    np_ = codes.shape[0]
+    n_buckets = np_ // ADC_BUCKET
+    n_tiles = np_ // ADC_TILE
+    bpt = ADC_TILE // ADC_BUCKET
+
+    tile_max = pl.pallas_call(
+        _adc_bucket_max_kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((m, qp, K), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ADC_TILE, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (bias.shape[0], ADC_TILE), lambda i: (0, i),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, qp, bpt), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, qp, bpt), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * qp * np_ * K * m,
+            bytes_accessed=np_ * m + qp * np_ * 4 // ADC_BUCKET,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(tables, codes, bias)
+    bucket_max = tile_max.transpose(1, 0, 2).reshape(qp, n_buckets)
+
+    # Phase B: hottest buckets per query (exact for the ADC ordering: every
+    # top-k row makes its bucket max >= the k-th score, so k + margin
+    # buckets cover the top-k set).
+    kb = min(k + ADC_MARGIN, n_buckets)
+    _, bucket_idx = jax.lax.top_k(bucket_max, kb)
+
+    # Phase C: exact ADC rescore of candidate rows only (XLA gathers over
+    # kb*128 rows per query — tiny next to the corpus).
+    rows = bucket_idx[:, :, None] * ADC_BUCKET + jnp.arange(ADC_BUCKET)[None, None, :]
+    rows = rows.reshape(qp, kb * ADC_BUCKET)  # (qp, C)
+    cand_codes = (
+        jnp.take(codes, rows.reshape(-1), axis=0)
+        .reshape(qp, kb * ADC_BUCKET, m)
+        .astype(jnp.int32)
+        + 128
+    )
+    acc = jnp.zeros((qp, kb * ADC_BUCKET), jnp.float32)
+    for j in range(m):
+        tq = tables[j]  # (qp, K) bf16
+        acc = acc + jnp.take_along_axis(
+            tq, cand_codes[:, :, j], axis=1
+        ).astype(jnp.float32)
+    if bias.shape[0] == 1:
+        cand_bias = jnp.take(bias[0], rows.reshape(-1)).reshape(qp, kb * ADC_BUCKET)
+    else:
+        cand_bias = jnp.take_along_axis(bias, rows, axis=1)
+    top_scores, local = jax.lax.top_k(acc + cand_bias, k)
+    top_idx = jnp.take_along_axis(rows, local, axis=-1)
+    return top_scores, top_idx.astype(jnp.int32)
+
+
+def _round_up(x: int, mult: int) -> int:
+    return -(-x // mult) * mult
+
+
 def pq_topk(
     queries: jnp.ndarray,  # (q, d) f32, L2-normalized
     codebooks: jnp.ndarray,  # (m, K, ds) f32
@@ -187,29 +339,46 @@ def pq_topk(
     predicate semantics (mask applied before top-k, same contract as
     ``ops.topk.cosine_topk``). Returns (scores (q, k) f32, idx (q, k) i32).
 
-    The scan carries ONLY the (n, q) f32 accumulator; each step gathers
-    from a (K, q) table with (n,) codes — no (n, m, K) one-hot ever
-    materializes, and the int8 codes upcast per step (an (n,) int32
-    transient), so peak search HBM is the m-byte code slab + ~8q B/row of
-    accumulator/top-k working set, not a resident 4m B/row int32 copy.
-    """
+    Routing: corpora of >= ADC_TILE rows take the fused Pallas two-phase
+    path (one-hot MXU scoring + bucket maxima, the (n, q) score matrix
+    never written to HBM — vs the scan path's m accumulator round-trips);
+    smaller corpora and sub-tile mesh shards take the scan path. Both
+    score from the same bf16-rounded tables, so results are identical.
+    ``MMRAG_ADC_IMPL=scan|fused`` overrides for bisection."""
 
     n = codes.shape[0]
     q = queries.shape[0]
-    tables = _adc_tables(queries, codebooks)  # (m, K, q)
-    codes_t = codes.T  # (m, n) int8 — same bytes as the code slab
+    k = min(k, n)
+    override = os.environ.get("MMRAG_ADC_IMPL", "")
+    if override != "fused" and (n < ADC_TILE or override == "scan"):
+        return _pq_topk_scan(queries, codebooks, codes, valid_mask, k)
 
-    def step(acc, inputs):
-        table, c = inputs  # (K, q) f32, (n,) int8
-        return acc + jnp.take(table, c.astype(jnp.int32) + 128, axis=0), None
+    m = codebooks.shape[0]
+    qp = max(8, _round_up(q, 8))
+    if qp != q:
+        queries = jnp.pad(queries, ((0, qp - q), (0, 0)))
+    tables = jnp.transpose(
+        _adc_tables(queries, codebooks), (0, 2, 1)
+    ).astype(jnp.bfloat16)  # (m, qp, K)
+    np_ = _round_up(n, ADC_TILE)
+    if np_ != n:
+        codes = jnp.pad(codes, ((0, np_ - n), (0, 0)))
+        pad_spec = (
+            ((0, 0), (0, np_ - n)) if valid_mask.ndim == 2 else (0, np_ - n)
+        )
+        valid_mask = jnp.pad(valid_mask, pad_spec)
+    if valid_mask.ndim == 2:
+        bias = jnp.where(valid_mask, 0.0, NEG_INF).astype(jnp.float32)
+        if qp != q:
+            bias = jnp.pad(
+                bias, ((0, qp - q), (0, 0)), constant_values=float(NEG_INF)
+            )
+    else:
+        bias = jnp.where(valid_mask, 0.0, NEG_INF).astype(jnp.float32)[None, :]
 
-    scores, _ = jax.lax.scan(
-        step, jnp.zeros((n, q), jnp.float32), (tables, codes_t)
-    )
-    scores = scores.T  # (q, n)
-    mask = valid_mask if valid_mask.ndim == 2 else valid_mask[None, :]
-    scores = jnp.where(mask, scores, NEG_INF)
-    return jax.lax.top_k(scores, k)
+    interpret = jax.default_backend() == "cpu"
+    scores, idx = _pq_topk_fused(tables, codes, bias, k, interpret)
+    return scores[:q], idx[:q]
 
 
 def refine_exact(

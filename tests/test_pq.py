@@ -99,6 +99,56 @@ def test_refine_keeps_filler_sentinels(rng):
     assert (s[0][2:] <= -1e29).all() and (s[1][1:] <= -1e29).all()
 
 
+def test_fused_adc_matches_scan(rng):
+    """The fused Pallas two-phase path (>= ADC_TILE rows routes there;
+    interpret mode on CPU) returns the same scores and ids as the scan
+    path — both consume the same bf16-rounded tables, and phase B's
+    k+margin buckets cover the ADC top-k exactly."""
+
+    n = pq.ADC_TILE * 2 + 700  # non-tile-multiple: exercises row padding
+    rows = jnp.asarray(_clustered(rng, n=n, d=64, centers=64))
+    books = pq.train_pq(rows, m=8, iters=4)
+    codes = pq.pq_encode(rows, books)
+    queries = rows[:5]  # q=5: exercises query padding to 8
+    mask = np.ones((n,), bool)
+    mask[::7] = False  # shared mask with dead rows
+    sf, if_ = pq.pq_topk(queries, books, codes, jnp.asarray(mask), 20)
+    ss, is_ = pq._pq_topk_scan(queries, books, codes, jnp.asarray(mask), 20)
+    sf, if_, ss, is_ = map(np.asarray, (sf, if_, ss, is_))
+    # both paths sum the same bf16 table entries in f32: score vectors are
+    # bit-equal; ids may tie-swap (phase C breaks ties in bucket order, the
+    # scan in global order), so ids are checked score-by-score
+    np.testing.assert_array_equal(sf, ss)
+    tables = np.asarray(
+        pq._adc_tables(queries, books).astype(jnp.bfloat16), np.float32
+    )  # (m, K, q)
+    codes_np = np.asarray(codes, np.int64) + 128
+    m = tables.shape[0]
+    for qi in range(5):
+        fused_scores = sum(
+            tables[j, codes_np[if_[qi], j], qi] for j in range(m)
+        ).astype(np.float32)
+        np.testing.assert_array_equal(fused_scores, sf[qi])
+        swapped = if_[qi] != is_[qi]
+        assert (sf[qi][swapped] == ss[qi][swapped]).all()  # ties only
+
+    # per-query tenant masks through the fused path
+    qmask = np.zeros((5, n), bool)
+    qmask[0, :50] = True
+    qmask[1, 50:100] = True
+    qmask[2, :] = False
+    qmask[3, -30:] = True  # rows in the padded tail's last real tile
+    qmask[4, :] = True
+    sf, if_ = pq.pq_topk(queries, books, codes, jnp.asarray(qmask), 10)
+    sf, if_ = np.asarray(sf), np.asarray(if_)
+    assert set(if_[0][sf[0] > -1e29]) <= set(range(50))
+    assert set(if_[1][sf[1] > -1e29]) <= set(range(50, 100))
+    assert (sf[2] <= -1e29).all()
+    assert set(if_[3][sf[3] > -1e29]) <= set(range(n - 30, n))
+    ss, is_ = pq._pq_topk_scan(queries, books, codes, jnp.asarray(qmask), 10)
+    np.testing.assert_array_equal(if_[sf > -1e29], np.asarray(is_)[sf > -1e29])
+
+
 def test_wraps_when_fewer_rows_than_centroids(rng):
     rows = jnp.asarray(_clustered(rng, n=100, d=32))
     books = pq.train_pq(rows, m=4, iters=2)
