@@ -1238,6 +1238,7 @@ def main() -> None:
                       file=sys.stderr)
                 for s in remaining:
                     results.setdefault(s, None)
+                results["_device_wedged"] = True
                 break
             if len(results) == done_before:  # crashed on its FIRST step
                 first_step_failures += 1
@@ -1289,6 +1290,10 @@ def main() -> None:
                 "vs_baseline": rnd(minilm / 50_000.0 if minilm else None),
                 "extra": {
                     "backend": backend,
+                    # True when the accelerator runtime stopped answering the
+                    # liveness probe mid-run — null steps below are the
+                    # chip's fault, not the framework's
+                    "device_wedged": bool(r.get("_device_wedged", False)),
                     "minilm_seq256_embeds_per_sec": rnd(minilm256, 1),
                     "minilm_seq512_embeds_per_sec": rnd(minilm512, 1),
                     "ingest_embed_e2e_chunks_per_sec": rnd(ingest, 1),
