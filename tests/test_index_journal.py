@@ -141,6 +141,24 @@ class TestJournalReplication:
         for ra, rb in zip(ha, hb):
             assert ra == rb  # identical quantization -> identical scores
 
+    def test_pq_replicas_converge(self, rng, tmp_path):
+        """pq-mode replicas (api/worker split): both processes replay the
+        same journaled rows in the same order, codebook training is
+        deterministic, so codes, shortlists, and refined scores all
+        converge."""
+
+        _, a, b = _pair(tmp_path, dtype="pq")
+        a.upsert(_rows(rng, 48))
+        q = rng.standard_normal((2, 64)).astype(np.float32)
+        ha = a.search_batch(q, "u1", k=10)
+        hb = b.search_batch(q, "u1", k=10)  # replay happens on search
+        for ra, rb in zip(ha, hb):
+            assert ra == rb  # identical codes + identical host originals
+        assert b._pq is not None and b._size == 48
+        np.testing.assert_array_equal(
+            np.asarray(a._pq.codebooks), np.asarray(b._pq.codebooks)
+        )
+
     def test_rejected_upsert_not_journaled(self, rng, tmp_path):
         journal, a, b = _pair(tmp_path)
         bad = [
