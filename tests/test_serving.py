@@ -118,6 +118,43 @@ def test_process_pdf_and_chat(api):
     assert set(chat["citations"].keys()) == {"text", "images"}
 
 
+def test_process_pdf_and_chat_pq_index(tmp_path):
+    """The full HTTP contract over the product-quantized index layout
+    (TPU_INDEX_DTYPE=pq): ingest encodes to device codes, /chat_pro
+    retrieves through ADC + exact host refine."""
+
+    engine = tiny_engine(tmp_path, extra_env={"TPU_INDEX_DTYPE": "pq"})
+    assert engine.text_index.is_pq
+    queue = LocalJobQueue(str(tmp_path / "jobs.db"), workers=1)
+    server = make_server("127.0.0.1", 0, cfg=engine.cfg, engine=engine, queue=queue)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    client = httpx.Client(
+        base_url=f"http://127.0.0.1:{port}", headers={"X-API-Key": "test-key"},
+        timeout=30.0,
+    )
+    try:
+        pdf = _make_pdf_bytes(["The mitochondria is the powerhouse of the cell"])
+        res = client.post(
+            "/process-pdf/",
+            files={"file": ("bio.pdf", pdf, "application/pdf")},
+        )
+        assert res.status_code == 200, res.text
+        assert res.json()["document_status"] == "ready"
+        res = client.post(
+            "/chat_pro", json={"query": "what is the powerhouse of the cell?"}
+        )
+        assert res.status_code == 200
+        chat = res.json()
+        assert chat["results"] is not None and "citations" in chat
+    finally:
+        client.close()
+        server.shutdown()
+        queue.shutdown()
+        engine.close()
+
+
 def test_chat_response_cached_for_identical_query(api, monkeypatch):
     """Second identical request within the TTL returns the cached payload
     without re-running generation (the reference's @chat_cache)."""
