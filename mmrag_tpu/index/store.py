@@ -217,11 +217,6 @@ class VectorIndex:
         self.use_ivf = backend == "ivf"
         if self.use_ivf:
             backend = "auto"
-        if self.is_pq and self.use_ivf:
-            # flat PQ ADC already reads only m bytes/row — the partitioned
-            # layout's probe savings don't compose with codes yet; serve flat
-            _logger.info("pq index: flat ADC serves; ivf layout skipped")
-            self.use_ivf = False
         if self.is_pq and backend not in ("auto", "xla"):
             raise ValueError(
                 f"pq index supports backend auto/xla, not {backend!r} "
@@ -435,10 +430,21 @@ class VectorIndex:
                 self._slab, self._users, self._docs, self._live,
             )
         else:
-            s, i = _pq_search_multi(
-                self._pq.codebooks, self._slab, self._users, self._docs,
-                self._live, qj, jnp.asarray(uids), jnp.asarray(dids), cand,
-            )
+            ivf = self._ivf  # (re)built by _maybe_ivf at the search entrances
+            s = i = None
+            if ivf is not None and ivf.is_pq:
+                try:
+                    s, i = self._ivf_pq_dispatch(ivf, qj, uids, dids, cand)
+                except jax.errors.JaxRuntimeError:
+                    self._count_fallback("ivf_pq")
+                    _logger.warning(
+                        "ivf_pq probe failed at runtime; flat ADC retry"
+                    )
+            if s is None:
+                s, i = _pq_search_multi(
+                    self._pq.codebooks, self._slab, self._users, self._docs,
+                    self._live, qj, jnp.asarray(uids), jnp.asarray(dids), cand,
+                )
         host_rows = self._host_slab
 
         def collect():
@@ -447,6 +453,43 @@ class VectorIndex:
             return pqops.refine_exact(qh, host_rows, ci, cs, min(k, cand))
 
         return collect
+
+    def _ivf_pq_dispatch(self, ivf, qj, uids: np.ndarray, dids: np.ndarray,
+                         cand: int):
+        """Probed ADC over the coded layout + flat-ADC append tail, merged.
+
+        Bucket codes decode against the layout's snapshot codebooks
+        (``IVFData.pq_codebooks``); the tail (rows written after the build)
+        decodes against the CURRENT codebooks — both approximate the same
+        cosine and the exact host refine rescores the merged shortlist, so
+        a codebook retrain between build and search costs at most shortlist
+        quality, never score correctness."""
+
+        from ..ops.ivf import ivf_search_pred
+        from ..ops.pq import _pq_topk_scan
+        from ..ops.topk import merge_topk
+
+        uids_j = jnp.asarray(uids)
+        dids_j = jnp.asarray(dids)
+        s, i = ivf_search_pred(ivf, qj, uids_j, dids_j, cand, self.ivf_nprobe)
+        built = ivf.built_rows
+        appended = self._size - built
+        if appended > 0:
+            tail_len = min(
+                self._pow2(max(appended, 4096)), self._capacity - built
+            )
+            tmask = _predicate_mask_multi(
+                self._users[built:built + tail_len],
+                self._docs[built:built + tail_len],
+                self._live[built:built + tail_len],
+                uids_j, dids_j,
+            )
+            s2, i2 = _pq_topk_scan(
+                qj, self._pq.codebooks, self._slab[built:built + tail_len],
+                tmask, min(cand, tail_len),
+            )
+            s, i = merge_topk(s, i, s2, i2 + built, cand)
+        return s, i
 
     def _tombstone(self, chunk_ids: Sequence[str]) -> None:
         rows = [self._chunk_to_row[c] for c in chunk_ids if c in self._chunk_to_row]
@@ -630,11 +673,6 @@ class VectorIndex:
         host liveness array; a :meth:`compact` mid-build aborts the install
         (row ids changed)."""
 
-        if self.is_pq:
-            raise ValueError(
-                "pq index serves flat ADC; the bucket layout doesn't hold "
-                "codes yet (set TPU_INDEX_DTYPE=int8 for ivf+compression)"
-            )
         from ..ops import ivf as ivf_ops
 
         if self._sharding is not None:
@@ -645,7 +683,7 @@ class VectorIndex:
             return
 
         with self._lock:
-            if self._size == 0:
+            if self._size == 0 or (self.is_pq and self._pq is None):
                 self._ivf = None
                 return
             snap_size = self._size
@@ -661,15 +699,28 @@ class VectorIndex:
             # int8 slab: quantized rows cluster/probe via per-row scales —
             # the reference's partitioned-and-compressed IVF_PQ design point
             scales = self._scales[:snap_size] if self.dtype == jnp.int8 else None
+            # pq: the slab slice IS the codes; capture the codebooks that
+            # encoded them (a later retrain re-encodes in place, but this
+            # copy + its books stay mutually consistent) and the host
+            # originals for clustering ([0, snap_size) never mutates in
+            # place — growth/compact rebind fresh arrays)
+            pq_books = self._pq.codebooks if self.is_pq else None
+            host_rows = self._host_slab if self.is_pq else None
             jax.block_until_ready(slab)
 
         warm = self._ivf_warm_centroids
         self._ivf_warm_centroids = None  # one-shot; later rebuilds re-train
-        data = ivf_ops.build_ivf(
-            slab, n_clusters, bucket_factor, iters,
-            users=users, docs=docs, live=live, scales=scales,
-            centroids=warm,
-        )
+        if self.is_pq:
+            data = self._build_ivf_pq(
+                ivf_ops, slab, host_rows, snap_size, pq_books,
+                users, docs, live, n_clusters, bucket_factor, iters, warm,
+            )
+        else:
+            data = ivf_ops.build_ivf(
+                slab, n_clusters, bucket_factor, iters,
+                users=users, docs=docs, live=live, scales=scales,
+                centroids=warm,
+            )
 
         baseline = ivf_ops.structureless_baseline(data.n_clusters, self.dim)
         if self.ivf_min_structure and data.structure < self.ivf_min_structure * baseline:
@@ -709,6 +760,47 @@ class VectorIndex:
                 data.bucket_size, int(data.spill.shape[0]),
                 data.structure, baseline,
             )
+
+    def _build_ivf_pq(self, ivf_ops, codes, host_rows, snap_size, books,
+                      users, docs, live, n_clusters, bucket_factor, iters,
+                      warm):
+        """Build the literal IVF_PQ layout: cluster on the f32 HOST
+        originals (codes carry no clustering geometry), lay out the m-byte
+        codes in buckets. Training pushes only a strided <=131k sample to
+        the device; assignment streams the originals through in 65k
+        chunks — the full f32 corpus never materializes in HBM (the pq
+        mode's reason to exist)."""
+
+        from ..ops import pq as pqops
+
+        if warm is not None:
+            centroids = jnp.asarray(warm, jnp.float32)
+        else:
+            if n_clusters is None:
+                n_clusters = max(8, min(
+                    1 << int(np.ceil(np.log2(max(np.sqrt(snap_size) * 2, 8)))),
+                    snap_size,
+                ))
+            stride = max(-(-snap_size // 131072), 1)
+            sample = jnp.asarray(host_rows[:snap_size:stride][:131072])
+            centroids, _ = ivf_ops.kmeans(
+                sample, n_clusters, iters, train_sample=0
+            )
+        assigns: List[np.ndarray] = []
+        weighted = 0.0
+        for lo in range(0, snap_size, pqops.ENCODE_CHUNK):
+            hi = min(lo + pqops.ENCODE_CHUNK, snap_size)
+            chunk = jnp.asarray(host_rows[lo:hi])
+            a, st = ivf_ops._assign_with_structure(chunk, centroids)
+            assigns.append(np.asarray(a))
+            weighted += float(st) * chunk.shape[0]
+        assign_h = np.concatenate(assigns)
+        structure = weighted / snap_size
+        return ivf_ops.build_ivf(
+            codes, bucket_factor=bucket_factor, users=users, docs=docs,
+            live=live, centroids=centroids, assign=assign_h,
+            structure_override=structure, pq_codebooks=books,
+        )
 
     def drop_ivf(self) -> None:
         with self._lock:

@@ -160,10 +160,20 @@ class IVFData:
     # carry the per-slot dequantization scales. None = full-precision layout.
     scales_b: Optional[jnp.ndarray] = None  # (C, 1, B) f32
     spill_scales: Optional[jnp.ndarray] = None  # (S,) f32
+    # product-quantized layout (the reference's LITERAL IVF_PQ: partitioned
+    # AND num_sub_vectors-coded): buckets/spill hold m-byte ADC codes and
+    # this carries the codebooks that encoded them (a snapshot — the owning
+    # index may retrain its live codebooks later; probe scoring MUST use
+    # these so bucket codes decode in their own quantization).
+    pq_codebooks: Optional[jnp.ndarray] = None  # (m, K, ds) f32
     # mean best-assignment cosine at build time — the clusterability signal
     # the owning index compares against structureless_baseline() to decide
     # whether this layout is worth probing at all (VERDICT r1 item 7)
     structure: float = 0.0
+
+    @property
+    def is_pq(self) -> bool:
+        return self.pq_codebooks is not None
 
     @property
     def n_clusters(self) -> int:
@@ -202,6 +212,9 @@ def build_ivf(
     scales: Optional[jnp.ndarray] = None,  # (n,) f32: slab_rows is int8
     train_sample: int = 131072,
     centroids: Optional[jnp.ndarray] = None,  # (C, d): warm rebuild, no Lloyd
+    assign: Optional[np.ndarray] = None,  # (n,) precomputed assignment
+    structure_override: Optional[float] = None,  # with `assign`
+    pq_codebooks: Optional[jnp.ndarray] = None,  # slab_rows are ADC codes
 ) -> IVFData:
     """Cluster rows and lay them out in fixed-size buckets.
 
@@ -217,9 +230,22 @@ def build_ivf(
     assignment uses the raw integer dot (argmax is invariant to the positive
     per-row scale), and the bucket tensor keeps the rows quantized with the
     scales gathered alongside — HBM per row stays halved vs bf16.
+
+    With ``pq_codebooks`` the slab is the (n, m) int8 ADC code matrix (the
+    literal IVF_PQ: partitioned AND product-quantized). Codes carry no
+    usable geometry for clustering, so the caller precomputes the
+    assignment against the f32 ORIGINALS (host-resident in pq mode,
+    chunk-pushed to the device) and passes it via ``assign`` +
+    ``centroids`` + ``structure_override``; this function only does the
+    layout — slot bookkeeping on host, bucket gather of codes on device.
     """
 
     n, d = slab_rows.shape
+    if pq_codebooks is not None and (assign is None or centroids is None):
+        raise ValueError(
+            "pq layout needs a precomputed assignment + centroids "
+            "(codes carry no clustering geometry)"
+        )
     if users is None:
         users = jnp.zeros((n,), jnp.int32)
     if docs is None:
@@ -238,7 +264,18 @@ def build_ivf(
     align = 128 if bucket >= 64 else 8
     bucket = max(8, (bucket + align - 1) // align * align)
 
-    if centroids is not None:
+    if assign is not None:
+        # precomputed assignment (pq layout, or any caller that clustered
+        # out-of-band): no Lloyd, no assignment matmul — layout only
+        centroids = jnp.asarray(centroids, jnp.float32)
+        n_clusters = int(centroids.shape[0])
+        structure = (
+             0.0 if structure_override is None else float(structure_override)
+        )
+        bucket = int(-(-n * bucket_factor // n_clusters))
+        align = 128 if bucket >= 64 else 8
+        bucket = max(8, (bucket + align - 1) // align * align)
+    elif centroids is not None:
         # warm rebuild from persisted centroids: skip Lloyd entirely; only
         # the single assignment matmul runs (restart path — VectorIndex
         # snapshots carry the centroids)
@@ -338,6 +375,10 @@ def build_ivf(
         built_rows=n,
         scales_b=scales_b,
         spill_scales=spill_scales,
+        pq_codebooks=(
+            jnp.asarray(pq_codebooks, jnp.float32)
+            if pq_codebooks is not None else None
+        ),
         structure=structure,
     )
 
@@ -681,6 +722,87 @@ def _ivf_probe_pred_q(
     return s, jnp.take_along_axis(ids, sel, axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "nprobe"))
+def _ivf_probe_pred_adc(
+    queries: jnp.ndarray,  # (q, d) f32 normalized (probe selection only)
+    tables: jnp.ndarray,  # (m, q, K) bf16 per-query ADC tables
+    centroids: jnp.ndarray,
+    buckets: jnp.ndarray,  # (C, B, m) int8 ADC codes
+    bucket_ids: jnp.ndarray,
+    users_b: jnp.ndarray,
+    docs_b: jnp.ndarray,
+    live_b: jnp.ndarray,
+    uids: jnp.ndarray,
+    dids: jnp.ndarray,
+    k: int,
+    nprobe: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Predicated probe over PQ-CODED buckets (the literal IVF_PQ): probed
+    slots score by ADC table lookups against the layout's own codebook
+    tables (``ops.pq._adc_tables`` of ``IVFData.pq_codebooks``, bf16 — the
+    same rounding every flat pq path uses, so probe / spill / tail scores
+    merge on one scale). XLA path: the probed data is m bytes/slot, so the
+    gather the Pallas probe kernel exists to fix is ~48x smaller here."""
+
+    m = buckets.shape[2]
+    cscores = jnp.dot(queries, centroids.T, preferred_element_type=jnp.float32)
+    _, probes = jax.lax.top_k(cscores, nprobe)
+
+    def per_query(tq, probe, uid, did):  # tq (m, K)
+        codes = buckets[probe].reshape(-1, m).astype(jnp.int32) + 128
+        ids = bucket_ids[probe].reshape(-1)
+        s = jnp.zeros((codes.shape[0],), jnp.float32)
+        for j in range(m):
+            s = s + jnp.take(tq[j], codes[:, j]).astype(jnp.float32)
+        valid = (
+            (live_b[probe].reshape(-1) != 0)
+            & (users_b[probe].reshape(-1) == uid)
+            & ((did < 0) | (docs_b[probe].reshape(-1) == did))
+        )
+        return jnp.where(valid, s, NEG_INF), ids
+
+    scores, ids = jax.vmap(per_query, in_axes=(1, 0, 0, 0))(
+        tables, probes, uids, dids
+    )
+    s, sel = jax.lax.top_k(scores, k)
+    return s, jnp.take_along_axis(ids, sel, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _spill_scores_pred_adc(
+    tables: jnp.ndarray,  # (m, q, K) bf16
+    spill: jnp.ndarray,  # (S, m) int8 codes
+    spill_ids: jnp.ndarray,
+    spill_users: jnp.ndarray,
+    spill_docs: jnp.ndarray,
+    spill_live: jnp.ndarray,
+    uids: jnp.ndarray,
+    dids: jnp.ndarray,
+    k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    qn = tables.shape[1]
+    m = spill.shape[1]
+    codes = spill.astype(jnp.int32) + 128  # (S, m)
+
+    def per_query(tq, uid, did):
+        s = jnp.zeros((codes.shape[0],), jnp.float32)
+        for j in range(m):
+            s = s + jnp.take(tq[j], codes[:, j]).astype(jnp.float32)
+        valid = (
+            (spill_live != 0)
+            & (spill_users == uid)
+            & ((did < 0) | (spill_docs == did))
+        )
+        return jnp.where(valid, s, NEG_INF)
+
+    scores = jax.vmap(per_query, in_axes=(1, 0, 0))(tables, uids, dids)
+    kk = min(k, spill.shape[0])
+    s, sel = jax.lax.top_k(scores, kk)
+    return s, jnp.take_along_axis(
+        jnp.broadcast_to(spill_ids[None], (qn, spill_ids.shape[0])), sel, axis=1
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def _spill_scores_pred_q(
     queries: jnp.ndarray,  # (q, d) f32
@@ -806,6 +928,24 @@ def ivf_search_pred(
 
     nprobe = min(nprobe, ivf.n_clusters)
     k_eff = min(k, nprobe * ivf.bucket_size)
+    if ivf.is_pq:  # PQ-coded layout: ADC scoring against the layout's books
+        from .pq import _adc_tables
+
+        tables = jnp.transpose(
+            _adc_tables(queries, ivf.pq_codebooks), (0, 2, 1)
+        ).astype(jnp.bfloat16)  # (m, q, K)
+        s, i = _ivf_probe_pred_adc(
+            queries, tables, ivf.centroids, ivf.buckets, ivf.bucket_ids,
+            ivf.users_b, ivf.docs_b, ivf.live_b, uids, dids, k_eff, nprobe,
+        )
+        s, i = _pad_k(s, i, k)
+        if ivf.spill.shape[0]:
+            s2, i2 = _spill_scores_pred_adc(
+                tables, ivf.spill, ivf.spill_ids, ivf.spill_users,
+                ivf.spill_docs, ivf.spill_live, uids, dids, k,
+            )
+            s, i = merge_topk(s, i, s2, i2, k)
+        return s, i
     use_pallas = _use_pallas_probe(
         ivf.bucket_size, queries.shape[1], ivf.buckets.dtype.itemsize
     )

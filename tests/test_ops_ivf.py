@@ -454,3 +454,76 @@ def test_ivf_centroids_persist_for_warm_rebuild(rng, tmp_path):
         rtol=1e-6,
     )
     assert hits and hits[0][0] == "c9"
+
+
+def test_build_ivf_pq_layout(rng):
+    """The literal IVF_PQ (partitioned AND product-quantized): buckets hold
+    m-byte ADC codes, clustering comes precomputed from the f32 originals,
+    and probing every cluster reproduces the flat ADC scan's scores (same
+    bf16 tables — probe, spill, and flat paths share one scale)."""
+
+    from mmrag_tpu.ops import pq as pqops
+
+    mat = _clustered(rng, 800)
+    rows = jnp.asarray(mat)
+    books = pqops.train_pq(rows, m=8, iters=4)
+    codes = pqops.pq_encode(rows, books)
+    cents, assign = ivf_ops.kmeans(rows, 16, iters=4, train_sample=0)
+    _, structure = ivf_ops._assign_with_structure(rows, cents)
+    ivf = ivf_ops.build_ivf(
+        codes, n_clusters=16, centroids=cents, assign=np.asarray(assign),
+        structure_override=float(structure), pq_codebooks=books,
+    )
+    assert ivf.is_pq and ivf.buckets.dtype == jnp.int8
+    assert ivf.buckets.shape[2] == 8  # m bytes per slot
+    assert ivf.structure == pytest.approx(float(structure))
+
+    queries = jnp.asarray(mat[:8])
+    uids = jnp.zeros(8, jnp.int32)
+    dids = jnp.full(8, -1, jnp.int32)
+    s, ids = ivf_ops.ivf_search_pred(ivf, queries, uids, dids, 10, nprobe=16)
+    es, eids = pqops._pq_topk_scan(
+        queries, books, codes, jnp.ones((800,), bool), 10
+    )
+    s, ids, es, eids = map(np.asarray, (s, ids, es, eids))
+    # full probing covers every row (buckets + spill): identical ADC scores
+    np.testing.assert_allclose(s, es, atol=1e-6)
+    assert (ids[:, 0] == eids[:, 0]).all()  # distinct maxima agree exactly
+
+
+def test_build_ivf_pq_partial_probe_and_predicates(rng):
+    """Partial probing keeps >= 0.9 of the flat ADC's top-10 on clustered
+    data, and tenant/doc predicates + tombstones hold in the coded layout."""
+
+    from mmrag_tpu.ops import pq as pqops
+
+    mat = _clustered(rng, 2000)
+    rows = jnp.asarray(mat)
+    books = pqops.train_pq(rows, m=8, iters=4)
+    codes = pqops.pq_encode(rows, books)
+    cents, assign = ivf_ops.kmeans(rows, 32, iters=4, train_sample=0)
+    users = np.zeros(2000, np.int32)
+    users[1000:] = 7  # second tenant
+    ivf = ivf_ops.build_ivf(
+        codes, n_clusters=32, centroids=cents, assign=np.asarray(assign),
+        structure_override=1.0, pq_codebooks=books,
+        users=jnp.asarray(users),
+    )
+    queries = jnp.asarray(mat[100:116])
+    uids = jnp.zeros(16, jnp.int32)
+    dids = jnp.full(16, -1, jnp.int32)
+    _, ids = ivf_ops.ivf_search_pred(ivf, queries, uids, dids, 10, nprobe=8)
+    mask = np.zeros((2000,), bool)
+    mask[:1000] = True  # tenant 0's rows
+    _, fids = pqops._pq_topk_scan(queries, books, codes, jnp.asarray(mask), 10)
+    ids, fids = np.asarray(ids), np.asarray(fids)
+    assert (ids < 1000).all()  # tenant isolation in the coded layout
+    hit = np.mean([
+        len(set(ids[i]) & set(fids[i])) / 10 for i in range(16)
+    ])
+    assert hit >= 0.9, f"probed-vs-flat overlap {hit} too low"
+
+    # tombstones flow into the coded layout
+    ivf.mark_dead(np.arange(0, 1000))
+    s2, ids2 = ivf_ops.ivf_search_pred(ivf, queries, uids, dids, 10, nprobe=32)
+    assert (np.asarray(s2) <= -1e29).all()  # tenant 0 fully tombstoned

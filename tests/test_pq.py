@@ -311,8 +311,56 @@ def test_index_pq_rejects_kernel_backends():
 
     with pytest.raises(ValueError):
         VectorIndex(dim=64, dtype="pq", backend="pallas")
-    with pytest.raises(ValueError):
-        VectorIndex(dim=64, dtype="pq").build_ivf()
+
+
+def test_index_pq_ivf_composes(rng):
+    """TPU_TOPK_BACKEND=ivf + TPU_INDEX_DTYPE=pq: the literal IVF_PQ.
+    Clustering runs on the host originals, buckets hold m-byte codes,
+    probes score by ADC against the layout's snapshot codebooks, the
+    append tail scores flat-ADC with the current codebooks, and the exact
+    host refine rescores the merged shortlist — so hits carry true
+    cosines."""
+
+    from mmrag_tpu.index.store import VectorIndex
+
+    rows, mat = _mk_rows(rng, 600)
+    ix = VectorIndex(dim=64, dtype="pq", backend="ivf", ivf_min_rows=256)
+    ix.ivf_build_async = False
+    ix.upsert(rows)
+    hits = ix.search_batch(mat[7:8], "u1", k=3)[0]
+    assert ix._ivf is not None and ix._ivf.is_pq
+    assert ix._ivf.buckets.shape[2] == ix.pq_m  # coded buckets
+    assert hits and hits[0][0] == "c7" and hits[0][1] > 0.97
+
+    # probed + refined results match the flat pq index (same refine depth;
+    # generous shortlist, so partial probing keeps the true top-k)
+    flat = VectorIndex(dim=64, dtype="pq")
+    flat.upsert(rows)
+    q = mat[:4] + 0.05 * rng.standard_normal((4, 64)).astype(np.float32)
+    a = ix.search_batch(q, "u1", k=5)
+    b = flat.search_batch(q, "u1", k=5)
+    for ha, hb in zip(a, b):
+        assert [c for c, _ in ha] == [c for c, _ in hb]
+        np.testing.assert_allclose(
+            [s for _, s in ha], [s for _, s in hb], atol=1e-5
+        )
+
+    # append tail: scored flat-ADC with current codebooks, merged, refined
+    rows2, mat2 = _mk_rows(rng, 64, start=600)
+    ix.upsert(rows2)
+    tail_hits = ix.search_batch(mat2[11:12], "u1", k=3)[0]
+    assert tail_hits and tail_hits[0][0] == "c611"
+
+    # tenant isolation through the coded probe path
+    rows_b, mat_b = _mk_rows(rng, 64, user="bob", doc="db", start=700)
+    ix.upsert(rows_b)
+    assert all(
+        int(c[1:]) >= 700
+        for c, _ in ix.search_batch(mat_b[:1], "bob", k=5)[0]
+    )
+    # deletes flow into the layout
+    ix.delete_document("db")
+    assert ix.search_batch(mat_b[:1], "bob", k=5) == [[]]
 
 
 def test_index_pq_rejects_indivisible_m():
