@@ -598,6 +598,56 @@ def bench_pq(quick: bool):
     k1, k2 = (8, 2) if quick else (16, 4)
     adc_sec = _per_iter_seconds(make_step, k1, k2, queries, books, codes, mask)
 
+    # ivf_pq: probed ADC over the PQ-coded bucket layout (the literal
+    # IVF_PQ) @n. Clustering needs the f32 originals, which the bench only
+    # ever holds on device per slab — regenerate each slab and assign it
+    # there (the store assigns from its host originals the same chunked way)
+    from mmrag_tpu.ops import ivf as ivf_ops
+    from mmrag_tpu.ops.topk import merge_topk
+
+    n_cl = min(2048, max(64, n // 512))
+    cents, _ = ivf_ops.kmeans(slab0, n_cl, iters=4, train_sample=65536)
+    assign_h = np.concatenate([
+        np.asarray(ivf_ops._assign_with_structure(mk(i), cents)[0])
+        for i in range(max(n // slab_rows, 1))
+    ])
+    layout = ivf_ops.build_ivf(
+        codes, centroids=cents, assign=assign_h, structure_override=1.0,
+        pq_codebooks=books,
+    )
+    nprobe = min(64, layout.n_clusters)
+
+    def make_probe_step(kk, queries, books, cents, buckets, bucket_ids,
+                        users_b, docs_b, live_b, spill, spill_ids,
+                        spill_users, spill_docs, spill_live, uids, dids):
+        def body(i, acc):
+            qq = queries + 1e-6 * i
+            tables = jnp.transpose(
+                pqops._adc_tables(qq, books), (0, 2, 1)
+            ).astype(jnp.bfloat16)
+            s, ix = ivf_ops._ivf_probe_pred_adc(
+                qq, tables, cents, buckets, bucket_ids, users_b, docs_b,
+                live_b, uids, dids, cand, nprobe,
+            )
+            if spill.shape[0]:
+                s2, i2 = ivf_ops._spill_scores_pred_adc(
+                    tables, spill, spill_ids, spill_users, spill_docs,
+                    spill_live, uids, dids, cand,
+                )
+                s, ix = merge_topk(s, ix, s2, i2, cand)
+            return acc + s[0, 0] + ix[0, 0].astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, kk, body, jnp.float32(0.0))
+
+    uids0 = jnp.zeros((q_n,), jnp.int32)
+    dids0 = jnp.full((q_n,), -1, jnp.int32)
+    ivf_sec = _per_iter_seconds(
+        make_probe_step, k1, k2, queries, books, cents, layout.buckets,
+        layout.bucket_ids, layout.users_b, layout.docs_b, layout.live_b,
+        layout.spill, layout.spill_ids, layout.spill_users,
+        layout.spill_docs, layout.spill_live, uids0, dids0,
+    )
+
     # end-to-end + recall on the 131k slab (originals needed host-side)
     codes0 = codes[:slab_rows]
     mask0 = jnp.ones((slab_rows,), bool)
@@ -628,8 +678,34 @@ def bench_pq(quick: bool):
     recall = float(np.mean([
         len(set(ri[i]) & set(ei[i])) / 10.0 for i in range(16)
     ]))
+    # ivf_pq refined recall on the SAME encoder corpus: probed shortlist
+    # (partial probing) -> exact host refine -> vs exact scan. The 1M
+    # synthetic corpus above times the layout; quality is measured where
+    # the index operates (encoder geometry — synthetic overlap mostly
+    # measures that corpus's ADC tie-blur, not the layout).
+    ecents, _ = ivf_ops.kmeans(enc, min(512, max(64, en // 256)), iters=4,
+                               train_sample=65536)
+    eassign = np.asarray(ivf_ops._assign_with_structure(enc, ecents)[0])
+    elayout = ivf_ops.build_ivf(
+        ecodes, centroids=ecents, assign=eassign, structure_override=1.0,
+        pq_codebooks=ebooks,
+    )
+    ps, pix = ivf_ops.ivf_search_pred(
+        elayout, encq, jnp.zeros((16,), jnp.int32),
+        jnp.full((16,), -1, jnp.int32), cand,
+        min(64, elayout.n_clusters),
+    )
+    _, pri = pqops.refine_exact(
+        np.asarray(encq, np.float32), np.asarray(enc, np.float32),
+        np.asarray(pix), np.asarray(ps), 10,
+    )
+    ivf_recall = float(np.mean([
+        len(set(pri[i]) & set(ei[i])) / 10.0 for i in range(16)
+    ]))
     return {
         "adc_ms": round(adc_sec * 1e3, 3),
+        "ivf_pq_ms": round(ivf_sec * 1e3, 3),
+        "ivf_pq_recall": ivf_recall,
         "e2e_ms": round(e2e_sec * 1e3, 3),
         "recall": recall,
     }
@@ -1313,6 +1389,9 @@ def main() -> None:
                     "ivf_10m_vs_target_5ms": rnd(
                         5.0 / ivf_i8_10m_ms if ivf_i8_10m_ms else None),
                     "pq_1m_adc_p50_ms": pq_r.get("adc_ms"),
+                    "pq_1m_ivf_pq_p50_ms": pq_r.get("ivf_pq_ms"),
+                    "pq_ivf_pq_refined_recall_at_10": rnd(
+                        pq_r.get("ivf_pq_recall")),
                     "pq_1m_e2e_p50_ms": pq_r.get("e2e_ms"),
                     "pq_refined_recall_at_10": rnd(pq_r.get("recall")),
                     "ivf_encoder_recall_at_10": rnd(ivf_enc_recall),
