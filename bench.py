@@ -606,13 +606,13 @@ def bench_pq(quick: bool):
     from mmrag_tpu.ops.topk import merge_topk
 
     n_cl = min(2048, max(64, n // 512))
-    cents, _ = ivf_ops.kmeans(slab0, n_cl, iters=4, train_sample=65536)
+    ivf_cents, _ = ivf_ops.kmeans(slab0, n_cl, iters=4, train_sample=65536)
     assign_h = np.concatenate([
-        np.asarray(ivf_ops._assign_with_structure(mk(i), cents)[0])
+        np.asarray(ivf_ops._assign_with_structure(mk(i), ivf_cents)[0])
         for i in range(max(n // slab_rows, 1))
     ])
     layout = ivf_ops.build_ivf(
-        codes, centroids=cents, assign=assign_h, structure_override=1.0,
+        codes, centroids=ivf_cents, assign=assign_h, structure_override=1.0,
         pq_codebooks=books,
     )
     nprobe = min(64, layout.n_clusters)

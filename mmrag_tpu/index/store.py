@@ -435,7 +435,11 @@ class VectorIndex:
             if ivf is not None and ivf.is_pq:
                 try:
                     s, i = self._ivf_pq_dispatch(ivf, qj, uids, dids, cand)
+                    # materialize INSIDE the guard: dispatch errors surface
+                    # at readback, and the collector runs outside it
+                    s, i = np.asarray(s), np.asarray(i)
                 except jax.errors.JaxRuntimeError:
+                    s = i = None
                     self._count_fallback("ivf_pq")
                     _logger.warning(
                         "ivf_pq probe failed at runtime; flat ADC retry"
@@ -466,7 +470,7 @@ class VectorIndex:
         quality, never score correctness."""
 
         from ..ops.ivf import ivf_search_pred
-        from ..ops.pq import _pq_topk_scan
+        from ..ops.pq import pq_topk
         from ..ops.topk import merge_topk
 
         uids_j = jnp.asarray(uids)
@@ -484,7 +488,9 @@ class VectorIndex:
                 self._live[built:built + tail_len],
                 uids_j, dids_j,
             )
-            s2, i2 = _pq_topk_scan(
+            # pq_topk routes tails >= 2048 rows onto the fused Pallas ADC
+            # (the tail can reach half the corpus before a rebuild triggers)
+            s2, i2 = pq_topk(
                 qj, self._pq.codebooks, self._slab[built:built + tail_len],
                 tmask, min(cand, tail_len),
             )
@@ -777,10 +783,7 @@ class VectorIndex:
             centroids = jnp.asarray(warm, jnp.float32)
         else:
             if n_clusters is None:
-                n_clusters = max(8, min(
-                    1 << int(np.ceil(np.log2(max(np.sqrt(snap_size) * 2, 8)))),
-                    snap_size,
-                ))
+                n_clusters = ivf_ops.default_n_clusters(snap_size)
             stride = max(-(-snap_size // 131072), 1)
             sample = jnp.asarray(host_rows[:snap_size:stride][:131072])
             centroids, _ = ivf_ops.kmeans(
@@ -1544,6 +1547,7 @@ class VectorIndex:
             index._install_precoded(
                 chunk_ids, user_ids, document_ids, mat, pq_books, pq_codes
             )
+            index._ivf_warm_centroids = warm_centroids
             index._loaded_snapshot_seq = int(manifest.get("snapshot_seq", 0))
             return index
         rows = [

@@ -126,6 +126,22 @@ def structureless_baseline(n_clusters: int, d: int) -> float:
     return float(np.sqrt(2.0 * np.log(max(n_clusters, 2)) / d))
 
 
+def default_n_clusters(n: int) -> int:
+    """sqrt scaling keeps probe cost ~ O(sqrt n): 1M -> 2048 clusters."""
+
+    return max(8, min(1 << int(np.ceil(np.log2(max(np.sqrt(n) * 2, 8)))), n))
+
+
+def bucket_size(n: int, n_clusters: int, bucket_factor: float) -> int:
+    """Bucket capacity: factor x mean cluster size, lane-aligned (128) so
+    the Pallas probe kernel stays eligible; tiny indexes need only
+    sublane alignment."""
+
+    bucket = int(-(-n * bucket_factor // n_clusters))
+    align = 128 if bucket >= 64 else 8
+    return max(8, (bucket + align - 1) // align * align)
+
+
 # ---------------------------------------------------------------------------
 # Build
 # ---------------------------------------------------------------------------
@@ -256,13 +272,8 @@ def build_ivf(
     docs = jnp.asarray(docs, jnp.int32)
     live = jnp.asarray(live).astype(jnp.int32)
     if n_clusters is None:
-        # sqrt scaling keeps probe cost ~ O(sqrt n): 1M -> 2048 clusters
-        n_clusters = max(8, min(1 << int(np.ceil(np.log2(max(np.sqrt(n) * 2, 8)))), n))
-    bucket = int(-(-n * bucket_factor // n_clusters))
-    # lane-aligned buckets (128) keep the Pallas probe kernel eligible; tiny
-    # indexes just need sublane alignment
-    align = 128 if bucket >= 64 else 8
-    bucket = max(8, (bucket + align - 1) // align * align)
+        n_clusters = default_n_clusters(n)
+    bucket = bucket_size(n, n_clusters, bucket_factor)
 
     if assign is not None:
         # precomputed assignment (pq layout, or any caller that clustered
@@ -270,11 +281,9 @@ def build_ivf(
         centroids = jnp.asarray(centroids, jnp.float32)
         n_clusters = int(centroids.shape[0])
         structure = (
-             0.0 if structure_override is None else float(structure_override)
+            0.0 if structure_override is None else float(structure_override)
         )
-        bucket = int(-(-n * bucket_factor // n_clusters))
-        align = 128 if bucket >= 64 else 8
-        bucket = max(8, (bucket + align - 1) // align * align)
+        bucket = bucket_size(n, n_clusters, bucket_factor)
     elif centroids is not None:
         # warm rebuild from persisted centroids: skip Lloyd entirely; only
         # the single assignment matmul runs (restart path — VectorIndex
@@ -286,9 +295,7 @@ def build_ivf(
             assign, structure = _assign_int8(slab_rows, centroids, scales)
         else:
             assign, structure = _assign_with_structure(slab_rows, centroids)
-        bucket = int(-(-n * bucket_factor // n_clusters))
-        align = 128 if bucket >= 64 else 8
-        bucket = max(8, (bucket + align - 1) // align * align)
+        bucket = bucket_size(n, n_clusters, bucket_factor)
     elif scales is not None:
         scales = jnp.asarray(scales, jnp.float32)
         # train on a dequantized sample only (bounded f32 materialization)
