@@ -124,7 +124,7 @@ def _search_multi(
     return cosine_topk(queries, slab, mask, k, backend)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
+@functools.partial(jax.jit, static_argnames=("k", "impl"))
 def _pq_search_multi(
     codebooks: jnp.ndarray,  # (m, K, ds) f32
     codes: jnp.ndarray,  # (capacity, m) int8
@@ -135,11 +135,12 @@ def _pq_search_multi(
     user_ids: jnp.ndarray,
     doc_ids: jnp.ndarray,
     k: int,
+    impl: str = "",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     from ..ops.pq import pq_topk
 
     mask = _predicate_mask_multi(users, docs, live, user_ids, doc_ids)
-    return pq_topk(queries, codebooks, codes, mask, k)
+    return pq_topk(queries, codebooks, codes, mask, k, impl)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "backend"))
@@ -450,9 +451,27 @@ class VectorIndex:
                     self._live, qj, jnp.asarray(uids), jnp.asarray(dids), cand,
                 )
         host_rows = self._host_slab
+        # captured refs for the scan retry below: consistent with host_rows
+        # and the caller's chunk-id snapshot even if the live slab moves on
+        books_c, codes_c = self._pq.codebooks, self._slab
+        users_c, docs_c, live_c = self._users, self._docs, self._live
 
         def collect():
-            cs, ci = np.asarray(s), np.asarray(i)
+            try:
+                cs, ci = np.asarray(s), np.asarray(i)
+            except jax.errors.JaxRuntimeError:
+                # the fused ADC kernel failed at readback (the opaque
+                # runtime-failure class KERNELS.md §3 documents): retry on
+                # the scan path against the CAPTURED buffers. If a donated
+                # write deleted them meanwhile, this raises again and the
+                # async caller's own catch re-runs the whole search fresh.
+                self._count_fallback("pq_fused")
+                _logger.warning("pq ADC failed at readback; scan-path retry")
+                s2, i2 = _pq_search_multi(
+                    books_c, codes_c, users_c, docs_c, live_c, qj,
+                    jnp.asarray(uids), jnp.asarray(dids), cand, "scan",
+                )
+                cs, ci = np.asarray(s2), np.asarray(i2)
             qh = np.asarray(qj, dtype=np.float32)
             return pqops.refine_exact(qh, host_rows, ci, cs, min(k, cand))
 

@@ -334,6 +334,7 @@ def pq_topk(
     codes: jnp.ndarray,  # (n, m) int8 (bias -128)
     valid_mask: jnp.ndarray,  # (n,) or (q, n) bool
     k: int,
+    impl: str = "",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Masked ADC top-k: approximate cosine via code tables, exact
     predicate semantics (mask applied before top-k, same contract as
@@ -344,12 +345,14 @@ def pq_topk(
     never written to HBM — vs the scan path's m accumulator round-trips);
     smaller corpora and sub-tile mesh shards take the scan path. Both
     score from the same bf16-rounded tables, so results are identical.
-    ``MMRAG_ADC_IMPL=scan|fused`` overrides for bisection."""
+    ``impl`` (or ``MMRAG_ADC_IMPL``) = ``scan``/``fused`` overrides — the
+    store's runtime-failure ladder retries a failed fused dispatch on the
+    scan path via ``impl="scan"``."""
 
     n = codes.shape[0]
     q = queries.shape[0]
     k = min(k, n)
-    override = os.environ.get("MMRAG_ADC_IMPL", "")
+    override = impl or os.environ.get("MMRAG_ADC_IMPL", "")
     if override != "fused" and (n < ADC_TILE or override == "scan"):
         return _pq_topk_scan(queries, codebooks, codes, valid_mask, k)
 

@@ -375,6 +375,38 @@ def test_index_pq_rejects_indivisible_m():
     VectorIndex(dim=512, dtype="pq", pq_m=32)  # 16/32/64 divide both dims
 
 
+def test_index_pq_fused_failure_degrades_to_scan(rng, monkeypatch):
+    """The runtime-failure ladder for the fused ADC kernel: a dispatch that
+    fails at readback (the opaque INVALID_ARGUMENT class) retries on the
+    scan path against the captured buffers and still answers."""
+
+    from mmrag_tpu.index import store as store_mod
+    from mmrag_tpu.index.store import VectorIndex
+
+    ix = VectorIndex(dim=64, dtype="pq")
+    rows, mat = _mk_rows(rng, 300)
+    ix.upsert(rows)
+    calls = {}
+    orig = store_mod._pq_search_multi
+
+    class _Boom:
+        def __array__(self, *a, **kw):
+            raise jax.errors.JaxRuntimeError("INVALID_ARGUMENT: injected")
+
+    def failing(*args, **kw):
+        impl = args[10] if len(args) > 10 else kw.get("impl", "")
+        if impl != "scan" and "failed" not in calls:
+            calls["failed"] = True
+            return _Boom(), _Boom()
+        calls["scan"] = True
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(store_mod, "_pq_search_multi", failing)
+    hits = ix.search_batch(mat[:2], "u1", k=5)
+    assert calls.get("failed") and calls.get("scan")
+    assert hits[0] and hits[0][0][0] == "c0"
+
+
 def test_index_pq_concurrent_upsert_search_compact(rng):
     """pq-mode race safety (mirror of the dense stress in
     test_index_store.py): the code slab's donated writes, host-slab
