@@ -328,6 +328,82 @@ def test_final_four_ids_and_order_match(stacks):
         )
 
 
+def test_pq_index_preserves_composed_ordering(stacks, tmp_path):
+    """Swapping the index layout to pq (m-byte ADC codes + exact host
+    refine) leaves the COMPOSED pipeline's final ids and order unchanged
+    vs the f32 engine: the refine pass returns true cosines, so the
+    rerank and z-fusion stages see the same scores."""
+
+    from mmrag_tpu.cache import clear_all_caches
+    from mmrag_tpu.ingest.pdf import extract_pdf_nodes
+    from mmrag_tpu.models.runtime import EncoderRuntime
+    from mmrag_tpu.rag import index_build as ib
+    from mmrag_tpu.rag import retrieve as rv
+    from mmrag_tpu.rag.engine import RagEngine
+    from mmrag_tpu.settings import load_settings
+    from mmrag_tpu.storage import Document
+    from mmrag_tpu.storage.records import Chunk, VectorRow
+
+    engine, ref, cfg = stacks
+    env = {
+        "TPU_INDEX_DIR": str(tmp_path / "index"),
+        "NOTES_DB_PATH": str(tmp_path / "notes.db"),
+        "WEIGHTS_DIR": cfg.paths.weights_dir,
+        "MEDIA_DIR": str(tmp_path / "media"),
+        "INGEST_CACHE_DIR": str(tmp_path / "cache"),
+        "TPU_COMPUTE_DTYPE": "float32",
+        "TPU_INDEX_DTYPE": "pq",
+        "TPU_MICROBATCH_WINDOW_MS": "0",
+        "TPU_DATA_PARALLEL": "off",
+        "RERANK_TOPK": "64",
+    }
+    cfg2 = load_settings(env)
+    runtime2 = EncoderRuntime(cfg2, clip_cfg=_CLIP_J)
+    pq_engine = RagEngine(cfg2, runtime2)
+    assert pq_engine.text_index.is_pq
+    pq_engine.metadata.upsert_document(
+        Document(document_id="doc1", user_id="u1", doc_type="pdf",
+                 title="ref pdf")
+    )
+    text_nodes, _ = extract_pdf_nodes("u1", "doc1", REFERENCE_PDF, cfg2)
+    ib.index_text_nodes("u1", text_nodes, pq_engine)
+    captions = [
+        "architecture diagram of the processing pipeline",
+        "bar chart of model accuracy results",
+        "photo of a warehouse worker lifting a box",
+        "flowchart of the retrieval system",
+        "screenshot of the web interface",
+    ]
+    cap_vecs = runtime2.embed_queries_for_images(captions)
+    image_rows = []
+    for i, (cap, vec) in enumerate(zip(captions, cap_vecs)):
+        cid = f"img-{i}"
+        pq_engine.metadata.upsert_chunks(
+            [Chunk(chunk_id=cid, document_id="doc1", user_id="u1",
+                   modality="image", text=cap, media_path=f"/tmp/{cid}.png")]
+        )
+        image_rows.append(
+            VectorRow(chunk_id=cid, user_id="u1", document_id="doc1",
+                      modality="image", embedding=np.asarray(vec))
+        )
+    pq_engine.image_index.upsert(image_rows)
+
+    for query in QUERIES:
+        base = rv.retrieve("u1", query, engine)
+        base_ids = [h["chunk_id"] for h in base["results"]]
+        # the retrieval/chat caches are process-global and keyed
+        # (user, query, version) — the two engines' version counters can
+        # coincide, so clear between the two retrievals
+        clear_all_caches()
+        got = rv.retrieve("u1", query, pq_engine)
+        got_ids = [h["chunk_id"] for h in got["results"]]
+        assert got_ids == base_ids, (
+            f"query {query!r}: pq {got_ids} vs f32 {base_ids}"
+        )
+        clear_all_caches()
+    pq_engine.close()
+
+
 def test_combined_scores_track_reference(stacks):
     """Beyond ordering: the fused combined_score values agree numerically.
     z-normalization amplifies raw-score drift by 1/std(scores) — with
