@@ -228,6 +228,46 @@ def _encoder_layer(
     return x + y
 
 
+def _final_cls_layer(
+    layer: Params,
+    x: jnp.ndarray,  # (b, s, h) residual stream entering the last layer
+    mask: jnp.ndarray,  # (b, s) {0,1} key validity (padded tokens are 0)
+    v: CLIPVisionConfig,
+    dtype,
+) -> jnp.ndarray:
+    """Last pre-LN encoder layer evaluated only at the CLS position.
+
+    CLIP pools the vision tower as ``post_LN(last_hidden[:, 0]) @ proj``
+    (HF ``CLIPVisionTransformer``): rows 1..s of the final layer's output are
+    discarded. Attention still needs k/v over every token (CLS attends to the
+    whole image), but q / the output projection / the MLP only matter for one
+    row per image — the same math as the full layer restricted to row 0.
+    """
+
+    b, s, h = x.shape
+    nh, hd = v.num_heads, v.head_dim
+    eps = v.layer_norm_eps
+    prec = _precision(dtype)
+    a_in = _layer_norm(layer["ln1"], x, eps).astype(dtype)
+    k = _dense(layer["k"], a_in, dtype).reshape(b, s, nh, hd)
+    val = _dense(layer["v"], a_in, dtype).reshape(b, s, nh, hd)
+    q = _dense(layer["q"], a_in[:, 0], dtype).reshape(b, nh, hd) * (hd**-0.5)
+    scores = jnp.einsum(
+        "bnd,bknd->bnk", q.astype(dtype), k.astype(dtype),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    scores = scores + ((1.0 - mask.astype(jnp.float32)) * -1e9)[:, None, :]
+    probs = jax.nn.softmax(scores, axis=-1)
+    ctx = jnp.einsum(
+        "bnk,bknd->bnd", probs.astype(dtype), val.astype(dtype),
+        preferred_element_type=jnp.float32, precision=prec,
+    ).reshape(b, h)
+    x_cls = x[:, 0].astype(jnp.float32) + _dense(layer["attn_out"], ctx, dtype)
+    y = _layer_norm(layer["ln2"], x_cls, eps).astype(dtype)
+    mlp = _dense(layer["fc2"], quick_gelu(_dense(layer["fc1"], y, dtype)), dtype)
+    return x_cls + mlp
+
+
 def patchify(pixels: jnp.ndarray, patch: int) -> jnp.ndarray:
     """(b, H, W, 3) -> (b, n_patches, 3*patch*patch) matching torch conv
     weight flattening order [in_channels, kh, kw]."""
@@ -279,7 +319,7 @@ def clip_image_features(
         x2 = x2.reshape(b * s_pad, h).astype(stream)
         from ..ops.mlp import fused_mlp_block
 
-        for layer in vp["layers"]:
+        for layer in vp["layers"][:-1]:
             # pre-LN attention block in one dispatch (q/k/v/ctx VMEM-resident)
             x2 = fused_attention_block(
                 x2, layer, v.num_heads, s_pad, v.layer_norm_eps, mask,
@@ -288,7 +328,14 @@ def clip_image_features(
             # pre-LN MLP block in one dispatch (the (rows, inter) activation
             # never touches HBM)
             x2 = fused_mlp_block(x2, layer, v.layer_norm_eps)
-        pooled = x2.reshape(b, s_pad, h)[:, 0]
+        # Final layer pruned to the CLS row: only position 0 feeds the pooled
+        # feature, so the last layer's q projection, attention output
+        # projection, and MLP run on 1 row/image instead of s_pad — exact for
+        # the CLS output (k/v still cover every token so CLS attends to the
+        # full image). Cuts ~6% of tower FLOPs at ViT-B/32 shapes.
+        pooled = _final_cls_layer(
+            vp["layers"][-1], x2.reshape(b, s_pad, h), mask, v, stream
+        )
     else:
         for layer in vp["layers"]:
             x = _encoder_layer(
