@@ -154,15 +154,18 @@ def _layer_norm(p: Params, x: jnp.ndarray, eps: float) -> jnp.ndarray:
 
 
 def _residual_ln(
-    p: Params, x2: jnp.ndarray, delta: jnp.ndarray, eps: float, out_dtype
+    p: Params, x2: jnp.ndarray, delta: jnp.ndarray, eps: float, out_dtype,
+    allow_fused: bool = True,
 ) -> jnp.ndarray:
     """LayerNorm(x2 + delta) in ``out_dtype`` — fused Pallas kernel on big
     on-chip batches (XLA's LN fusions measured ~7x over bandwidth, >50% of
-    encoder time); plain jnp elsewhere. f32 statistics either way."""
+    encoder time); plain jnp elsewhere. f32 statistics either way.
+    ``allow_fused=False`` pins plain jnp (the kernel has no VJP — training
+    paths that differentiate the encoder must stay off it)."""
 
     from ..ops.layernorm import use_fused_ln
 
-    if use_fused_ln(x2.shape[0]):
+    if allow_fused and use_fused_ln(x2.shape[0]):
         from ..ops.layernorm import fused_add_layer_norm
 
         return fused_add_layer_norm(
@@ -258,13 +261,15 @@ def bert_encode(
             )
         else:
             attn = _self_attention(layer, x, attention_mask, cfg, compute_dtype, impl=attention_impl)
-            x = _residual_ln(layer["attn_ln"], x, attn.astype(stream), cfg.layer_norm_eps, stream)
+            x = _residual_ln(layer["attn_ln"], x, attn.astype(stream), cfg.layer_norm_eps, stream,
+                             allow_fused=attention_impl != "xla")
         inner = jax.nn.gelu(
             _dense(layer["ffn_in"], x, compute_dtype),
             approximate=cfg.gelu_approximate,
         )
         out = _dense(layer["ffn_out"], inner, compute_dtype)
-        x = _residual_ln(layer["ffn_ln"], x, out.astype(stream), cfg.layer_norm_eps, stream)
+        x = _residual_ln(layer["ffn_ln"], x, out.astype(stream), cfg.layer_norm_eps, stream,
+                         allow_fused=attention_impl != "xla")
     return x.reshape(b, s, cfg.hidden_size).astype(jnp.float32)
 
 
@@ -289,10 +294,18 @@ def minilm_embed(
     attention_mask: jnp.ndarray,
     cfg: BertConfig = MINILM_L6,
     compute_dtype=jnp.float32,
+    attention_impl: str = "auto",
 ) -> jnp.ndarray:
-    """Sentence embeddings: encode -> masked mean pool -> L2 normalize."""
+    """Sentence embeddings: encode -> masked mean pool -> L2 normalize.
 
-    hidden = bert_encode(params, input_ids, attention_mask, cfg, compute_dtype=compute_dtype)
+    ``attention_impl="xla"`` pins the einsum path — required under
+    ``jax.grad`` (the Pallas kernels have no VJP; training uses this).
+    """
+
+    hidden = bert_encode(
+        params, input_ids, attention_mask, cfg, compute_dtype=compute_dtype,
+        attention_impl=attention_impl,
+    )
     return l2_normalize(mean_pool(hidden, attention_mask))
 
 
@@ -303,6 +316,7 @@ def cross_encoder_score(
     token_type_ids: jnp.ndarray,
     cfg: BertConfig = MINILM_L6,
     compute_dtype=jnp.float32,
+    attention_impl: str = "auto",
 ) -> jnp.ndarray:
     """(query, passage) pair relevance logits, shape (b,).
 
@@ -314,6 +328,7 @@ def cross_encoder_score(
     hidden = bert_encode(
         params["bert"], input_ids, attention_mask, cfg,
         token_type_ids=token_type_ids, compute_dtype=compute_dtype,
+        attention_impl=attention_impl,
     )
     pooled = jnp.tanh(_dense(params["pooler"], hidden[:, 0], compute_dtype))
     return _dense(params["classifier"], pooled, compute_dtype)[:, 0]

@@ -172,6 +172,16 @@ def _layer_norm(p: Params, x: jnp.ndarray, eps: float) -> jnp.ndarray:
     return (x - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
 
 
+def _use_fused(impl: str, b: int, s: int) -> bool:
+    # "auto" defers to the measured gate; "xla" pins the differentiable
+    # einsum path (the Pallas kernels have no VJP — training forces this).
+    if impl == "auto":
+        from ..ops.attention import use_fused
+
+        return use_fused(b, s)
+    return impl == "fused"
+
+
 def _attention(
     layer: Params,
     x: jnp.ndarray,
@@ -179,11 +189,11 @@ def _attention(
     num_heads: int,
     head_dim: int,
     dtype,
+    impl: str = "auto",
 ) -> jnp.ndarray:
     b, s, h = x.shape
-    from ..ops.attention import use_fused
 
-    if use_fused(b, s):
+    if _use_fused(impl, b, s):
         from ..ops.attention import fused_encoder_attention
 
         q = _dense(layer["q"], x, dtype).astype(dtype)
@@ -221,8 +231,12 @@ def _encoder_layer(
     head_dim: int,
     eps: float,
     dtype,
+    impl: str = "auto",
 ) -> jnp.ndarray:
-    x = x + _attention(layer, _layer_norm(layer["ln1"], x, eps), bias, num_heads, head_dim, dtype)
+    x = x + _attention(
+        layer, _layer_norm(layer["ln1"], x, eps), bias, num_heads, head_dim,
+        dtype, impl=impl,
+    )
     y = _layer_norm(layer["ln2"], x, eps)
     y = _dense(layer["fc2"], quick_gelu(_dense(layer["fc1"], y, dtype)), dtype)
     return x + y
@@ -284,8 +298,12 @@ def clip_image_features(
     pixels: jnp.ndarray,  # (b, 224, 224, 3) f32, already normalized
     cfg: CLIPConfig = CLIP_VIT_B32,
     compute_dtype=jnp.float32,
+    attention_impl: str = "auto",
 ) -> jnp.ndarray:
-    """Unnormalized 512-d image features (HF ``get_image_features``)."""
+    """Unnormalized 512-d image features (HF ``get_image_features``).
+
+    ``attention_impl="xla"`` pins the differentiable einsum path (training).
+    """
 
     v = cfg.vision
     vp = params["vision"]
@@ -305,9 +323,7 @@ def clip_image_features(
     # masked out as keys, so real-token numerics are unchanged; CLS pooling
     # reads position 0 only (VERDICT r1 item 10).
     s_pad = -(-s // 8) * 8
-    from ..ops.attention import use_fused
-
-    if use_fused(b, s_pad):
+    if _use_fused(attention_impl, b, s_pad):
         from ..ops.attention import fused_attention_block
 
         mask = jnp.concatenate(
@@ -339,7 +355,8 @@ def clip_image_features(
     else:
         for layer in vp["layers"]:
             x = _encoder_layer(
-                layer, x, None, v.num_heads, v.head_dim, v.layer_norm_eps, compute_dtype
+                layer, x, None, v.num_heads, v.head_dim, v.layer_norm_eps,
+                compute_dtype, impl=attention_impl,
             )
         pooled = x[:, 0]
     pooled = _layer_norm(vp["post_ln"], pooled, v.layer_norm_eps)
@@ -352,6 +369,7 @@ def clip_text_features(
     attention_mask: jnp.ndarray,  # (b, 77) {0,1}
     cfg: CLIPConfig = CLIP_VIT_B32,
     compute_dtype=jnp.float32,
+    attention_impl: str = "auto",
 ) -> jnp.ndarray:
     """Unnormalized 512-d text features (HF CLIP text tower)."""
 
@@ -364,7 +382,8 @@ def clip_text_features(
     bias = causal + pad
     for layer in tp["layers"]:
         x = _encoder_layer(
-            layer, x, bias, t.num_heads, t.head_dim, t.layer_norm_eps, compute_dtype
+            layer, x, bias, t.num_heads, t.head_dim, t.layer_norm_eps,
+            compute_dtype, impl=attention_impl,
         )
     x = _layer_norm(tp["final_ln"], x, t.layer_norm_eps)
     # EOT pooling: the EOT token has the largest id in the CLIP vocab.

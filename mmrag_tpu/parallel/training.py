@@ -45,8 +45,14 @@ def clip_contrastive_loss(
 ) -> jnp.ndarray:
     from ..ops.topk import l2_normalize  # zero-safe (eps-guarded) variant
 
-    img = l2_normalize(jclip.clip_image_features(params, images, cfg, compute_dtype))
-    txt = l2_normalize(jclip.clip_text_features(params, input_ids, attention_mask, cfg, compute_dtype))
+    # attention_impl="xla": the fused Pallas kernels have no VJP, and the
+    # auto gate would pick them at production batch sizes on TPU — training
+    # must stay on the differentiable einsum path.
+    img = l2_normalize(jclip.clip_image_features(
+        params, images, cfg, compute_dtype, attention_impl="xla"))
+    txt = l2_normalize(jclip.clip_text_features(
+        params, input_ids, attention_mask, cfg, compute_dtype,
+        attention_impl="xla"))
     scale = jnp.exp(params["logit_scale"])
     logits = scale * img @ txt.T  # (b, b) global similarity
     labels = jnp.arange(logits.shape[0])
@@ -109,8 +115,10 @@ def minilm_mnr_loss(
     compute_dtype=jnp.float32,
     temperature: float = 0.05,
 ) -> jnp.ndarray:
-    q = jbert.minilm_embed(params, query_ids, query_mask, cfg, compute_dtype)
-    p = jbert.minilm_embed(params, pos_ids, pos_mask, cfg, compute_dtype)
+    q = jbert.minilm_embed(params, query_ids, query_mask, cfg, compute_dtype,
+                           attention_impl="xla")
+    p = jbert.minilm_embed(params, pos_ids, pos_mask, cfg, compute_dtype,
+                           attention_impl="xla")
     logits = (q @ p.T) / temperature  # (b, b) global similarity
     labels = jnp.arange(logits.shape[0])
     return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
@@ -165,7 +173,8 @@ def cross_encoder_loss(
     compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
     logits = jbert.cross_encoder_score(
-        params, input_ids, attention_mask, token_type_ids, cfg, compute_dtype
+        params, input_ids, attention_mask, token_type_ids, cfg, compute_dtype,
+        attention_impl="xla",
     )
     return optax.sigmoid_binary_cross_entropy(logits, labels).mean()
 

@@ -267,3 +267,44 @@ def test_cross_encoder_train_step_runs_and_learns(rng):
         losses.append(float(loss))
     assert all(np.isfinite(losses))
     assert min(losses[-3:]) < losses[0]
+
+
+def test_train_losses_differentiable_with_fused_kernels_forced(
+    tiny_train_clip, rng, monkeypatch
+):
+    # On a real TPU the auto gates route production batch shapes into the
+    # Pallas fused attention / LN kernels, which have NO VJP — training
+    # pins attention_impl="xla" (and plain-jnp LN) so jax.grad works no
+    # matter what the gates decide. Force-enable every kernel override and
+    # prove all three losses still differentiate.
+    from mmrag_tpu.models import bert as jbert
+    from mmrag_tpu.parallel.training import (
+        clip_contrastive_loss, cross_encoder_loss, minilm_mnr_loss,
+    )
+
+    monkeypatch.setenv("MMRAG_ATTN_IMPL", "fused")
+    monkeypatch.setenv("MMRAG_LN_IMPL", "fused")
+
+    ccfg = tiny_train_clip
+    cparams = jclip.init_clip_params(jax.random.PRNGKey(0), ccfg)
+    images = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    tids = jnp.asarray(rng.integers(1, 500, (2, 16)), jnp.int32)
+    tmask = jnp.ones((2, 16), jnp.int32)
+    g = jax.grad(clip_contrastive_loss)(cparams, images, tids, tmask, ccfg)
+    assert np.isfinite(float(jnp.sum(g["logit_scale"])))
+
+    bcfg = jbert.BertConfig(
+        vocab_size=512, hidden_size=32, num_layers=1, num_heads=4,
+        intermediate_size=64, max_position=32,
+    )
+    bparams = jbert.init_bert_params(jax.random.PRNGKey(1), bcfg)
+    ids = jnp.asarray(rng.integers(1, 500, (2, 8)), jnp.int32)
+    ones = jnp.ones((2, 8), jnp.int32)
+    g = jax.grad(minilm_mnr_loss)(bparams, ids, ones, ids, ones, bcfg)
+    assert np.isfinite(float(jnp.sum(g["embeddings"]["word"])))
+
+    xparams = jbert.init_cross_encoder_params(jax.random.PRNGKey(2), bcfg)
+    labels = jnp.asarray([0.0, 1.0], jnp.float32)
+    g = jax.grad(cross_encoder_loss)(
+        xparams, ids, ones, jnp.zeros_like(ids), labels, bcfg)
+    assert np.isfinite(float(jnp.sum(g["classifier"]["kernel"])))
