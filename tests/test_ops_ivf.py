@@ -216,7 +216,9 @@ def test_vector_index_ivf_background_build(rng):
     mat = _corpus(rng, 300)
     idx.upsert(_rows(mat))
     dense_hits = idx.search(mat[5], "u1", k=3)  # triggers the background build
-    for _ in range(100):
+    # generous wait: the background kmeans can take >5 s on a contended CPU
+    # (observed flaking under 4-way pytest-xdist)
+    for _ in range(1200):
         if idx._ivf is not None and not idx._ivf_building:
             break
         time.sleep(0.05)

@@ -65,7 +65,7 @@ def api(tmp_path, monkeypatch):
 
     client = httpx.Client(
         base_url=f"http://127.0.0.1:{port}", headers={"X-API-Key": "test-key"},
-        timeout=30.0,
+        timeout=300.0,  # generous: first-compile under a contended CPU can take minutes
     )
     yield client, queue
     client.close()
@@ -132,7 +132,7 @@ def test_process_pdf_and_chat_pq_index(tmp_path):
     thread.start()
     client = httpx.Client(
         base_url=f"http://127.0.0.1:{port}", headers={"X-API-Key": "test-key"},
-        timeout=30.0,
+        timeout=300.0,  # generous: first-compile under a contended CPU can take minutes
     )
     try:
         pdf = _make_pdf_bytes(["The mitochondria is the powerhouse of the cell"])
@@ -260,7 +260,7 @@ def test_youtube_job_flow_and_notes(api):
     res = client.post("/ingest/youtube", json={"url": "https://youtu.be/dQw4w9WgXcQ"})
     assert res.status_code == 202
     job_id = res.json()["job_id"]
-    final = queue.wait(job_id, timeout_sec=60)
+    final = queue.wait(job_id, timeout_sec=300)
     assert final["state"] == "SUCCESS", final
     assert final["result"]["text_nodes"] == 2
 
