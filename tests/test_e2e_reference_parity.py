@@ -336,7 +336,6 @@ def test_pq_index_preserves_composed_ordering(stacks, tmp_path):
 
     from mmrag_tpu.cache import clear_all_caches
     from mmrag_tpu.ingest.pdf import extract_pdf_nodes
-    from mmrag_tpu.models.runtime import EncoderRuntime
     from mmrag_tpu.rag import index_build as ib
     from mmrag_tpu.rag import retrieve as rv
     from mmrag_tpu.rag.engine import RagEngine
@@ -358,7 +357,10 @@ def test_pq_index_preserves_composed_ordering(stacks, tmp_path):
         "RERANK_TOPK": "64",
     }
     cfg2 = load_settings(env)
-    runtime2 = EncoderRuntime(cfg2, clip_cfg=_CLIP_J)
+    # reuse the fixture's runtime: cfg2 differs only in index-layer knobs
+    # (TPU_INDEX_DTYPE, index dir), so a fresh EncoderRuntime would recompile
+    # identical towers — ~200 s of pure compile on a CPU backend
+    runtime2 = engine.runtime
     pq_engine = RagEngine(cfg2, runtime2)
     assert pq_engine.text_index.is_pq
     pq_engine.metadata.upsert_document(

@@ -497,21 +497,13 @@ def test_engine_warmup_serving(tmp_path):
     real rows (the warmup tenant is never interned) and leaves retrieval
     results unchanged."""
 
-    from mmrag_tpu.rag.engine import RagEngine
     from mmrag_tpu.rag import index_build as ib
-    from mmrag_tpu.settings import load_settings
     from mmrag_tpu.storage import Document
+    from tiny import tiny_engine
 
-    env = {
-        "TPU_INDEX_DIR": str(tmp_path / "index"),
-        "NOTES_DB_PATH": str(tmp_path / "notes.db"),
-        "MEDIA_DIR": str(tmp_path / "media"),
-        "INGEST_CACHE_DIR": str(tmp_path / "cache"),
-        "TPU_MICROBATCH_WINDOW_MS": "0",
-        "TPU_COMPILE_CACHE_DIR": "",
-    }
-    cfg = load_settings(env)
-    engine = RagEngine(cfg)
+    # tiny towers: the subject is the warmup bucket sweep, not encoder
+    # numerics — full-size towers cost ~4 min of CPU compile here
+    engine = tiny_engine(tmp_path, extra_env={"TPU_COMPILE_CACHE_DIR": ""})
     engine.metadata.upsert_document(
         Document(document_id="d", user_id="u1", doc_type="pdf", title="T")
     )

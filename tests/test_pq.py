@@ -471,21 +471,16 @@ def test_engine_pq_mode_end_to_end(tmp_path):
     row-shards the code slab and serves the shard_map ADC path)."""
 
     from mmrag_tpu.rag import index_build as ib
-    from mmrag_tpu.rag.engine import RagEngine
     from mmrag_tpu.rag.retrieve import retrieve
-    from mmrag_tpu.settings import load_settings
     from mmrag_tpu.storage import Document
+    from tiny import tiny_engine
 
-    cfg = load_settings({
-        "TPU_INDEX_DIR": str(tmp_path / "index"),
-        "NOTES_DB_PATH": str(tmp_path / "notes.db"),
-        "MEDIA_DIR": str(tmp_path / "media"),
-        "INGEST_CACHE_DIR": str(tmp_path / "cache"),
+    # tiny towers: the subject is the pq index wiring, not encoder numerics
+    # — full-size towers cost ~4 min of CPU compile here
+    engine = tiny_engine(tmp_path, extra_env={
         "TPU_INDEX_DTYPE": "pq",
-        "TPU_MICROBATCH_WINDOW_MS": "0",
         "TPU_COMPILE_CACHE_DIR": "",
     })
-    engine = RagEngine(cfg)
     assert engine.text_index.is_pq and engine.image_index.is_pq
     engine.metadata.upsert_document(
         Document(document_id="d", user_id="u1", doc_type="pdf", title="T")
