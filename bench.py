@@ -32,6 +32,18 @@ import time
 
 import numpy as np
 
+_T0 = time.perf_counter()
+
+
+def _plog(msg: str) -> None:
+    """Stage progress on stderr (flushed): long steps stay attributable when
+    a child is killed by the driver's per-child timeout."""
+
+    import sys
+
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
 
 def _timed_readback(fn, *args, repeats: int = 3) -> float:
     """Median wall time of dispatch + scalar readback."""
@@ -557,7 +569,7 @@ def bench_pq(quick: bool):
     import jax.numpy as jnp
 
     from mmrag_tpu.ops import pq as pqops
-    from mmrag_tpu.ops.topk import cosine_topk, l2_normalize
+    from mmrag_tpu.ops.topk import l2_normalize
 
     n, d, q_n = (131_072 if quick else 1_048_576), 384, 16
     centers = 4096
@@ -574,7 +586,9 @@ def bench_pq(quick: bool):
 
     mk = jax.jit(make_slab)
     slab0 = mk(0)
+    _plog("pq: train_pq on slab0")
     books = pqops.train_pq(slab0, m=16)
+    _plog("pq: encoding slabs")
     codes = [pqops.pq_encode(slab0, books)]
     for i in range(1, max(n // slab_rows, 1)):
         codes.append(pqops.pq_encode(mk(i), books))
@@ -596,7 +610,9 @@ def bench_pq(quick: bool):
         return jax.lax.fori_loop(0, kk, body, jnp.float32(0.0))
 
     k1, k2 = (8, 2) if quick else (16, 4)
+    _plog(f"pq: timing fused ADC @{n}")
     adc_sec = _per_iter_seconds(make_step, k1, k2, queries, books, codes, mask)
+    _plog(f"pq: adc {adc_sec * 1e3:.3f} ms; building ivf_pq layout")
 
     # ivf_pq: probed ADC over the PQ-coded bucket layout (the literal
     # IVF_PQ) @n. Clustering needs the f32 originals, which the bench only
@@ -641,6 +657,7 @@ def bench_pq(quick: bool):
 
     uids0 = jnp.zeros((q_n,), jnp.int32)
     dids0 = jnp.full((q_n,), -1, jnp.int32)
+    _plog("pq: timing probed ADC (ivf_pq)")
     ivf_sec = _per_iter_seconds(
         make_probe_step, k1, k2, queries, books, cents, layout.buckets,
         layout.bucket_ids, layout.users_b, layout.docs_b, layout.live_b,
@@ -660,29 +677,41 @@ def bench_pq(quick: bool):
             q_host, rows_host, np.asarray(ix), np.asarray(s), 10
         )[1]
 
+    _plog(f"pq: ivf_pq {ivf_sec * 1e3:.3f} ms; timing e2e refine @131k")
     e2e_sec = _timed_readback(lambda: full(), repeats=5)
 
-    # refined recall@10 vs exact, on encoder-generated embeddings
+    # refined recall@10 vs exact, on encoder-generated embeddings.
+    # TIE-AWARE (the big-ann-benchmarks convention): a retrieved row counts
+    # if its TRUE f32 cosine is within 1e-3 (the repo-wide parity tolerance)
+    # of the exact 10th score. The templated corpus at 131k holds ~90
+    # same-template near-duplicates per query whose exact ordering is
+    # decided by sub-1e-3 score noise no 16-byte code (or bf16 scan) can
+    # rank — set-intersection recall measures that tie lottery, not the
+    # index (0.50 vs 0.97 tie-aware at 131k; identical at 16k where the
+    # template barely repeats). Ground truth is a host f32 matmul so both
+    # sides of the epsilon are dtype-exact.
+    _plog("pq: embedding encoder corpus for recall")
     enc, encq = _encoder_corpus(16_384 if quick else 131_072)
     en = enc.shape[0]
     emask = jnp.ones((en,), bool)
-    _, ei = cosine_topk(encq, enc.astype(jnp.bfloat16), emask, 10)
+    enc_h = np.asarray(enc, np.float32)
+    encq_h = np.asarray(encq, np.float32)
+    exact = encq_h @ enc_h.T  # (16, en) true cosines
+    thr = np.partition(exact, en - 10, axis=1)[:, en - 10] - 1e-3
+    _plog("pq: training/encoding pq on encoder corpus")
     ebooks = pqops.train_pq(enc, m=16)
     ecodes = pqops.pq_encode(enc, ebooks)
     es, eix = pqops.pq_topk(encq, ebooks, ecodes, emask, cand)
-    _, ri = pqops.refine_exact(
-        np.asarray(encq, np.float32), np.asarray(enc, np.float32),
-        np.asarray(eix), np.asarray(es), 10,
+    rs, _ = pqops.refine_exact(
+        encq_h, enc_h, np.asarray(eix), np.asarray(es), 10,
     )
-    ei = np.asarray(ei)
-    recall = float(np.mean([
-        len(set(ri[i]) & set(ei[i])) / 10.0 for i in range(16)
-    ]))
+    recall = float(np.mean(rs >= thr[:, None]))
     # ivf_pq refined recall on the SAME encoder corpus: probed shortlist
     # (partial probing) -> exact host refine -> vs exact scan. The 1M
     # synthetic corpus above times the layout; quality is measured where
     # the index operates (encoder geometry — synthetic overlap mostly
     # measures that corpus's ADC tie-blur, not the layout).
+    _plog("pq: ivf_pq recall on encoder corpus")
     ecents, _ = ivf_ops.kmeans(enc, min(512, max(64, en // 256)), iters=4,
                                train_sample=65536)
     eassign = np.asarray(ivf_ops._assign_with_structure(enc, ecents)[0])
@@ -695,13 +724,10 @@ def bench_pq(quick: bool):
         jnp.full((16,), -1, jnp.int32), cand,
         min(64, elayout.n_clusters),
     )
-    _, pri = pqops.refine_exact(
-        np.asarray(encq, np.float32), np.asarray(enc, np.float32),
-        np.asarray(pix), np.asarray(ps), 10,
+    prs, _ = pqops.refine_exact(
+        encq_h, enc_h, np.asarray(pix), np.asarray(ps), 10,
     )
-    ivf_recall = float(np.mean([
-        len(set(pri[i]) & set(ei[i])) / 10.0 for i in range(16)
-    ]))
+    ivf_recall = float(np.mean(prs >= thr[:, None]))
     return {
         "adc_ms": round(adc_sec * 1e3, 3),
         "ivf_pq_ms": round(ivf_sec * 1e3, 3),

@@ -229,20 +229,27 @@ def _adc_bucket_max_kernel(tables_ref, codes_ref, bias_ref, out_ref):
     per-bucket maxima — the (n, q) score matrix never touches HBM.
 
     tables (m, qp, K) bf16 resident in VMEM; per subvector j the kernel
-    builds the (K, tile) one-hot of the tile's j-th code column on the VPU
+    builds the (K, tile) one-hot of the tile's j-th code row on the VPU
     and contracts ``tables[j] @ onehot`` on the MXU: each output element
     selects exactly one bf16 table entry (1.0 is exact in bf16), summed in
     f32 — bit-identical to the scan path's gathers of the same bf16
-    tables."""
+    tables.
 
-    tile, m = codes_ref.shape
+    codes arrive LANE-MAJOR (m, tile): ``codes[j]`` is a sublane extract
+    already laid out along lanes, which broadcasts straight into the
+    (K, tile) compare. The row-major (tile, m) form needs a sublane->lane
+    relayout of each 2048-wide column extract, and Mosaic's compiler HANGS
+    (not errors — unbounded compile, >25 min at one tile) lowering that
+    int8 relayout; see KERNELS.md "Runtime hazard" round-2 postmortem."""
+
+    m, tile = codes_ref.shape
     K = tables_ref.shape[2]
     qp = tables_ref.shape[1]
-    codes = codes_ref[:].astype(jnp.int32) + 128  # (tile, m)
+    codes = codes_ref[:].astype(jnp.int32) + 128  # (m, tile)
     iota_k = jax.lax.broadcasted_iota(jnp.int32, (K, tile), 0)
     acc = jnp.zeros((qp, tile), jnp.float32)
     for j in range(m):
-        onehot = (codes[:, j][None, :] == iota_k).astype(jnp.bfloat16)
+        onehot = (codes[j][None, :] == iota_k).astype(jnp.bfloat16)
         acc = acc + jax.lax.dot_general(
             tables_ref[j],  # (qp, K) bf16
             onehot,  # (K, tile) bf16
@@ -253,6 +260,39 @@ def _adc_bucket_max_kernel(tables_ref, codes_ref, bias_ref, out_ref):
     out_ref[0] = jnp.max(
         scores.reshape(qp, tile // ADC_BUCKET, ADC_BUCKET), axis=-1
     )
+
+
+ADC_CAND_TILE = 2048  # candidate columns per rescore grid step
+
+
+def _adc_rescore_kernel(tables_ref, codes_ref, bias_ref, out_ref):
+    """Exact ADC rescore of ONE query's candidate tile (phase C).
+
+    Same one-hot MXU selection as ``_adc_bucket_max_kernel`` but with the
+    single query's (1, K) table row — grid walks (query, candidate-tile).
+    This replaces an XLA ``take_along_axis`` rescore: TPU gathers pay per
+    ELEMENT (m * C * q lookups measured 57 ms at C=21k, q=16), while the
+    one-hot contraction pays tiny padded MXU flops. The bias rides in so
+    the output is final: masked/padded candidates leave as NEG_INF.
+    Codes arrive lane-major (1, m, CT) per the phase-A Mosaic hazard
+    note (sublane->lane relayout hangs the compiler)."""
+
+    K = tables_ref.shape[2]
+    m = codes_ref.shape[1]
+    ct = codes_ref.shape[2]
+    codes = codes_ref[0].astype(jnp.int32) + 128  # (m, CT)
+    tq = tables_ref[0]  # (m, K) bf16 — this query's tables
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (K, ct), 0)
+    acc = jnp.zeros((1, ct), jnp.float32)
+    for j in range(m):
+        onehot = (codes[j][None, :] == iota_k).astype(jnp.bfloat16)
+        acc = acc + jax.lax.dot_general(
+            tq[j : j + 1],  # (1, K) — subvector j's table
+            onehot,  # (K, CT)
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    out_ref[0, 0] = acc[0] + bias_ref[0, 0]
 
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
@@ -269,12 +309,17 @@ def _pq_topk_fused(
     n_tiles = np_ // ADC_TILE
     bpt = ADC_TILE // ADC_BUCKET
 
+    # lane-major codes for the kernel (XLA transpose, 16 B/row; the
+    # row-major form stays live for phase C's row gathers). Mosaic hangs
+    # compiling the row-major layout — see the kernel docstring.
+    codes_t = codes.T  # (m, Np) int8
+
     tile_max = pl.pallas_call(
         _adc_bucket_max_kernel,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((m, qp, K), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ADC_TILE, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, ADC_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (bias.shape[0], ADC_TILE), lambda i: (0, i),
                 memory_space=pltpu.VMEM,
@@ -290,7 +335,7 @@ def _pq_topk_fused(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(tables, codes, bias)
+    )(tables, codes_t, bias)
     bucket_max = tile_max.transpose(1, 0, 2).reshape(qp, n_buckets)
 
     # Phase B: hottest buckets per query (exact for the ADC ordering: every
@@ -299,27 +344,67 @@ def _pq_topk_fused(
     kb = min(k + ADC_MARGIN, n_buckets)
     _, bucket_idx = jax.lax.top_k(bucket_max, kb)
 
-    # Phase C: exact ADC rescore of candidate rows only (XLA gathers over
-    # kb*128 rows per query — tiny next to the corpus).
+    # Phase C: exact ADC rescore of candidate rows only. Candidates are
+    # fetched BUCKET-granular (kb contiguous (128, m) blocks per query —
+    # XLA's TPU gather pays per row, so the block form costs ~40 us where
+    # kb*128 scattered m-byte rows cost ms), then rescored by the one-hot
+    # MXU kernel: an XLA take_along_axis rescore of the same candidates
+    # measured 57 ms @ C=21k/q=16 — per-ELEMENT gathers — vs ~1 ms here.
     rows = bucket_idx[:, :, None] * ADC_BUCKET + jnp.arange(ADC_BUCKET)[None, None, :]
-    rows = rows.reshape(qp, kb * ADC_BUCKET)  # (qp, C)
+    rows = rows.reshape(qp, kb * ADC_BUCKET)  # (qp, C) global row ids
+    C = kb * ADC_BUCKET
+    codes_b = codes.reshape(np_ // ADC_BUCKET, ADC_BUCKET, m)
     cand_codes = (
-        jnp.take(codes, rows.reshape(-1), axis=0)
-        .reshape(qp, kb * ADC_BUCKET, m)
-        .astype(jnp.int32)
-        + 128
+        jnp.take(codes_b, bucket_idx.reshape(-1), axis=0)
+        .reshape(qp, C, m)
+        .transpose(0, 2, 1)  # (qp, m, C) lane-major candidates
     )
-    acc = jnp.zeros((qp, kb * ADC_BUCKET), jnp.float32)
-    for j in range(m):
-        tq = tables[j]  # (qp, K) bf16
-        acc = acc + jnp.take_along_axis(
-            tq, cand_codes[:, :, j], axis=1
-        ).astype(jnp.float32)
     if bias.shape[0] == 1:
-        cand_bias = jnp.take(bias[0], rows.reshape(-1)).reshape(qp, kb * ADC_BUCKET)
+        bias_b = bias[0].reshape(np_ // ADC_BUCKET, ADC_BUCKET)
+        cand_bias = jnp.take(bias_b, bucket_idx.reshape(-1), axis=0).reshape(qp, C)
     else:
         cand_bias = jnp.take_along_axis(bias, rows, axis=1)
-    top_scores, local = jax.lax.top_k(acc + cand_bias, k)
+
+    cp = _round_up(C, ADC_CAND_TILE)
+    if cp != C:
+        cand_codes = jnp.pad(cand_codes, ((0, 0), (0, 0), (0, cp - C)))
+        cand_bias = jnp.pad(
+            cand_bias, ((0, 0), (0, cp - C)), constant_values=float(NEG_INF)
+        )
+        rows = jnp.pad(rows, ((0, 0), (0, cp - C)))
+
+    tables_q = tables.transpose(1, 0, 2)  # (qp, m, K): per-query blocks
+    scores = pl.pallas_call(
+        _adc_rescore_kernel,
+        grid=(qp, cp // ADC_CAND_TILE),
+        in_specs=[
+            pl.BlockSpec(
+                (1, m, K), lambda qi, ci: (qi, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, m, ADC_CAND_TILE),
+                lambda qi, ci: (qi, 0, ci),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, ADC_CAND_TILE), lambda qi, ci: (qi, 0, ci),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, ADC_CAND_TILE), lambda qi, ci: (qi, 0, ci),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((qp, 1, cp), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * qp * cp * K * m,
+            bytes_accessed=qp * cp * (m + 8),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(tables_q, cand_codes, cand_bias[:, None, :])[:, 0, :]
+
+    top_scores, local = jax.lax.top_k(scores, k)
     top_idx = jnp.take_along_axis(rows, local, axis=-1)
     return top_scores, top_idx.astype(jnp.int32)
 
