@@ -745,34 +745,47 @@ def _ivf_probe_pred_adc(
     nprobe: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Predicated probe over PQ-CODED buckets (the literal IVF_PQ): probed
-    slots score by ADC table lookups against the layout's own codebook
-    tables (``ops.pq._adc_tables`` of ``IVFData.pq_codebooks``, bf16 — the
-    same rounding every flat pq path uses, so probe / spill / tail scores
-    merge on one scale). XLA path: the probed data is m bytes/slot, so the
-    gather the Pallas probe kernel exists to fix is ~48x smaller here."""
+    slots score by ADC against the layout's own codebook tables
+    (``ops.pq._adc_tables`` of ``IVFData.pq_codebooks``, bf16 — the same
+    rounding every flat pq path uses, so probe / spill / tail scores merge
+    on one scale). Bucket fetch is block-granular XLA (q*nprobe contiguous
+    (B, m) blocks — cheap); SCORING goes through the shared one-hot MXU
+    rescore kernel: the old per-query table-lookup loop paid q*nprobe*B*m
+    per-element gathers, 136 ms @1M (nprobe 64, B 512, q 16) where the
+    kernel form measures ~2 ms."""
 
-    m = buckets.shape[2]
+    from .pq import adc_rescore_scores
+
+    q, B, m = queries.shape[0], buckets.shape[1], buckets.shape[2]
     cscores = jnp.dot(queries, centroids.T, preferred_element_type=jnp.float32)
-    _, probes = jax.lax.top_k(cscores, nprobe)
+    _, probes = jax.lax.top_k(cscores, nprobe)  # (q, nprobe)
 
-    def per_query(tq, probe, uid, did):  # tq (m, K)
-        codes = buckets[probe].reshape(-1, m).astype(jnp.int32) + 128
-        ids = bucket_ids[probe].reshape(-1)
-        s = jnp.zeros((codes.shape[0],), jnp.float32)
-        for j in range(m):
-            s = s + jnp.take(tq[j], codes[:, j]).astype(jnp.float32)
-        valid = (
-            (live_b[probe].reshape(-1) != 0)
-            & (users_b[probe].reshape(-1) == uid)
-            & ((did < 0) | (docs_b[probe].reshape(-1) == did))
-        )
-        return jnp.where(valid, s, NEG_INF), ids
-
-    scores, ids = jax.vmap(per_query, in_axes=(1, 0, 0, 0))(
-        tables, probes, uids, dids
+    flat = probes.reshape(-1)
+    S = nprobe * B
+    cand = (
+        jnp.take(buckets, flat, axis=0)
+        .reshape(q, S, m)
+        .transpose(0, 2, 1)  # (q, m, S) lane-major for the kernel
     )
-    s, sel = jax.lax.top_k(scores, k)
-    return s, jnp.take_along_axis(ids, sel, axis=1)
+    ids = jnp.take(bucket_ids, flat, axis=0).reshape(q, S)
+    live = jnp.take(live_b, flat, axis=0).reshape(q, S)
+    users = jnp.take(users_b, flat, axis=0).reshape(q, S)
+    docs = jnp.take(docs_b, flat, axis=0).reshape(q, S)
+    valid = (
+        (live != 0)
+        & (users == uids[:, None])
+        & ((dids[:, None] < 0) | (docs == dids[:, None]))
+    )
+    bias = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)
+
+    scores = adc_rescore_scores(tables, cand, bias)
+    s, sel = jax.lax.top_k(scores, min(k, S))
+    s, ids = s, jnp.take_along_axis(ids, sel, axis=1)
+    if s.shape[1] < k:  # degenerate tiny layouts: pad to the contract shape
+        pad = k - s.shape[1]
+        s = jnp.pad(s, ((0, 0), (0, pad)), constant_values=float(NEG_INF))
+        ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
+    return s, ids
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -787,22 +800,21 @@ def _spill_scores_pred_adc(
     dids: jnp.ndarray,
     k: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    from .pq import adc_rescore_scores
+
     qn = tables.shape[1]
-    m = spill.shape[1]
-    codes = spill.astype(jnp.int32) + 128  # (S, m)
-
-    def per_query(tq, uid, did):
-        s = jnp.zeros((codes.shape[0],), jnp.float32)
-        for j in range(m):
-            s = s + jnp.take(tq[j], codes[:, j]).astype(jnp.float32)
-        valid = (
-            (spill_live != 0)
-            & (spill_users == uid)
-            & ((did < 0) | (spill_docs == did))
-        )
-        return jnp.where(valid, s, NEG_INF)
-
-    scores = jax.vmap(per_query, in_axes=(1, 0, 0))(tables, uids, dids)
+    S, m = spill.shape
+    valid = (
+        (spill_live[None, :] != 0)
+        & (spill_users[None, :] == uids[:, None])
+        & ((dids[:, None] < 0) | (spill_docs[None, :] == dids[:, None]))
+    )
+    bias = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)  # (q, S)
+    # shared codes broadcast per query; scored by the one-hot MXU kernel
+    # (the per-element table-lookup loop here had the same q*S*m gather
+    # cost profile as the probe path above)
+    cand = jnp.broadcast_to(spill.T[None], (qn, m, S))
+    scores = adc_rescore_scores(tables, cand, bias)
     kk = min(k, spill.shape[0])
     s, sel = jax.lax.top_k(scores, kk)
     return s, jnp.take_along_axis(

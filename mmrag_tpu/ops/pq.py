@@ -41,7 +41,7 @@ from __future__ import annotations
 import functools
 import os
 from dataclasses import dataclass
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -365,18 +365,39 @@ def _pq_topk_fused(
     else:
         cand_bias = jnp.take_along_axis(bias, rows, axis=1)
 
-    cp = _round_up(C, ADC_CAND_TILE)
-    if cp != C:
-        cand_codes = jnp.pad(cand_codes, ((0, 0), (0, 0), (0, cp - C)))
-        cand_bias = jnp.pad(
-            cand_bias, ((0, 0), (0, cp - C)), constant_values=float(NEG_INF)
-        )
-        rows = jnp.pad(rows, ((0, 0), (0, cp - C)))
+    scores = adc_rescore_scores(tables, cand_codes, cand_bias, interpret)
+    top_scores, local = jax.lax.top_k(scores, k)
+    top_idx = jnp.take_along_axis(rows, local, axis=-1)
+    return top_scores, top_idx.astype(jnp.int32)
 
-    tables_q = tables.transpose(1, 0, 2)  # (qp, m, K): per-query blocks
+
+def adc_rescore_scores(
+    tables: jnp.ndarray,  # (m, q, K) bf16 per-query ADC tables
+    cand_codes: jnp.ndarray,  # (q, m, S) int8 lane-major candidates
+    bias: jnp.ndarray,  # (q, S) f32: 0 live / NEG_INF dead
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Biased ADC scores of per-query candidate sets via the one-hot MXU
+    rescore kernel — (q, S) f32, bias folded in. The shared engine behind
+    the flat fused path's phase C and the IVF_PQ probe rescore: XLA's
+    per-ELEMENT candidate gathers (q*S*m table lookups) are the dominant
+    cost at both sites (57 ms @ q=16, S=21k), the kernel is ~1 ms. S pads
+    internally to ADC_CAND_TILE (padded columns return NEG_INF)."""
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    m, q, K = tables.shape
+    S = cand_codes.shape[2]
+    sp = _round_up(S, ADC_CAND_TILE)
+    if sp != S:
+        cand_codes = jnp.pad(cand_codes, ((0, 0), (0, 0), (0, sp - S)))
+        bias = jnp.pad(
+            bias, ((0, 0), (0, sp - S)), constant_values=float(NEG_INF)
+        )
+    tables_q = tables.transpose(1, 0, 2)  # (q, m, K): per-query blocks
     scores = pl.pallas_call(
         _adc_rescore_kernel,
-        grid=(qp, cp // ADC_CAND_TILE),
+        grid=(q, sp // ADC_CAND_TILE),
         in_specs=[
             pl.BlockSpec(
                 (1, m, K), lambda qi, ci: (qi, 0, 0), memory_space=pltpu.VMEM
@@ -395,18 +416,15 @@ def _pq_topk_fused(
             (1, 1, ADC_CAND_TILE), lambda qi, ci: (qi, 0, ci),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((qp, 1, cp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((q, 1, sp), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * qp * cp * K * m,
-            bytes_accessed=qp * cp * (m + 8),
+            flops=2 * q * sp * K * m,
+            bytes_accessed=q * sp * (m + 8),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(tables_q, cand_codes, cand_bias[:, None, :])[:, 0, :]
-
-    top_scores, local = jax.lax.top_k(scores, k)
-    top_idx = jnp.take_along_axis(rows, local, axis=-1)
-    return top_scores, top_idx.astype(jnp.int32)
+    )(tables_q, cand_codes, bias[:, None, :])[:, 0, :]
+    return scores[:, :S]
 
 
 def _round_up(x: int, mult: int) -> int:
