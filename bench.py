@@ -672,10 +672,11 @@ def bench_pq(quick: bool):
     q_host = np.asarray(queries, np.float32)
 
     def full():
+        from mmrag_tpu.index.store import _readback_pair
+
         s, ix = pqops.pq_topk(queries, books, codes0, mask0, cand)
-        return pqops.refine_exact(
-            q_host, rows_host, np.asarray(ix), np.asarray(s), 10
-        )[1]
+        s_h, ix_h = _readback_pair(s, ix)  # one tunnel round-trip, not two
+        return pqops.refine_exact(q_host, rows_host, ix_h, s_h, 10)[1]
 
     _plog(f"pq: ivf_pq {ivf_sec * 1e3:.3f} ms; timing e2e refine @131k")
     e2e_sec = _timed_readback(lambda: full(), repeats=5)

@@ -64,6 +64,35 @@ def _query_bucket(q: int) -> int:
     return -(-q // _QUERY_BUCKETS[-1]) * _QUERY_BUCKETS[-1]
 
 
+def _readback_pair(scores, idx) -> Tuple[np.ndarray, np.ndarray]:
+    """Materialize (scores f32 (q, k), idx i32 (q, k)) in ONE device→host
+    transfer: the scores bitcast into int32 lanes and ride home prepended
+    to the id matrix, split + bitcast back on host. Two ``np.asarray``
+    calls pay the relay's ~29 ms round-trip twice per search. The packed
+    array is INTEGER on purpose — the opposite packing (ids as f32 lanes)
+    measurably corrupts ids whose bit patterns are signalling NaNs (the
+    transfer path quiets them); integer lanes round-trip every bit, and
+    f32 scores are any-bits-in/same-bits-out under int transport. np
+    inputs and test doubles pass through to plain materialization, and
+    the packed form raises the same JaxRuntimeError at readback, so every
+    fallback guard works unchanged."""
+
+    if not (isinstance(scores, jax.Array) and isinstance(idx, jax.Array)):
+        return np.asarray(scores), np.asarray(idx)
+    packed = jnp.concatenate(
+        [
+            jax.lax.bitcast_convert_type(
+                scores.astype(jnp.float32), jnp.int32
+            ),
+            idx.astype(jnp.int32),
+        ],
+        axis=-1,
+    )
+    ph = np.asarray(packed)
+    kc = scores.shape[-1]
+    return np.ascontiguousarray(ph[..., :kc]).view(np.float32), ph[..., kc:]
+
+
 def _pad_queries(queries) -> np.ndarray:
     """Zero-pad the query batch to its bucket; pad rows are sliced off after
     the dispatch (and in the multi-tenant path carry the never-matching
@@ -438,7 +467,7 @@ class VectorIndex:
                     s, i = self._ivf_pq_dispatch(ivf, qj, uids, dids, cand)
                     # materialize INSIDE the guard: dispatch errors surface
                     # at readback, and the collector runs outside it
-                    s, i = np.asarray(s), np.asarray(i)
+                    s, i = _readback_pair(s, i)
                 except jax.errors.JaxRuntimeError:
                     s = i = None
                     self._count_fallback("ivf_pq")
@@ -458,7 +487,7 @@ class VectorIndex:
 
         def collect():
             try:
-                cs, ci = np.asarray(s), np.asarray(i)
+                cs, ci = _readback_pair(s, i)
             except jax.errors.JaxRuntimeError:
                 # the fused ADC kernel failed at readback (the opaque
                 # runtime-failure class KERNELS.md §3 documents): retry on
@@ -471,7 +500,7 @@ class VectorIndex:
                     books_c, codes_c, users_c, docs_c, live_c, qj,
                     jnp.asarray(uids), jnp.asarray(dids), cand, "scan",
                 )
-                cs, ci = np.asarray(s2), np.asarray(i2)
+                cs, ci = _readback_pair(s2, i2)
             qh = np.asarray(qj, dtype=np.float32)
             return pqops.refine_exact(qh, host_rows, ci, cs, min(k, cand))
 
@@ -552,7 +581,7 @@ class VectorIndex:
             scores, idx = fn(*args, self.backend)
             # force materialization inside the guard: dispatch errors surface
             # at readback, after the jitted call itself returned
-            return np.asarray(scores), np.asarray(idx)
+            return _readback_pair(scores, idx)
         except jax.errors.JaxRuntimeError:
             if self.backend == "xla":
                 raise
@@ -562,7 +591,7 @@ class VectorIndex:
                 self.backend,
             )
             scores, idx = fn(*args, "xla")
-            return np.asarray(scores), np.asarray(idx)
+            return _readback_pair(scores, idx)
 
     # -- dense (exact full-scan) dispatch ------------------------------------
 
@@ -582,7 +611,7 @@ class VectorIndex:
                 jnp.asarray(queries.astype(np.float32)),
                 jnp.int32(uid), jnp.int32(did), min(k, self._capacity),
             )
-            return np.asarray(scores), np.asarray(idx)
+            return _readback_pair(scores, idx)
         return self._search_with_fallback(
             _search,
             self._slab, self._users, self._docs, self._live,
@@ -602,7 +631,7 @@ class VectorIndex:
                 jnp.asarray(queries.astype(np.float32)),
                 jnp.asarray(uids), jnp.asarray(dids), min(k, self._capacity),
             )
-            return np.asarray(scores), np.asarray(idx)
+            return _readback_pair(scores, idx)
         return self._search_with_fallback(
             _search_multi,
             self._slab, self._users, self._docs, self._live,
@@ -632,12 +661,12 @@ class VectorIndex:
                 self._slab, self._scales, self._users, self._docs,
                 self._live, qj, jnp.asarray(uids), jnp.asarray(dids),
                 min(k, self._capacity))
-            return lambda: (np.asarray(s), np.asarray(i))
+            return lambda: _readback_pair(s, i)
         s, i = _search_multi(
             self._slab, self._users, self._docs, self._live, qj,
             jnp.asarray(uids), jnp.asarray(dids), min(k, self._capacity),
             self.backend)
-        return lambda: (np.asarray(s), np.asarray(i))
+        return lambda: _readback_pair(s, i)
 
     # -- multi-chip (row-sharded slab) dispatch ------------------------------
 
@@ -670,7 +699,7 @@ class VectorIndex:
             else:
                 s, i = fn(queries_j, uids, dids, self._slab,
                           self._users, self._docs, self._live)
-            return np.asarray(s), np.asarray(i)
+            return _readback_pair(s, i)
 
         try:
             return run(self.backend)
@@ -919,7 +948,7 @@ class VectorIndex:
                     min(k, tail_len), "xla",
                 )
             scores, idx = merge_topk(scores, idx, s2, i2 + built, k)
-        return np.asarray(scores), np.asarray(idx)
+        return _readback_pair(scores, idx)
 
     # -- public API ---------------------------------------------------------
 
@@ -1282,8 +1311,9 @@ class VectorIndex:
 
         def collect() -> List[List[Tuple[str, float]]]:
             try:
-                s, ix = pending() if pending is not None else (
-                    np.asarray(scores), np.asarray(idx)
+                s, ix = (
+                    pending() if pending is not None
+                    else _readback_pair(scores, idx)
                 )
             except jax.errors.JaxRuntimeError:
                 if self.backend == "xla":
