@@ -495,3 +495,90 @@ def test_engine_pq_mode_end_to_end(tmp_path):
     assert res["results"] and res["text"]
     engine.persist_indexes()
     engine.close()
+
+
+def test_ivf_pq_probe_scores_match_reference_formula(rng):
+    """The probed-ADC scoring (bucket fetch + one-hot MXU rescore kernel,
+    ops/ivf.py::_ivf_probe_pred_adc) and the spill path return EXACTLY the
+    scores of the per-element bf16-table-lookup formula they replaced,
+    with tenant/doc/live predicates honored and no better probed/spill
+    candidate missed. Guards the kernel integration that took this path
+    from 136 ms to 2 ms @1M (KERNELS.md §6)."""
+
+    import jax
+
+    from mmrag_tpu.ops import ivf as ivf_ops
+
+    n, d, m = 4096, 64, 8
+    rows = jnp.asarray(_clustered(rng, n=n, d=d, centers=16))
+    books = pq.train_pq(rows, m=m, iters=4)
+    codes = pq.pq_encode(rows, books)
+    users = jnp.asarray(rng.integers(0, 2, n).astype(np.int32))
+    docs = jnp.asarray(rng.integers(0, 4, n).astype(np.int32))
+    live = jnp.asarray(rng.random(n) > 0.1)
+    cents, _ = ivf_ops.kmeans(rows, 8, iters=4)
+    assign = np.asarray(ivf_ops._assign_with_structure(rows, cents)[0])
+    layout = ivf_ops.build_ivf(
+        codes, centroids=cents, assign=assign, structure_override=1.0,
+        bucket_factor=0.5, users=users, docs=docs, live=live,
+        pq_codebooks=books,
+    )
+    assert layout.spill.shape[0] > 0, "bucket_factor 0.5 must force a spill"
+
+    q_n, k, nprobe = 5, 12, 4
+    queries = rows[:q_n]
+    uids_np = np.array([0, 1, 0, 1, 0], np.int32)
+    dids_np = np.array([-1, -1, 2, 3, -1], np.int32)
+    s, ids = ivf_ops.ivf_search_pred(
+        layout, queries, jnp.asarray(uids_np), jnp.asarray(dids_np), k,
+        nprobe=nprobe,
+    )
+    s, ids = np.asarray(s), np.asarray(ids)
+
+    # reference: same probes (computed the same way, so they agree bit-for-
+    # bit), then per-element lookups in the bf16 tables, f32-summed in
+    # subvector order — the exact arithmetic both kernels perform
+    tables = np.asarray(
+        pq._adc_tables(queries, books).astype(jnp.bfloat16), np.float32
+    )  # (m, K, q)
+    probes = np.asarray(
+        jax.lax.top_k(
+            jnp.dot(queries, layout.centroids.T,
+                    preferred_element_type=jnp.float32), nprobe
+        )[1]
+    )
+    codes_np = np.asarray(codes).astype(np.int64) + 128
+    users_np = np.asarray(users)
+    docs_np = np.asarray(docs)
+    live_np = np.asarray(live)
+    b_ids = np.asarray(layout.bucket_ids)
+    sp_ids = np.asarray(layout.spill_ids)
+
+    def ref_score(row, qi):
+        acc = np.float32(0.0)
+        for j in range(m):
+            acc = np.float32(acc + tables[j, codes_np[row, j], qi])
+        return acc
+
+    for qi in range(q_n):
+        cand_rows = set(
+            int(r) for c in probes[qi] for r in b_ids[c].ravel() if r >= 0
+        ) | set(int(r) for r in sp_ids.ravel() if r >= 0)
+        ref = {}
+        for r in cand_rows:
+            if not live_np[r] or users_np[r] != uids_np[qi]:
+                continue
+            if dids_np[qi] >= 0 and docs_np[r] != dids_np[qi]:
+                continue
+            ref[r] = ref_score(r, qi)
+        returned = [(int(i), s[qi, c]) for c, i in enumerate(ids[qi])
+                    if s[qi, c] > -1e29]
+        for r, sc in returned:
+            assert r in ref, f"q{qi}: returned row {r} not a valid candidate"
+            assert sc == ref[r], f"q{qi} row {r}: {sc} != {ref[r]}"
+        want = sorted(ref.values(), reverse=True)[:k]
+        got = sorted((sc for _, sc in returned), reverse=True)
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(want[: len(got)])
+        )
+        assert len(returned) == min(k, len(ref))
