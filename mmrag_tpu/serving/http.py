@@ -428,7 +428,15 @@ def make_server(
 ) -> ThreadingHTTPServer:
     ctx = ApiContext(cfg, engine, queue)
     handler = type("BoundApiHandler", (ApiHandler,), {"ctx": ctx})
-    server = ThreadingHTTPServer((host, port), handler)
+
+    class _Server(ThreadingHTTPServer):
+        # stdlib default listen backlog is 5: a burst of concurrent clients
+        # (the serving-load shape, 16 simultaneous connects) overflows the
+        # SYN queue and the kernel RSTs the excess. The reference runs
+        # uvicorn, whose default backlog is 2048 — match it.
+        request_queue_size = 2048
+
+    server = _Server((host, port), handler)
     server.ctx = ctx  # type: ignore[attr-defined]
     return server
 
