@@ -523,3 +523,33 @@ def test_engine_warmup_serving(tmp_path):
     )
     assert after == before  # warmup left the corpus untouched
     engine.close()
+
+
+def test_readback_pair_bit_exact_and_passthrough(rng):
+    """The single-round-trip (scores, ids) materialization must round-trip
+    every bit: the packed transfer is INTEGER on purpose (f32 lanes quiet
+    signalling-NaN bit patterns on the real chip — measured; int lanes
+    survive). Checked here against adversarial NaN/Inf/denormal score bit
+    patterns and full-range int32 ids; np inputs pass through untouched."""
+
+    import jax
+    import jax.numpy as jnp
+
+    from mmrag_tpu.index.store import _readback_pair
+
+    s_bits = jnp.asarray(
+        rng.integers(-2**31, 2**31 - 1, (7, 33), dtype=np.int64).astype(np.int32)
+    )
+    s = jax.lax.bitcast_convert_type(s_bits, jnp.float32)
+    i = jnp.asarray(
+        rng.integers(-2**31, 2**31 - 1, (7, 33), dtype=np.int64).astype(np.int32)
+    )
+    sh, ih = _readback_pair(s, i)
+    assert sh.dtype == np.float32 and ih.dtype == np.int32
+    np.testing.assert_array_equal(sh.view(np.int32), np.asarray(s).view(np.int32))
+    np.testing.assert_array_equal(ih, np.asarray(i))
+
+    s_np, i_np = np.ones((2, 3), np.float32), np.zeros((2, 3), np.int32)
+    sh, ih = _readback_pair(s_np, i_np)
+    np.testing.assert_array_equal(sh, s_np)
+    np.testing.assert_array_equal(ih, i_np)
