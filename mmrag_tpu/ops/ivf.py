@@ -780,7 +780,7 @@ def _ivf_probe_pred_adc(
 
     scores = adc_rescore_scores(tables, cand, bias)
     s, sel = jax.lax.top_k(scores, min(k, S))
-    s, ids = s, jnp.take_along_axis(ids, sel, axis=1)
+    ids = jnp.take_along_axis(ids, sel, axis=1)
     if s.shape[1] < k:  # degenerate tiny layouts: pad to the contract shape
         pad = k - s.shape[1]
         s = jnp.pad(s, ((0, 0), (0, pad)), constant_values=float(NEG_INF))
@@ -810,11 +810,11 @@ def _spill_scores_pred_adc(
         & ((dids[:, None] < 0) | (spill_docs[None, :] == dids[:, None]))
     )
     bias = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)  # (q, S)
-    # shared codes broadcast per query; scored by the one-hot MXU kernel
-    # (the per-element table-lookup loop here had the same q*S*m gather
-    # cost profile as the probe path above)
-    cand = jnp.broadcast_to(spill.T[None], (qn, m, S))
-    scores = adc_rescore_scores(tables, cand, bias)
+    # ONE shared copy of the spill codes, leading dim 1: the rescore kernel
+    # re-reads it per grid row instead of materializing q HBM copies (the
+    # per-element table-lookup loop here had the same q*S*m gather cost
+    # profile as the probe path above)
+    scores = adc_rescore_scores(tables, spill.T[None], bias)
     kk = min(k, spill.shape[0])
     s, sel = jax.lax.top_k(scores, kk)
     return s, jnp.take_along_axis(

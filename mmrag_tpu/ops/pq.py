@@ -363,7 +363,14 @@ def _pq_topk_fused(
         bias_b = bias[0].reshape(np_ // ADC_BUCKET, ADC_BUCKET)
         cand_bias = jnp.take(bias_b, bucket_idx.reshape(-1), axis=0).reshape(qp, C)
     else:
-        cand_bias = jnp.take_along_axis(bias, rows, axis=1)
+        # per-query (q, n) masks (the store's multi-tenant path): gather
+        # bucket-granular here too — whole (128,) blocks per index, the
+        # same batched row gather the codes take, not qp*C element lookups
+        cand_bias = jax.vmap(
+            lambda b_q, idx_q: jnp.take(
+                b_q.reshape(np_ // ADC_BUCKET, ADC_BUCKET), idx_q, axis=0
+            )
+        )(bias, bucket_idx).reshape(qp, C)
 
     scores = adc_rescore_scores(tables, cand_codes, cand_bias, interpret)
     top_scores, local = jax.lax.top_k(scores, k)
@@ -373,7 +380,7 @@ def _pq_topk_fused(
 
 def adc_rescore_scores(
     tables: jnp.ndarray,  # (m, q, K) bf16 per-query ADC tables
-    cand_codes: jnp.ndarray,  # (q, m, S) int8 lane-major candidates
+    cand_codes: jnp.ndarray,  # (q|1, m, S) int8 lane-major candidates
     bias: jnp.ndarray,  # (q, S) f32: 0 live / NEG_INF dead
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
@@ -382,12 +389,16 @@ def adc_rescore_scores(
     the flat fused path's phase C and the IVF_PQ probe rescore: XLA's
     per-ELEMENT candidate gathers (q*S*m table lookups) are the dominant
     cost at both sites (57 ms @ q=16, S=21k), the kernel is ~1 ms. S pads
-    internally to ADC_CAND_TILE (padded columns return NEG_INF)."""
+    internally to ADC_CAND_TILE (padded columns return NEG_INF). A
+    leading dim of 1 on ``cand_codes`` means the candidate set is SHARED
+    across queries (the spill path): the kernel re-reads the one copy per
+    grid row instead of materializing q broadcast copies in HBM."""
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     m, q, K = tables.shape
     S = cand_codes.shape[2]
+    shared = cand_codes.shape[0] == 1
     sp = _round_up(S, ADC_CAND_TILE)
     if sp != S:
         cand_codes = jnp.pad(cand_codes, ((0, 0), (0, 0), (0, sp - S)))
@@ -395,6 +406,10 @@ def adc_rescore_scores(
             bias, ((0, 0), (0, sp - S)), constant_values=float(NEG_INF)
         )
     tables_q = tables.transpose(1, 0, 2)  # (q, m, K): per-query blocks
+    codes_map = (
+        (lambda qi, ci: (0, 0, ci)) if shared
+        else (lambda qi, ci: (qi, 0, ci))
+    )
     scores = pl.pallas_call(
         _adc_rescore_kernel,
         grid=(q, sp // ADC_CAND_TILE),
@@ -404,7 +419,7 @@ def adc_rescore_scores(
             ),
             pl.BlockSpec(
                 (1, m, ADC_CAND_TILE),
-                lambda qi, ci: (qi, 0, ci),
+                codes_map,
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
