@@ -254,6 +254,54 @@ def bench_clip_images_pipelined(quick: bool) -> float:
     return best
 
 
+def bench_clip_images_int8(quick: bool):
+    """Opt-in W8A8 tower (TPU_ENCODER_QUANT=int8, ops/quant.py): the CLIP
+    vision blocks on the MXU's int8 double-rate path. Returns
+    ``{embeds_per_sec, cosine_vs_f32}`` — the quality number is the mean
+    embedding cosine vs the f32 XLA tower on the same images (seeded
+    weights; the accuracy contract is documented in ops/quant.py)."""
+
+    import jax
+    import jax.numpy as jnp
+
+    from mmrag_tpu.models import bert, clip
+    from mmrag_tpu.ops.images import preprocess_batch
+
+    params = clip.init_clip_params(jax.random.PRNGKey(1))
+    q8 = clip.quantize_clip_vision(params)
+    batch = 32 if quick else 128
+    images = jax.random.randint(
+        jax.random.PRNGKey(0), (batch, 224, 224, 3), 0, 255, jnp.uint8
+    )
+
+    def make_step(k, params, q8, images):
+        def body(i, acc):
+            imgs = images + i.astype(jnp.uint8)  # wraps; defeats hoisting
+            feats = clip.clip_image_features(
+                params, preprocess_batch(imgs), compute_dtype=jnp.bfloat16,
+                q8_layers=q8,
+            )
+            return acc + bert.l2_normalize(feats)[0, 0]
+
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+    k1, k2 = (6, 2) if quick else (12, 4)
+    sec = _per_iter_seconds(make_step, k1, k2, params, q8, images)
+
+    probe = images[:8]
+    ref = np.asarray(jax.jit(
+        lambda p, im: bert.l2_normalize(clip.clip_image_features(
+            p, preprocess_batch(im), compute_dtype=jnp.float32,
+            attention_impl="xla"))
+    )(params, probe))
+    got = np.asarray(jax.jit(
+        lambda p, q, im: bert.l2_normalize(clip.clip_image_features(
+            p, preprocess_batch(im), compute_dtype=jnp.bfloat16, q8_layers=q))
+    )(params, q8, probe))
+    cos = float(np.mean((ref * got).sum(-1)))
+    return {"embeds_per_sec": batch / sec, "cosine_vs_f32": cos}
+
+
 def bench_topk(quick: bool) -> float:
     import jax
     import jax.numpy as jnp
@@ -1256,7 +1304,7 @@ def main() -> None:
     # — the historical deterministic ordering for the allocator-state hazard
     steps = ["minilm", "minilm_seq256", "minilm_seq512", "ingest_embed",
              "clip_images",
-             "clip_images_pipelined",
+             "clip_images_pipelined", "clip_images_int8",
              "multitenant", "topk", "topk_int8",
              "topk_10m", "ivf", "ivf_int8", "ivf_int8_10m", "ivf_encoder",
              "pq",
@@ -1362,6 +1410,7 @@ def main() -> None:
     ingest = r.get("ingest_embed")
     clip_im = r.get("clip_images")
     clip_pipe = r.get("clip_images_pipelined")
+    clip_i8 = r.get("clip_images_int8") or {}
     multitenant_ms = r.get("multitenant")
     topk_ms = r.get("topk")
     topk_int8_ms = r.get("topk_int8")
@@ -1403,6 +1452,10 @@ def main() -> None:
                     "clip_image_embeds_per_sec": rnd(clip_im, 1),
                     "clip_image_embeds_per_sec_pipelined": rnd(clip_pipe, 1),
                     "clip_vs_target_10k": rnd(clip_im / 10_000.0 if clip_im else None),
+                    "clip_image_embeds_per_sec_int8": rnd(
+                        clip_i8.get("embeds_per_sec"), 1),
+                    "clip_int8_cosine_vs_f32": rnd(
+                        clip_i8.get("cosine_vs_f32"), 5),
                     "topk_1m_p50_ms": rnd(topk_ms),
                     "topk_vs_target_5ms": rnd(5.0 / topk_ms if topk_ms else None),
                     "topk_int8_1m_p50_ms": rnd(topk_int8_ms),

@@ -293,16 +293,32 @@ def patchify(pixels: jnp.ndarray, patch: int) -> jnp.ndarray:
     return x.reshape(b, gh * gw, c * patch * patch)
 
 
+def quantize_clip_vision(params: Params) -> Params:
+    """Per-channel int8 quantization of the vision-tower encoder blocks
+    (one jitted pass at model load; ~4x smaller than the f32 weights).
+    Consumed by :func:`clip_image_features` ``q8_layers=`` — the W8A8 fast
+    path behind ``TPU_ENCODER_QUANT=int8`` (see ops/quant.py)."""
+
+    from ..ops.quant import quantize_encoder_layers
+
+    return {"layers": quantize_encoder_layers(params["vision"]["layers"])}
+
+
 def clip_image_features(
     params: Params,
     pixels: jnp.ndarray,  # (b, 224, 224, 3) f32, already normalized
     cfg: CLIPConfig = CLIP_VIT_B32,
     compute_dtype=jnp.float32,
     attention_impl: str = "auto",
+    q8_layers: Params | None = None,
 ) -> jnp.ndarray:
     """Unnormalized 512-d image features (HF ``get_image_features``).
 
     ``attention_impl="xla"`` pins the differentiable einsum path (training).
+    ``q8_layers`` (from :func:`quantize_clip_vision`) routes the encoder
+    blocks through the W8A8 int8-MXU kernels — honored only on the fused
+    path (it shares the fused gate); patch embed, final CLS layer, post-LN,
+    and projection stay in ``compute_dtype``.
     """
 
     v = cfg.vision
@@ -335,15 +351,27 @@ def clip_image_features(
         x2 = x2.reshape(b * s_pad, h).astype(stream)
         from ..ops.mlp import fused_mlp_block
 
-        for layer in vp["layers"][:-1]:
-            # pre-LN attention block in one dispatch (q/k/v/ctx VMEM-resident)
-            x2 = fused_attention_block(
-                x2, layer, v.num_heads, s_pad, v.layer_norm_eps, mask,
-                pre_ln=True, ln_key="ln1",
-            )
-            # pre-LN MLP block in one dispatch (the (rows, inter) activation
-            # never touches HBM)
-            x2 = fused_mlp_block(x2, layer, v.layer_norm_eps)
+        if q8_layers is not None:
+            from ..ops.attention import fused_attention_block_q8
+            from ..ops.mlp import fused_mlp_block_q8
+
+            for qlayer in q8_layers["layers"][:-1]:
+                x2 = fused_attention_block_q8(
+                    x2, qlayer, v.num_heads, s_pad, v.layer_norm_eps, mask,
+                    pre_ln=True, ln_key="ln1",
+                )
+                x2 = fused_mlp_block_q8(x2, qlayer, v.layer_norm_eps)
+        else:
+            for layer in vp["layers"][:-1]:
+                # pre-LN attention block in one dispatch (q/k/v/ctx
+                # VMEM-resident)
+                x2 = fused_attention_block(
+                    x2, layer, v.num_heads, s_pad, v.layer_norm_eps, mask,
+                    pre_ln=True, ln_key="ln1",
+                )
+                # pre-LN MLP block in one dispatch (the (rows, inter)
+                # activation never touches HBM)
+                x2 = fused_mlp_block(x2, layer, v.layer_norm_eps)
         # Final layer pruned to the CLS row: only position 0 feeds the pooled
         # feature, so the last layer's q projection, attention output
         # projection, and MLP run on 1 row/image instead of s_pad — exact for

@@ -160,6 +160,11 @@ class EncoderRuntime:
         if requested == jnp.bfloat16 and jax.default_backend() == "cpu":
             requested = jnp.float32
         self.compute_dtype = requested
+        # opt-in W8A8 encoder blocks (TPU_ENCODER_QUANT=int8, ops/quant.py):
+        # the CLIP vision tower routes through int8-MXU kernels. Only honored
+        # where the fused kernels engage (the q8 kernels share their gate).
+        self.encoder_quant = tpu.encoder_quant
+        self._clip_q8 = None
 
     # -- lazy loading -------------------------------------------------------
 
@@ -266,16 +271,36 @@ class EncoderRuntime:
             n_batch_args=2,
         )
 
+    def _ensure_clip_q8(self):
+        """Device-resident int8 vision-tower weights, quantized once."""
+
+        with self._lock:
+            if self._clip_q8 is None:
+                self._clip_q8 = clip.quantize_clip_vision(self._ensure_clip())
+        return self._clip_q8
+
     @functools.cached_property
     def _clip_image_fn(self):
         from ..ops.images import preprocess_batch
 
+        quant = self.encoder_quant == "int8"
+
         def fn(p, images_u8):
+            params, q8 = p
             pixels = preprocess_batch(images_u8)  # fused into the same XLA program
-            feats = clip.clip_image_features(p, pixels, self.clip_cfg, compute_dtype=self.compute_dtype)
+            feats = clip.clip_image_features(
+                params, pixels, self.clip_cfg, compute_dtype=self.compute_dtype,
+                q8_layers=q8,
+            )
             return bert.l2_normalize(feats)
 
-        return self._jit(fn, n_batch_args=1)
+        jitted = self._jit(fn, n_batch_args=1)
+
+        def call(params, images_u8):
+            q8 = self._ensure_clip_q8() if quant else None
+            return jitted((params, q8), images_u8)
+
+        return call
 
     @functools.cached_property
     def _clip_text_fn(self):

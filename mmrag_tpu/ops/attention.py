@@ -437,6 +437,166 @@ def _attn_block_kernel(
     out_ref[:] = out.astype(out_ref.dtype)
 
 
+def _attn_block_kernel_q8(
+    x_ref, wq_ref, sq_ref, bq_ref, wk_ref, sk_ref, bk_ref,
+    wv_ref, sv_ref, bv_ref, wo_ref, so_ref, bo_ref,
+    lns_ref, lnb_ref, kmask_ref, out_ref, *, num_heads: int, seq: int,
+    scale: float, eps: float, pre_ln: bool = False,
+):
+    """W8A8 variant of :func:`_attn_block_kernel`: the four (h, h)
+    projections run int8 x int8 -> int32 on the MXU double-rate path
+    (:mod:`mmrag_tpu.ops.quant` scheme — per-row activation scales computed
+    in-kernel, per-channel weight scales fused into the f32 dequant
+    epilogue). The MHA itself (~4% of block FLOPs) stays bf16 with the
+    one-pass softmax."""
+
+    from .quant import quantize_rows
+
+    rows, h = x_ref.shape
+    tile = rows // seq
+    hd = h // num_heads
+    x = x_ref[:]
+    mm_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    precision = (
+        jax.lax.Precision.DEFAULT
+        if mm_dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
+
+    def ln(y):
+        y = y.astype(jnp.float32)
+        mean = jnp.mean(y, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(y - mean), axis=-1, keepdims=True)
+        return (y - mean) * jax.lax.rsqrt(var + eps) * lns_ref[:] + lnb_ref[:]
+
+    a_in = ln(x) if pre_ln else x.astype(jnp.float32)
+    aq, ascale = quantize_rows(a_in)
+
+    def qproj(w_ref, s_ref, b_ref):
+        acc = jax.lax.dot_general(
+            aq, w_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = acc.astype(jnp.float32) * ascale * s_ref[:] + b_ref[:]
+        return y.astype(mm_dtype)
+
+    q = qproj(wq_ref, sq_ref, bq_ref)
+    k = qproj(wk_ref, sk_ref, bk_ref)
+    v = qproj(wv_ref, sv_ref, bv_ref)
+    bias = kmask_ref[:]  # (tile, 1, s) key row, broadcast in-VMEM
+    ones = jnp.ones((tile, seq, hd), mm_dtype)
+    ctx_cols = []
+    for n in range(num_heads):
+        sl = slice(n * hd, (n + 1) * hd)
+        qh = q[:, sl].reshape(tile, seq, hd)
+        kh = k[:, sl].reshape(tile, seq, hd)
+        vh = v[:, sl].reshape(tile, seq, hd)
+        scores = jax.lax.dot_general(
+            qh, kh,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        ch = _softmax_ctx(scores * scale + bias, vh, ones, precision)
+        ctx_cols.append(ch.reshape(rows, hd))  # f32
+    ctx = jnp.concatenate(ctx_cols, axis=-1)  # (rows, h) f32
+    cq, cscale = quantize_rows(ctx)
+    acc = jax.lax.dot_general(
+        cq, wo_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    o = acc.astype(jnp.float32) * cscale * so_ref[:] + bo_ref[:]
+    y = x.astype(jnp.float32) + o  # residual in f32
+    out = y if pre_ln else ln(y)
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "seq", "eps", "interpret", "pre_ln"))
+def _fused_attention_block_q8(
+    x, wq, sq, bq, wk, sk, bk, wv, sv, bv, wo, so, bo, ln_scale, ln_bias,
+    kmask, num_heads: int, seq: int, eps: float, interpret: bool,
+    pre_ln: bool = False,
+):
+    rows, h = x.shape
+    b = rows // seq
+    hd = h // num_heads
+    _, tile = _select_kernel(seq, hd, x.dtype.itemsize, h)
+    tile = min(tile, b)
+    grid = (b // tile,)
+    kernel = functools.partial(
+        _attn_block_kernel_q8, num_heads=num_heads, seq=seq,
+        scale=float(hd) ** -0.5, eps=eps, pre_ln=pre_ln,
+    )
+    row_spec = pl.BlockSpec((tile * seq, h), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((h, h), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            row_spec,
+            w_spec, v_spec, v_spec,  # wq, scale, bias
+            w_spec, v_spec, v_spec,
+            w_spec, v_spec, v_spec,
+            w_spec, v_spec, v_spec,
+            v_spec, v_spec,
+            pl.BlockSpec((tile, 1, seq), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((rows, h), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=(8 * rows * h * h) + (4 * rows * num_heads * seq * hd),
+            bytes_accessed=2 * rows * h * x.dtype.itemsize + 4 * h * h,
+            transcendentals=rows * num_heads * seq + rows,
+        ),
+        interpret=interpret,
+    )(x, wq, sq, bq, wk, sk, bk, wv, sv, bv, wo, so, bo, ln_scale, ln_bias, kmask)
+
+
+def fused_attention_block_q8(
+    x: jnp.ndarray,  # (b*s, h) residual stream
+    qlayer: dict,  # quantize_encoder_layer() pytree (int8 linears + LN)
+    num_heads: int,
+    seq: int,
+    eps: float,
+    attention_mask: Optional[jnp.ndarray] = None,  # (b, s)
+    pre_ln: bool = False,
+    ln_key: str = "attn_ln",
+) -> jnp.ndarray:
+    """W8A8 form of :func:`fused_attention_block` (opt-in,
+    ``TPU_ENCODER_QUANT=int8``): same block fusion, the four projections on
+    the MXU's int8 double-rate path. See ops/quant.py for the scheme and
+    accuracy contract."""
+
+    rows, h = x.shape
+    b = rows // seq
+    if attention_mask is None:
+        kmask = jnp.zeros((b, 1, seq), jnp.float32)
+    else:
+        kmask = ((1.0 - attention_mask.astype(jnp.float32)) * -1e9)[:, None, :]
+    _, tile = _select_kernel(seq, h // num_heads, x.dtype.itemsize, h)
+    tile = min(tile, b)
+    pad = (-b) % tile
+    if pad:
+        x = jnp.pad(x, ((0, pad * seq), (0, 0)))
+        kmask = jnp.pad(kmask, ((0, pad), (0, 0), (0, 0)))
+    interpret = jax.default_backend() == "cpu"
+    two_d = lambda p: p.reshape(1, -1)
+    out = _fused_attention_block_q8(
+        x,
+        qlayer["q"]["q"], qlayer["q"]["scale"], qlayer["q"]["bias"],
+        qlayer["k"]["q"], qlayer["k"]["scale"], qlayer["k"]["bias"],
+        qlayer["v"]["q"], qlayer["v"]["scale"], qlayer["v"]["bias"],
+        qlayer["attn_out"]["q"], qlayer["attn_out"]["scale"],
+        qlayer["attn_out"]["bias"],
+        two_d(qlayer[ln_key]["scale"]), two_d(qlayer[ln_key]["bias"]),
+        kmask, num_heads, seq, eps, interpret, pre_ln,
+    )
+    return out[:rows]
+
+
 @functools.partial(jax.jit, static_argnames=("num_heads", "seq", "eps", "interpret", "pre_ln"))
 def _fused_attention_block(
     x, wq, bq, wk, bk, wv, bv, wo, bo, ln_scale, ln_bias, kmask,

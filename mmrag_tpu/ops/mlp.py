@@ -97,6 +97,95 @@ def _fused_mlp(x, w1, b1, w2, b2, ln_scale, ln_bias, eps: float, interpret: bool
     )(x, w1, b1, w2, b2, ln_scale, ln_bias)
 
 
+def _mlp_kernel_q8(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+                   lns_ref, lnb_ref, out_ref, *, eps: float):
+    """W8A8 variant (:mod:`mmrag_tpu.ops.quant` scheme): both matmuls run
+    int8 x int8 -> int32 on the MXU's double-rate path; LN, quick_gelu, and
+    the dequant epilogues stay f32 in VMEM."""
+
+    from .quant import quantize_rows
+
+    x = x_ref[:]
+    y = x.astype(jnp.float32)
+    mean = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(y - mean), axis=-1, keepdims=True)
+    ln = (y - mean) * jax.lax.rsqrt(var + eps) * lns_ref[:] + lnb_ref[:]
+    aq, ascale = quantize_rows(ln)
+    acc1 = jax.lax.dot_general(
+        aq, w1_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    inner = acc1.astype(jnp.float32) * ascale * s1_ref[:] + b1_ref[:]
+    inner = inner * jax.nn.sigmoid(1.702 * inner)  # quick_gelu, f32
+    iq, iscale = quantize_rows(inner)
+    acc2 = jax.lax.dot_general(
+        iq, w2_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    o = acc2.astype(jnp.float32) * iscale * s2_ref[:] + b2_ref[:]
+    out_ref[:] = (y + o).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def _fused_mlp_q8(x, w1q, s1, b1, w2q, s2, b2, ln_scale, ln_bias,
+                  eps: float, interpret: bool):
+    rows, h = x.shape
+    inter = w1q.shape[1]
+    # int8 weights are half the bf16 footprint (h=768/inter=3072: 4.7 MB
+    # resident), so the bf16 row tile fits with extra margin for the f32
+    # inner activation.
+    tile = min(_rows_tile(h, inter, 1), rows)
+    grid = (rows // tile,)
+    row_spec = pl.BlockSpec((tile, h), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    inter_row = pl.BlockSpec((1, inter), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    h_row = pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_mlp_kernel_q8, eps=eps),
+        grid=grid,
+        in_specs=[
+            row_spec,
+            pl.BlockSpec((h, inter), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            inter_row, inter_row,
+            pl.BlockSpec((inter, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            h_row, h_row,
+            h_row, h_row,
+        ],
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((rows, h), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * rows * h * inter,
+            bytes_accessed=2 * rows * h * x.dtype.itemsize + 2 * h * inter,
+            transcendentals=rows * inter,
+        ),
+        interpret=interpret,
+    )(x, w1q, s1, b1, w2q, s2, b2, ln_scale, ln_bias)
+
+
+def fused_mlp_block_q8(x: jnp.ndarray, qlayer: dict, eps: float) -> jnp.ndarray:
+    """W8A8 form of :func:`fused_mlp_block`: ``qlayer`` carries
+    :func:`mmrag_tpu.ops.quant.quantize_encoder_layer` linears (int8 kernels +
+    per-channel scales) and the original LN params. Opt-in via
+    ``TPU_ENCODER_QUANT=int8`` — see ops/quant.py for the accuracy contract."""
+
+    rows, h = x.shape
+    inter_dim = qlayer["fc1"]["q"].shape[1]
+    tile = min(_rows_tile(h, inter_dim, 1), rows)
+    pad = (-rows) % tile
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    two_d = lambda p: p.reshape(1, -1)
+    out = _fused_mlp_q8(
+        x,
+        qlayer["fc1"]["q"], qlayer["fc1"]["scale"], qlayer["fc1"]["bias"],
+        qlayer["fc2"]["q"], qlayer["fc2"]["scale"], qlayer["fc2"]["bias"],
+        two_d(qlayer["ln2"]["scale"]), two_d(qlayer["ln2"]["bias"]),
+        eps, jax.default_backend() == "cpu",
+    )
+    return out[:rows]
+
+
 def _mlp_xla(x: jnp.ndarray, layer: dict, eps: float) -> jnp.ndarray:
     """Composed-XLA form with the kernel's exact numerics (f32 LN/act,
     f32-accumulated matmuls): the fallback when the resident weights don't

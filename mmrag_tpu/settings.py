@@ -215,6 +215,7 @@ class TpuSettings:
     compute_dtype: str
     param_dtype: str
     index_dtype: str  # "" follows compute_dtype; int8 affects ONLY the index
+    encoder_quant: str  # "" | "int8" — W8A8 encoder blocks (ops/quant.py)
     text_batch_buckets: Tuple[int, ...]
     image_batch_buckets: Tuple[int, ...]
     text_seq_buckets: Tuple[int, ...]
@@ -357,6 +358,7 @@ def load_settings(env: Optional[Mapping[str, str]] = None) -> Settings:
         tpu=TpuSettings(
             compute_dtype=_read_env(env, "TPU_COMPUTE_DTYPE", d.tpu.compute_dtype),
             index_dtype=_read_env(env, "TPU_INDEX_DTYPE", d.tpu.index_dtype),
+            encoder_quant=_read_env(env, "TPU_ENCODER_QUANT", d.tpu.encoder_quant),
             param_dtype=_read_env(env, "TPU_PARAM_DTYPE", d.tpu.param_dtype),
             text_batch_buckets=_read_int_csv(
                 env, "TPU_TEXT_BATCH_BUCKETS", d.tpu.text_batch_buckets
