@@ -173,6 +173,49 @@ def bench_ingest_embed(quick: bool) -> float:
     return n / (time.perf_counter() - t0)
 
 
+def bench_minilm_int8(quick: bool):
+    """Opt-in W8A8 BERT tower (TPU_ENCODER_QUANT=int8, ops/quant.py) at the
+    seq-512 ingest shape: every encoder matmul on the MXU's int8 double-rate
+    path. Returns ``{embeds_per_sec, cosine_vs_f32}`` — cosine measured vs
+    the f32 XLA tower on the same inputs (seeded weights)."""
+
+    import jax
+    import jax.numpy as jnp
+
+    from mmrag_tpu.models import bert
+
+    params = bert.init_bert_params(jax.random.PRNGKey(0))
+    q8 = bert.quantize_bert(params)
+    batch, seq = (32, 512) if quick else (64, 512)
+    ids = jax.random.randint(jax.random.PRNGKey(3), (batch, seq), 5, 30000, jnp.int32)
+    mask = jnp.ones((batch, seq), jnp.int32)
+
+    def make_step(k, params, q8, ids, mask):
+        def body(i, acc):
+            shifted = (ids + i) % 30000
+            emb = bert.minilm_embed(
+                params, shifted, mask, compute_dtype=jnp.bfloat16, q8_layers=q8
+            )
+            return acc + emb[0, 0]
+
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+    k1, k2 = (6, 2) if quick else (12, 4)
+    sec = _per_iter_seconds(make_step, k1, k2, params, q8, ids, mask)
+
+    probe_ids, probe_mask = ids[:8], mask[:8]
+    ref = np.asarray(jax.jit(
+        lambda p, i, m: bert.minilm_embed(
+            p, i, m, compute_dtype=jnp.float32, attention_impl="xla")
+    )(params, probe_ids, probe_mask))
+    got = np.asarray(jax.jit(
+        lambda p, q, i, m: bert.minilm_embed(
+            p, i, m, compute_dtype=jnp.bfloat16, q8_layers=q)
+    )(params, q8, probe_ids, probe_mask))
+    cos = float(np.mean((ref * got).sum(-1)))
+    return {"embeds_per_sec": batch / sec, "cosine_vs_f32": cos}
+
+
 def bench_clip_images(quick: bool) -> float:
     import jax
     import jax.numpy as jnp
@@ -1302,7 +1345,8 @@ def main() -> None:
 
     # step order: multitenant (Pallas bucket-max) before the dense 1M benches
     # — the historical deterministic ordering for the allocator-state hazard
-    steps = ["minilm", "minilm_seq256", "minilm_seq512", "ingest_embed",
+    steps = ["minilm", "minilm_seq256", "minilm_seq512", "minilm_int8",
+             "ingest_embed",
              "clip_images",
              "clip_images_pipelined", "clip_images_int8",
              "multitenant", "topk", "topk_int8",
@@ -1407,6 +1451,7 @@ def main() -> None:
     minilm = r.get("minilm")
     minilm256 = r.get("minilm_seq256")
     minilm512 = r.get("minilm_seq512")
+    minilm_i8 = r.get("minilm_int8") or {}
     ingest = r.get("ingest_embed")
     clip_im = r.get("clip_images")
     clip_pipe = r.get("clip_images_pipelined")
@@ -1448,6 +1493,10 @@ def main() -> None:
                     "device_wedged": bool(r.get("_device_wedged", False)),
                     "minilm_seq256_embeds_per_sec": rnd(minilm256, 1),
                     "minilm_seq512_embeds_per_sec": rnd(minilm512, 1),
+                    "minilm_seq512_embeds_per_sec_int8": rnd(
+                        minilm_i8.get("embeds_per_sec"), 1),
+                    "minilm_int8_cosine_vs_f32": rnd(
+                        minilm_i8.get("cosine_vs_f32"), 5),
                     "ingest_embed_e2e_chunks_per_sec": rnd(ingest, 1),
                     "clip_image_embeds_per_sec": rnd(clip_im, 1),
                     "clip_image_embeds_per_sec_pipelined": rnd(clip_pipe, 1),

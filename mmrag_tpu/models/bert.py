@@ -218,6 +218,23 @@ def _self_attention(
     return _dense(layer["attn_out"], ctx.reshape(b * s, h), dtype)
 
 
+_BERT_LINEARS = ("q", "k", "v", "attn_out", "ffn_in", "ffn_out")
+
+
+def quantize_bert(params: Params) -> Params:
+    """Per-channel int8 quantization of the BERT encoder blocks (one jitted
+    pass at model load; ~4x smaller than the f32 weights). Consumed by
+    :func:`bert_encode` ``q8_layers=`` — the W8A8 fast path behind
+    ``TPU_ENCODER_QUANT=int8`` (see ops/quant.py). Embeddings, pooling, and
+    any classifier head stay full-precision (gather/GEMV-bound, not MXU-
+    bound). Pass a cross-encoder tree's ``params["bert"]`` for the reranker.
+    """
+
+    from ..ops.quant import quantize_encoder_layers
+
+    return {"layers": quantize_encoder_layers(params["layers"], _BERT_LINEARS)}
+
+
 def bert_encode(
     params: Params,
     input_ids: jnp.ndarray,  # (b, s) int32
@@ -226,8 +243,15 @@ def bert_encode(
     token_type_ids: jnp.ndarray | None = None,
     compute_dtype=jnp.float32,
     attention_impl: str = "auto",
+    q8_layers: Params | None = None,
 ) -> jnp.ndarray:
-    """Returns last hidden states (b, s, hidden) in f32."""
+    """Returns last hidden states (b, s, hidden) in f32.
+
+    ``q8_layers`` (from :func:`quantize_bert`) routes the encoder blocks
+    through the W8A8 int8-MXU kernels — honored only where the fused kernels
+    engage (shared gate); embeddings and the embedding LN stay
+    full-precision.
+    """
 
     b, s = input_ids.shape
     emb = params["embeddings"]
@@ -247,6 +271,22 @@ def bert_encode(
     # bf16 path holds the <=1e-3 cosine-drift budget (test_model_parity).
     stream = jnp.dtype(compute_dtype)
     x = x.reshape(b * s, cfg.hidden_size).astype(stream)
+    if q8_layers is not None and _use_fused_attention(attention_impl, b, s):
+        # W8A8 tower: post-LN attention block + post-LN FFN block, each one
+        # dispatch with every matmul on the MXU's int8 double-rate path.
+        from ..ops.attention import fused_attention_block_q8
+        from ..ops.mlp import fused_mlp_block_q8
+
+        for qlayer in q8_layers["layers"]:
+            x = fused_attention_block_q8(
+                x, qlayer, cfg.num_heads, s, cfg.layer_norm_eps,
+                attention_mask, pre_ln=False, ln_key="attn_ln",
+            )
+            x = fused_mlp_block_q8(
+                x, qlayer, cfg.layer_norm_eps, pre_ln=False, act="gelu_tanh",
+                k1="ffn_in", k2="ffn_out", ln_key="ffn_ln",
+            )
+        return x.reshape(b, s, cfg.hidden_size).astype(jnp.float32)
     for layer in params["layers"]:
         if _use_fused_attention(attention_impl, b, s):
             # whole-block kernel: qkv projections + MHA + output projection +
@@ -295,16 +335,18 @@ def minilm_embed(
     cfg: BertConfig = MINILM_L6,
     compute_dtype=jnp.float32,
     attention_impl: str = "auto",
+    q8_layers: Params | None = None,
 ) -> jnp.ndarray:
     """Sentence embeddings: encode -> masked mean pool -> L2 normalize.
 
     ``attention_impl="xla"`` pins the einsum path — required under
     ``jax.grad`` (the Pallas kernels have no VJP; training uses this).
+    ``q8_layers`` opts the tower into the W8A8 kernels (quantize_bert).
     """
 
     hidden = bert_encode(
         params, input_ids, attention_mask, cfg, compute_dtype=compute_dtype,
-        attention_impl=attention_impl,
+        attention_impl=attention_impl, q8_layers=q8_layers,
     )
     return l2_normalize(mean_pool(hidden, attention_mask))
 
@@ -317,18 +359,21 @@ def cross_encoder_score(
     cfg: BertConfig = MINILM_L6,
     compute_dtype=jnp.float32,
     attention_impl: str = "auto",
+    q8_layers: Params | None = None,
 ) -> jnp.ndarray:
     """(query, passage) pair relevance logits, shape (b,).
 
     BertForSequenceClassification head: CLS -> pooler dense -> tanh ->
     classifier dense(1). Raw logits (no sigmoid) — matches CrossEncoder
     ms-marco output that the reference z-normalizes downstream.
+    ``q8_layers`` (quantize_bert of ``params["bert"]``) opts the trunk into
+    the W8A8 kernels; pooler/classifier stay full-precision.
     """
 
     hidden = bert_encode(
         params["bert"], input_ids, attention_mask, cfg,
         token_type_ids=token_type_ids, compute_dtype=compute_dtype,
-        attention_impl=attention_impl,
+        attention_impl=attention_impl, q8_layers=q8_layers,
     )
     pooled = jnp.tanh(_dense(params["pooler"], hidden[:, 0], compute_dtype))
     return _dense(params["classifier"], pooled, compute_dtype)[:, 0]

@@ -161,10 +161,13 @@ class EncoderRuntime:
             requested = jnp.float32
         self.compute_dtype = requested
         # opt-in W8A8 encoder blocks (TPU_ENCODER_QUANT=int8, ops/quant.py):
-        # the CLIP vision tower routes through int8-MXU kernels. Only honored
+        # the CLIP vision tower and the BERT towers (MiniLM text embed +
+        # cross-encoder trunk) route through int8-MXU kernels. Only honored
         # where the fused kernels engage (the q8 kernels share their gate).
         self.encoder_quant = tpu.encoder_quant
         self._clip_q8 = None
+        self._minilm_q8 = None
+        self._cross_q8 = None
 
     # -- lazy loading -------------------------------------------------------
 
@@ -262,14 +265,38 @@ class EncoderRuntime:
             bsz += self._n_data - bsz % self._n_data
         return bsz
 
+    def _ensure_minilm_q8(self):
+        """Device-resident int8 MiniLM encoder blocks, quantized once."""
+
+        with self._lock:
+            if self._minilm_q8 is None:
+                self._minilm_q8 = bert.quantize_bert(self._ensure_minilm())
+        return self._minilm_q8
+
+    def _ensure_cross_q8(self):
+        """Device-resident int8 cross-encoder trunk, quantized once."""
+
+        with self._lock:
+            if self._cross_q8 is None:
+                self._cross_q8 = bert.quantize_bert(self._ensure_cross()["bert"])
+        return self._cross_q8
+
     @functools.cached_property
     def _minilm_fn(self):
-        return self._jit(
+        quant = self.encoder_quant == "int8"
+        jitted = self._jit(
             lambda p, ids, mask: bert.minilm_embed(
-                p, ids, mask, self.bert_cfg, compute_dtype=self.compute_dtype
+                p[0], ids, mask, self.bert_cfg, compute_dtype=self.compute_dtype,
+                q8_layers=p[1],
             ),
             n_batch_args=2,
         )
+
+        def call(params, ids, mask):
+            q8 = self._ensure_minilm_q8() if quant else None
+            return jitted((params, q8), ids, mask)
+
+        return call
 
     def _ensure_clip_q8(self):
         """Device-resident int8 vision-tower weights, quantized once."""
@@ -312,12 +339,20 @@ class EncoderRuntime:
 
     @functools.cached_property
     def _cross_fn(self):
-        return self._jit(
+        quant = self.encoder_quant == "int8"
+        jitted = self._jit(
             lambda p, ids, mask, tt: bert.cross_encoder_score(
-                p, ids, mask, tt, self.bert_cfg, compute_dtype=self.compute_dtype
+                p[0], ids, mask, tt, self.bert_cfg, compute_dtype=self.compute_dtype,
+                q8_layers=p[1],
             ),
             n_batch_args=3,
         )
+
+        def call(params, ids, mask, tt):
+            q8 = self._ensure_cross_q8() if quant else None
+            return jitted((params, q8), ids, mask, tt)
+
+        return call
 
     # -- public API (reference embed_* signatures) --------------------------
 

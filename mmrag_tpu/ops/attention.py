@@ -447,8 +447,16 @@ def _attn_block_kernel_q8(
     projections run int8 x int8 -> int32 on the MXU double-rate path
     (:mod:`mmrag_tpu.ops.quant` scheme — per-row activation scales computed
     in-kernel, per-channel weight scales fused into the f32 dequant
-    epilogue). The MHA itself (~4% of block FLOPs) stays bf16 with the
-    one-pass softmax."""
+    epilogue). The MHA itself stays bf16 with the one-pass softmax.
+
+    NEGATIVE (measured, seq-512 MiniLM b=64 v5e): int8-ing the MHA matmuls
+    too — the part that dominates at long seq because head_dim 32 leaves the
+    MXU contraction 75% idle — LOSES. Full int8 MHA (per-row q/k scales,
+    per-query-row p scales, per-column V scales): 5986 emb/s; int8 scores
+    only (rank-1 outer dequant): 8303; this bf16-MHA form: 8698. The int8
+    operands' (32, 128)-tile repacking and the extra s^2-sized dequant /
+    quantize VPU passes cost more than the double-rate path saves at K=32.
+    """
 
     from .quant import quantize_rows
 
@@ -481,12 +489,12 @@ def _attn_block_kernel_q8(
         y = acc.astype(jnp.float32) * ascale * s_ref[:] + b_ref[:]
         return y.astype(mm_dtype)
 
+    bias = kmask_ref[:]  # (tile, 1, s) key row, broadcast in-VMEM
+    ctx_cols = []
     q = qproj(wq_ref, sq_ref, bq_ref)
     k = qproj(wk_ref, sk_ref, bk_ref)
     v = qproj(wv_ref, sv_ref, bv_ref)
-    bias = kmask_ref[:]  # (tile, 1, s) key row, broadcast in-VMEM
     ones = jnp.ones((tile, seq, hd), mm_dtype)
-    ctx_cols = []
     for n in range(num_heads):
         sl = slice(n * hd, (n + 1) * hd)
         qh = q[:, sl].reshape(tile, seq, hd)
@@ -513,7 +521,8 @@ def _attn_block_kernel_q8(
     out_ref[:] = out.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "seq", "eps", "interpret", "pre_ln"))
+@functools.partial(jax.jit, static_argnames=(
+    "num_heads", "seq", "eps", "interpret", "pre_ln"))
 def _fused_attention_block_q8(
     x, wq, sq, bq, wk, sk, bk, wv, sv, bv, wo, so, bo, ln_scale, ln_bias,
     kmask, num_heads: int, seq: int, eps: float, interpret: bool,
@@ -567,8 +576,9 @@ def fused_attention_block_q8(
 ) -> jnp.ndarray:
     """W8A8 form of :func:`fused_attention_block` (opt-in,
     ``TPU_ENCODER_QUANT=int8``): same block fusion, the four projections on
-    the MXU's int8 double-rate path. See ops/quant.py for the scheme and
-    accuracy contract."""
+    the MXU's int8 double-rate path; the MHA stays bf16 (int8 MHA measured
+    slower — see the kernel docstring's NEGATIVE note). See ops/quant.py
+    for the scheme and accuracy contract."""
 
     rows, h = x.shape
     b = rows // seq

@@ -97,27 +97,47 @@ def _fused_mlp(x, w1, b1, w2, b2, ln_scale, ln_bias, eps: float, interpret: bool
     )(x, w1, b1, w2, b2, ln_scale, ln_bias)
 
 
+def _act_f32(inner: jnp.ndarray, act: str) -> jnp.ndarray:
+    """f32 activation by name: ``quick_gelu`` (HF CLIP) or ``gelu_tanh``
+    (HF BERT default form — see models/bert.py gelu_approximate)."""
+
+    if act == "quick_gelu":
+        return inner * jax.nn.sigmoid(1.702 * inner)
+    if act == "gelu_tanh":
+        return jax.nn.gelu(inner, approximate=True)
+    raise ValueError(f"unknown activation {act!r}")
+
+
 def _mlp_kernel_q8(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
-                   lns_ref, lnb_ref, out_ref, *, eps: float):
+                   lns_ref, lnb_ref, out_ref, *, eps: float,
+                   pre_ln: bool = True, act: str = "quick_gelu"):
     """W8A8 variant (:mod:`mmrag_tpu.ops.quant` scheme): both matmuls run
-    int8 x int8 -> int32 on the MXU's double-rate path; LN, quick_gelu, and
-    the dequant epilogues stay f32 in VMEM."""
+    int8 x int8 -> int32 on the MXU's double-rate path; LN, the activation,
+    and the dequant epilogues stay f32 in VMEM.
+
+    ``pre_ln=True`` (CLIP): writes ``x + FC2(act(FC1(LN(x))))``.
+    ``pre_ln=False`` (BERT post-LN): writes ``LN(x + FC2(act(FC1(x))))`` —
+    the incoming stream is the previous LN's output, so it is already the
+    scale-bounded W8A8 insertion point."""
 
     from .quant import quantize_rows
 
     x = x_ref[:]
     y = x.astype(jnp.float32)
-    mean = jnp.mean(y, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(y - mean), axis=-1, keepdims=True)
-    ln = (y - mean) * jax.lax.rsqrt(var + eps) * lns_ref[:] + lnb_ref[:]
-    aq, ascale = quantize_rows(ln)
+
+    def ln(t):
+        mean = jnp.mean(t, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(t - mean), axis=-1, keepdims=True)
+        return (t - mean) * jax.lax.rsqrt(var + eps) * lns_ref[:] + lnb_ref[:]
+
+    aq, ascale = quantize_rows(ln(y) if pre_ln else y)
     acc1 = jax.lax.dot_general(
         aq, w1_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
     inner = acc1.astype(jnp.float32) * ascale * s1_ref[:] + b1_ref[:]
-    inner = inner * jax.nn.sigmoid(1.702 * inner)  # quick_gelu, f32
+    inner = _act_f32(inner, act)
     iq, iscale = quantize_rows(inner)
     acc2 = jax.lax.dot_general(
         iq, w2_ref[:],
@@ -125,12 +145,16 @@ def _mlp_kernel_q8(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
         preferred_element_type=jnp.int32,
     )
     o = acc2.astype(jnp.float32) * iscale * s2_ref[:] + b2_ref[:]
-    out_ref[:] = (y + o).astype(out_ref.dtype)
+    out = y + o
+    if not pre_ln:
+        out = ln(out)
+    out_ref[:] = out.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+@functools.partial(jax.jit, static_argnames=("eps", "interpret", "pre_ln", "act"))
 def _fused_mlp_q8(x, w1q, s1, b1, w2q, s2, b2, ln_scale, ln_bias,
-                  eps: float, interpret: bool):
+                  eps: float, interpret: bool,
+                  pre_ln: bool = True, act: str = "quick_gelu"):
     rows, h = x.shape
     inter = w1q.shape[1]
     # int8 weights are half the bf16 footprint (h=768/inter=3072: 4.7 MB
@@ -142,7 +166,7 @@ def _fused_mlp_q8(x, w1q, s1, b1, w2q, s2, b2, ln_scale, ln_bias,
     inter_row = pl.BlockSpec((1, inter), lambda i: (0, 0), memory_space=pltpu.VMEM)
     h_row = pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_mlp_kernel_q8, eps=eps),
+        functools.partial(_mlp_kernel_q8, eps=eps, pre_ln=pre_ln, act=act),
         grid=grid,
         in_specs=[
             row_spec,
@@ -163,14 +187,22 @@ def _fused_mlp_q8(x, w1q, s1, b1, w2q, s2, b2, ln_scale, ln_bias,
     )(x, w1q, s1, b1, w2q, s2, b2, ln_scale, ln_bias)
 
 
-def fused_mlp_block_q8(x: jnp.ndarray, qlayer: dict, eps: float) -> jnp.ndarray:
+def fused_mlp_block_q8(
+    x: jnp.ndarray, qlayer: dict, eps: float,
+    pre_ln: bool = True, act: str = "quick_gelu",
+    k1: str = "fc1", k2: str = "fc2", ln_key: str = "ln2",
+) -> jnp.ndarray:
     """W8A8 form of :func:`fused_mlp_block`: ``qlayer`` carries
     :func:`mmrag_tpu.ops.quant.quantize_encoder_layer` linears (int8 kernels +
     per-channel scales) and the original LN params. Opt-in via
-    ``TPU_ENCODER_QUANT=int8`` — see ops/quant.py for the accuracy contract."""
+    ``TPU_ENCODER_QUANT=int8`` — see ops/quant.py for the accuracy contract.
+
+    Defaults are the CLIP block (pre-LN, quick_gelu, fc1/fc2/ln2); BERT
+    towers pass ``pre_ln=False, act="gelu_tanh", k1="ffn_in", k2="ffn_out",
+    ln_key="ffn_ln"`` (models/bert.py naming)."""
 
     rows, h = x.shape
-    inter_dim = qlayer["fc1"]["q"].shape[1]
+    inter_dim = qlayer[k1]["q"].shape[1]
     tile = min(_rows_tile(h, inter_dim, 1), rows)
     pad = (-rows) % tile
     if pad:
@@ -178,10 +210,10 @@ def fused_mlp_block_q8(x: jnp.ndarray, qlayer: dict, eps: float) -> jnp.ndarray:
     two_d = lambda p: p.reshape(1, -1)
     out = _fused_mlp_q8(
         x,
-        qlayer["fc1"]["q"], qlayer["fc1"]["scale"], qlayer["fc1"]["bias"],
-        qlayer["fc2"]["q"], qlayer["fc2"]["scale"], qlayer["fc2"]["bias"],
-        two_d(qlayer["ln2"]["scale"]), two_d(qlayer["ln2"]["bias"]),
-        eps, jax.default_backend() == "cpu",
+        qlayer[k1]["q"], qlayer[k1]["scale"], qlayer[k1]["bias"],
+        qlayer[k2]["q"], qlayer[k2]["scale"], qlayer[k2]["bias"],
+        two_d(qlayer[ln_key]["scale"]), two_d(qlayer[ln_key]["bias"]),
+        eps, jax.default_backend() == "cpu", pre_ln=pre_ln, act=act,
     )
     return out[:rows]
 

@@ -138,6 +138,108 @@ def test_fused_attention_block_q8_matches_composed(rng, pre_ln):
     np.testing.assert_allclose(np.asarray(got), want, atol=3e-4)
 
 
+def _bert_style_layer(rng, h, inter):
+    def lin(i, o):
+        return {
+            "kernel": jnp.asarray(rng.standard_normal((i, o)) * 0.08, jnp.float32),
+            "bias": jnp.asarray(rng.standard_normal(o) * 0.01, jnp.float32),
+        }
+
+    return {
+        "attn_ln": {"scale": jnp.ones(h), "bias": jnp.zeros(h)},
+        "ffn_ln": {"scale": jnp.ones(h), "bias": jnp.zeros(h)},
+        "q": lin(h, h), "k": lin(h, h), "v": lin(h, h),
+        "attn_out": lin(h, h),
+        "ffn_in": lin(h, inter), "ffn_out": lin(inter, h),
+    }
+
+
+def test_fused_mlp_q8_postln_gelu_matches_composed(rng):
+    """BERT form: LN(x + FC2(gelu_tanh(FC1(x)))) with BERT layer naming."""
+
+    from mmrag_tpu.ops.mlp import fused_mlp_block_q8
+
+    h, inter, rows = 64, 128, 48
+    layer = _bert_style_layer(rng, h, inter)
+    qlayer = quantize_encoder_layer(
+        layer, ("q", "k", "v", "attn_out", "ffn_in", "ffn_out")
+    )
+    x = jnp.asarray(rng.standard_normal((rows, h)), jnp.float32)
+    got = fused_mlp_block_q8(
+        x, qlayer, 1e-12, pre_ln=False, act="gelu_tanh",
+        k1="ffn_in", k2="ffn_out", ln_key="ffn_ln",
+    )
+
+    y = x.astype(jnp.float32)
+    aq, ascale = quantize_rows(y)
+    inner = q8_dense(aq, ascale, qlayer["ffn_in"])
+    inner = jax.nn.gelu(inner, approximate=True)
+    iq, iscale = quantize_rows(inner)
+    out = y + q8_dense(iq, iscale, qlayer["ffn_out"])
+    mean = jnp.mean(out, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(out - mean), axis=-1, keepdims=True)
+    want = (out - mean) * jax.lax.rsqrt(var + 1e-12) * qlayer["ffn_ln"][
+        "scale"
+    ] + qlayer["ffn_ln"]["bias"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_bert_q8_tower_cosine(rng, monkeypatch):
+    """The full q8 MiniLM tower tracks the f32 tower (opt-in accuracy
+    contract: embedding cosine >= 0.995 on seeded weights)."""
+
+    monkeypatch.setenv("MMRAG_ATTN_IMPL", "fused")
+    from mmrag_tpu.models import bert
+
+    cfg = bert.BertConfig(
+        hidden_size=64, num_layers=3, num_heads=4, intermediate_size=128
+    )
+    params = bert.init_bert_params(jax.random.PRNGKey(0), cfg)
+    q8 = bert.quantize_bert(params)
+    ids = jnp.asarray(rng.integers(5, 1000, (4, 16)), jnp.int32)
+    mask = np.ones((4, 16), np.int32)
+    mask[:, 12:] = 0
+    mask = jnp.asarray(mask)
+    ref = np.asarray(
+        bert.minilm_embed(params, ids, mask, cfg, attention_impl="fused")
+    )
+    got = np.asarray(
+        bert.minilm_embed(
+            params, ids, mask, cfg, attention_impl="fused", q8_layers=q8
+        )
+    )
+    cos = (ref * got).sum(-1)  # both L2-normalized
+    assert np.all(cos >= 0.995), cos
+
+
+def test_cross_encoder_q8_preserves_ordering(rng, monkeypatch):
+    """The q8 cross-encoder trunk keeps rerank score ordering on seeded
+    weights (the downstream contract: z-fused rank positions)."""
+
+    monkeypatch.setenv("MMRAG_ATTN_IMPL", "fused")
+    from mmrag_tpu.models import bert
+
+    cfg = bert.BertConfig(
+        hidden_size=64, num_layers=2, num_heads=4, intermediate_size=128
+    )
+    params = bert.init_cross_encoder_params(jax.random.PRNGKey(1), cfg)
+    q8 = bert.quantize_bert(params["bert"])
+    b, s = 8, 24
+    ids = jnp.asarray(rng.integers(5, 1000, (b, s)), jnp.int32)
+    mask = jnp.ones((b, s), jnp.int32)
+    tt = jnp.asarray(rng.integers(0, 2, (b, s)), jnp.int32)
+    ref = np.asarray(
+        bert.cross_encoder_score(params, ids, mask, tt, cfg, attention_impl="fused")
+    )
+    got = np.asarray(
+        bert.cross_encoder_score(
+            params, ids, mask, tt, cfg, attention_impl="fused", q8_layers=q8
+        )
+    )
+    assert list(np.argsort(-ref)) == list(np.argsort(-got))
+    np.testing.assert_allclose(got, ref, atol=0.15)
+
+
 def test_clip_q8_tower_cosine(rng, monkeypatch):
     """The full q8 vision tower tracks the f32 tower (opt-in accuracy
     contract: cosine >= 0.995 on seeded weights; measured 0.9998)."""
@@ -190,3 +292,34 @@ def test_runtime_encoder_quant_integration(tmp_path, rng, monkeypatch):
     np.testing.assert_allclose(np.linalg.norm(got, axis=1), 1.0, atol=1e-4)
     cos = (got * want).sum(-1)
     assert np.all(cos >= 0.99), cos
+
+
+def test_runtime_text_quant_integration(tmp_path, rng, monkeypatch):
+    """TPU_ENCODER_QUANT=int8 routes embed_text_batch and rerank_scores
+    through the q8 BERT kernels and stays close to the unquantized runtime."""
+
+    monkeypatch.setenv("MMRAG_ATTN_IMPL", "fused")
+    from mmrag_tpu.models import runtime as rt
+    from mmrag_tpu.settings import load_settings
+    from tests.test_runtime import TINY_BERT, TINY_CLIP
+
+    texts = ["alpha beta gamma", "delta epsilon", "zeta eta theta iota"]
+    rt.reset_runtime()
+    base_cfg = load_settings({"WEIGHTS_DIR": str(tmp_path / "w")})
+    ref_rt = rt.EncoderRuntime(base_cfg, bert_cfg=TINY_BERT, clip_cfg=TINY_CLIP)
+    want = ref_rt.embed_text_batch(texts)
+    want_scores = ref_rt.rerank_scores("alpha beta", texts)
+
+    q_cfg = load_settings(
+        {"WEIGHTS_DIR": str(tmp_path / "w"), "TPU_ENCODER_QUANT": "int8"}
+    )
+    enc = rt.EncoderRuntime(q_cfg, bert_cfg=TINY_BERT, clip_cfg=TINY_CLIP)
+    got = enc.embed_text_batch(texts)
+    got_scores = enc.rerank_scores("alpha beta", texts)
+    rt.reset_runtime()
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.linalg.norm(got, axis=1), 1.0, atol=1e-4)
+    cos = (got * want).sum(-1)
+    assert np.all(cos >= 0.99), cos
+    # rerank ordering preserved under quantization on seeded weights
+    assert list(np.argsort(-want_scores)) == list(np.argsort(-got_scores))

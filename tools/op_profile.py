@@ -46,15 +46,20 @@ def build(which):
             return bert.l2_normalize(clip.clip_text_features(params, ids, mask, compute_dtype=jnp.bfloat16))
 
         return step, (params, ids, mask)
+    # minilm at the headline shape (512x64) or the ingest chunk shape
+    # (64x512, `bench.py::bench_minilm_seq512`); *_q8 = the W8A8 tower
+    b, s = (64, 512) if which.startswith("minilm512") else (512, 64)
     params = bert.init_bert_params(jax.random.PRNGKey(0))
-    ids = jax.random.randint(jax.random.PRNGKey(3), (512, 64), 5, 30000, jnp.int32)
-    mask = jnp.ones((512, 64), jnp.int32)
+    q8 = bert.quantize_bert(params) if which.endswith("_q8") else None
+    ids = jax.random.randint(jax.random.PRNGKey(3), (b, s), 5, 30000, jnp.int32)
+    mask = jnp.ones((b, s), jnp.int32)
 
     @jax.jit
-    def step(params, ids, mask):
-        return bert.minilm_embed(params, ids, mask, compute_dtype=jnp.bfloat16)
+    def step(params, q8, ids, mask):
+        return bert.minilm_embed(params, ids, mask, compute_dtype=jnp.bfloat16,
+                                 q8_layers=q8)
 
-    return step, (params, ids, mask)
+    return step, (params, q8, ids, mask)
 
 
 def main():
