@@ -199,6 +199,33 @@ class TestEngineMultichip:
         np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+def test_dp_encoder_quant(tmp_path, monkeypatch):
+    """TPU_ENCODER_QUANT=int8 composes with DP: the q8 pytree rides the
+    replicated-params spec through shard_map and the sharded engine matches
+    the single-device quantized runtime bit-for-bit."""
+
+    monkeypatch.setenv("MMRAG_ATTN_IMPL", "fused")
+    single = tiny_engine(
+        tmp_path / "sq", {"TPU_DATA_PARALLEL": "off", "TPU_ENCODER_QUANT": "int8"}
+    )
+    multi = tiny_engine(
+        tmp_path / "mq", {"TPU_DATA_PARALLEL": "auto", "TPU_ENCODER_QUANT": "int8"}
+    )
+    try:
+        assert multi.runtime.mesh is not None
+        assert multi.runtime.encoder_quant == "int8"
+        texts = [f"sentence number {i} about biology" for i in range(9)]
+        a = single.runtime.embed_text_batch(texts)
+        b = multi.runtime.embed_text_batch(texts)
+        np.testing.assert_allclose(a, b, atol=1e-5)
+        ra = single.runtime.rerank_scores("cell power", texts[:5])
+        rb = multi.runtime.rerank_scores("cell power", texts[:5])
+        np.testing.assert_allclose(ra, rb, atol=1e-4)
+    finally:
+        single.close()
+        multi.close()
+
+
 def test_engine_data_mesh_settings(tmp_path):
     from mmrag_tpu.settings import load_settings
 
