@@ -82,25 +82,28 @@ def _per_iter_seconds(make_step, k1: int, k2: int, *data, repeats: int = 3) -> f
     return t1 / k1
 
 
-def _bench_minilm_shape(batch: int, seq: int, k1: int, k2: int) -> float:
+def _bench_minilm_shape(batch: int, seq: int, k1: int, k2: int,
+                        quant: bool = False) -> float:
     import jax
     import jax.numpy as jnp
 
     from mmrag_tpu.models import bert
 
     params = bert.init_bert_params(jax.random.PRNGKey(0))
+    q8 = bert.quantize_bert(params) if quant else None
     ids = jax.random.randint(jax.random.PRNGKey(3), (batch, seq), 5, 30000, jnp.int32)
     mask = jnp.ones((batch, seq), jnp.int32)
 
-    def make_step(k, params, ids, mask):
+    def make_step(k, params, q8, ids, mask):
         def body(i, acc):
             shifted = (ids + i) % 30000
-            emb = bert.minilm_embed(params, shifted, mask, compute_dtype=jnp.bfloat16)
+            emb = bert.minilm_embed(params, shifted, mask,
+                                    compute_dtype=jnp.bfloat16, q8_layers=q8)
             return acc + emb[0, 0]
 
         return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
-    sec = _per_iter_seconds(make_step, k1, k2, params, ids, mask)
+    sec = _per_iter_seconds(make_step, k1, k2, params, q8, ids, mask)
     return batch / sec
 
 
@@ -177,43 +180,33 @@ def bench_minilm_int8(quick: bool):
     """Opt-in W8A8 BERT tower (TPU_ENCODER_QUANT=int8, ops/quant.py) at the
     seq-512 ingest shape: every encoder matmul on the MXU's int8 double-rate
     path. Returns ``{embeds_per_sec, cosine_vs_f32}`` — cosine measured vs
-    the f32 XLA tower on the same inputs (seeded weights)."""
+    the f32 XLA tower on the same inputs (seeded weights). Shares
+    ``_bench_minilm_shape`` with bench_minilm_seq512 so the quantized and
+    bf16 numbers stay apples-to-apples."""
 
     import jax
     import jax.numpy as jnp
 
     from mmrag_tpu.models import bert
 
+    batch, seq = (32, 512) if quick else (64, 512)
+    k1, k2 = (6, 2) if quick else (12, 4)
+    eps = _bench_minilm_shape(batch, seq, k1, k2, quant=True)
+
     params = bert.init_bert_params(jax.random.PRNGKey(0))
     q8 = bert.quantize_bert(params)
-    batch, seq = (32, 512) if quick else (64, 512)
-    ids = jax.random.randint(jax.random.PRNGKey(3), (batch, seq), 5, 30000, jnp.int32)
-    mask = jnp.ones((batch, seq), jnp.int32)
-
-    def make_step(k, params, q8, ids, mask):
-        def body(i, acc):
-            shifted = (ids + i) % 30000
-            emb = bert.minilm_embed(
-                params, shifted, mask, compute_dtype=jnp.bfloat16, q8_layers=q8
-            )
-            return acc + emb[0, 0]
-
-        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
-
-    k1, k2 = (6, 2) if quick else (12, 4)
-    sec = _per_iter_seconds(make_step, k1, k2, params, q8, ids, mask)
-
-    probe_ids, probe_mask = ids[:8], mask[:8]
+    ids = jax.random.randint(jax.random.PRNGKey(3), (8, seq), 5, 30000, jnp.int32)
+    mask = jnp.ones((8, seq), jnp.int32)
     ref = np.asarray(jax.jit(
         lambda p, i, m: bert.minilm_embed(
             p, i, m, compute_dtype=jnp.float32, attention_impl="xla")
-    )(params, probe_ids, probe_mask))
+    )(params, ids, mask))
     got = np.asarray(jax.jit(
         lambda p, q, i, m: bert.minilm_embed(
             p, i, m, compute_dtype=jnp.bfloat16, q8_layers=q)
-    )(params, q8, probe_ids, probe_mask))
+    )(params, q8, ids, mask))
     cos = float(np.mean((ref * got).sum(-1)))
-    return {"embeds_per_sec": batch / sec, "cosine_vs_f32": cos}
+    return {"embeds_per_sec": eps, "cosine_vs_f32": cos}
 
 
 def bench_clip_images(quick: bool) -> float:

@@ -182,6 +182,25 @@ def _use_fused_attention(impl: str, b: int, s: int) -> bool:
     return impl == "fused"
 
 
+def _use_q8(impl: str, s: int) -> bool:
+    """Whether a passed ``q8_layers`` engages the W8A8 kernels. Unlike the
+    bf16 fused gate there is NO batch-size threshold: with quant enabled,
+    every batch of the same tower must score through the same numerics —
+    otherwise a rerank pair's logit would depend on how many requests
+    happened to coalesce around it, and near-tie candidates could swap order
+    across identical requests. The small-batch kernel dispatch overhead is
+    part of the opt-in's cost."""
+
+    if impl == "xla":
+        return False
+    if impl == "fused":
+        return True
+    from ..ops.attention import use_fused
+
+    # batch omitted -> only the env override / backend / seq-range gates
+    return use_fused(seq=max(s, 1))
+
+
 def _self_attention(
     layer: Params,
     x2: jnp.ndarray,  # (b*s, h) 2-D residual stream
@@ -271,19 +290,20 @@ def bert_encode(
     # bf16 path holds the <=1e-3 cosine-drift budget (test_model_parity).
     stream = jnp.dtype(compute_dtype)
     x = x.reshape(b * s, cfg.hidden_size).astype(stream)
-    if q8_layers is not None and _use_fused_attention(attention_impl, b, s):
+    if q8_layers is not None and _use_q8(attention_impl, s):
         # W8A8 tower: post-LN attention block + post-LN FFN block, each one
         # dispatch with every matmul on the MXU's int8 double-rate path.
         from ..ops.attention import fused_attention_block_q8
         from ..ops.mlp import fused_mlp_block_q8
 
+        act = "gelu_tanh" if cfg.gelu_approximate else "gelu_erf"
         for qlayer in q8_layers["layers"]:
             x = fused_attention_block_q8(
                 x, qlayer, cfg.num_heads, s, cfg.layer_norm_eps,
                 attention_mask, pre_ln=False, ln_key="attn_ln",
             )
             x = fused_mlp_block_q8(
-                x, qlayer, cfg.layer_norm_eps, pre_ln=False, act="gelu_tanh",
+                x, qlayer, cfg.layer_norm_eps, pre_ln=False, act=act,
                 k1="ffn_in", k2="ffn_out", ln_key="ffn_ln",
             )
         return x.reshape(b, s, cfg.hidden_size).astype(jnp.float32)

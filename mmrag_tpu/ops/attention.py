@@ -453,9 +453,10 @@ def _attn_block_kernel_q8(
     too — the part that dominates at long seq because head_dim 32 leaves the
     MXU contraction 75% idle — LOSES. Full int8 MHA (per-row q/k scales,
     per-query-row p scales, per-column V scales): 5986 emb/s; int8 scores
-    only (rank-1 outer dequant): 8303; this bf16-MHA form: 8698. The int8
-    operands' (32, 128)-tile repacking and the extra s^2-sized dequant /
-    quantize VPU passes cost more than the double-rate path saves at K=32.
+    only (rank-1 outer dequant): 8303; this bf16-MHA form: 8672-8698
+    across runs (vs 8349 bf16 unquantized). The int8 operands' (32, 128)-
+    tile repacking and the extra s^2-sized dequant / quantize VPU passes
+    cost more than the double-rate path saves at K=32.
     """
 
     from .quant import quantize_rows

@@ -98,13 +98,16 @@ def _fused_mlp(x, w1, b1, w2, b2, ln_scale, ln_bias, eps: float, interpret: bool
 
 
 def _act_f32(inner: jnp.ndarray, act: str) -> jnp.ndarray:
-    """f32 activation by name: ``quick_gelu`` (HF CLIP) or ``gelu_tanh``
-    (HF BERT default form — see models/bert.py gelu_approximate)."""
+    """f32 activation by name: ``quick_gelu`` (HF CLIP), ``gelu_tanh``
+    (HF BERT default form — see models/bert.py gelu_approximate) or
+    ``gelu_erf`` (the exact form, gelu_approximate=False)."""
 
     if act == "quick_gelu":
         return inner * jax.nn.sigmoid(1.702 * inner)
     if act == "gelu_tanh":
         return jax.nn.gelu(inner, approximate=True)
+    if act == "gelu_erf":
+        return jax.nn.gelu(inner, approximate=False)
     raise ValueError(f"unknown activation {act!r}")
 
 

@@ -202,16 +202,19 @@ class TestEngineMultichip:
 def test_dp_encoder_quant(tmp_path, monkeypatch):
     """TPU_ENCODER_QUANT=int8 composes with DP: the q8 pytree rides the
     replicated-params spec through shard_map and the sharded engine matches
-    the single-device quantized runtime bit-for-bit."""
+    the single-device quantized runtime within reduction-order tolerance."""
 
     monkeypatch.setenv("MMRAG_ATTN_IMPL", "fused")
-    single = tiny_engine(
-        tmp_path / "sq", {"TPU_DATA_PARALLEL": "off", "TPU_ENCODER_QUANT": "int8"}
-    )
-    multi = tiny_engine(
-        tmp_path / "mq", {"TPU_DATA_PARALLEL": "auto", "TPU_ENCODER_QUANT": "int8"}
-    )
+    engines = []
     try:
+        single = tiny_engine(
+            tmp_path / "sq", {"TPU_DATA_PARALLEL": "off", "TPU_ENCODER_QUANT": "int8"}
+        )
+        engines.append(single)
+        multi = tiny_engine(
+            tmp_path / "mq", {"TPU_DATA_PARALLEL": "auto", "TPU_ENCODER_QUANT": "int8"}
+        )
+        engines.append(multi)
         assert multi.runtime.mesh is not None
         assert multi.runtime.encoder_quant == "int8"
         texts = [f"sentence number {i} about biology" for i in range(9)]
@@ -222,8 +225,8 @@ def test_dp_encoder_quant(tmp_path, monkeypatch):
         rb = multi.runtime.rerank_scores("cell power", texts[:5])
         np.testing.assert_allclose(ra, rb, atol=1e-4)
     finally:
-        single.close()
-        multi.close()
+        for eng in engines:
+            eng.close()
 
 
 def test_engine_data_mesh_settings(tmp_path):

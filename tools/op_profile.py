@@ -6,7 +6,8 @@ opcode+output-shape signature.
 This is the measurement loop behind the KERNELS.md numbers: every fused-kernel
 decision (what to fuse, what to revert) came from one of these breakdowns.
 
-Usage: python tools/op_profile.py [minilm|clip|clip_text]
+Usage: python tools/op_profile.py
+    [minilm|minilm_q8|minilm512|minilm512_q8|clip|clip_text]
 """
 import glob
 import os
@@ -48,6 +49,9 @@ def build(which):
         return step, (params, ids, mask)
     # minilm at the headline shape (512x64) or the ingest chunk shape
     # (64x512, `bench.py::bench_minilm_seq512`); *_q8 = the W8A8 tower
+    known = {"minilm", "minilm_q8", "minilm512", "minilm512_q8"}
+    if which not in known:
+        raise SystemExit(f"unknown profile target {which!r} (see module docstring)")
     b, s = (64, 512) if which.startswith("minilm512") else (512, 64)
     params = bert.init_bert_params(jax.random.PRNGKey(0))
     q8 = bert.quantize_bert(params) if which.endswith("_q8") else None
