@@ -199,6 +199,55 @@ class TestEngineMultichip:
         np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+def test_everything_on_composition(tmp_path, monkeypatch):
+    """The maximal production configuration in ONE engine: DP mesh +
+    W8A8 encoders + PQ-coded index + ivf backend. Ingest through the real
+    index_build path, then retrieve — the composition no single-feature
+    test exercises. Guards against pairwise gates (e.g. the historical
+    ivf+int8 raise) silently reappearing between any two of the four."""
+
+    monkeypatch.setenv("MMRAG_ATTN_IMPL", "fused")
+    from mmrag_tpu.rag import index_build as ib
+    from mmrag_tpu.rag import retrieve as rv
+
+    eng = tiny_engine(
+        tmp_path / "all",
+        {
+            "TPU_DATA_PARALLEL": "auto",
+            "TPU_ENCODER_QUANT": "int8",
+            "TPU_INDEX_DTYPE": "pq",
+            "TPU_TOPK_BACKEND": "ivf",
+        },
+    )
+    try:
+        assert eng.runtime.mesh is not None
+        assert eng.runtime.encoder_quant == "int8"
+        eng.metadata.upsert_document(
+            Document(document_id="doc1", user_id="u1", doc_type="pdf", title="T")
+        )
+        nodes = [
+            {
+                "id": f"doc1-c{i}",
+                "text": t,
+                "metadata": {"document_id": "doc1", "page": i + 1},
+            }
+            for i, t in enumerate(
+                [
+                    "The mitochondria is the powerhouse of the cell.",
+                    "Photosynthesis converts light energy into chemical energy.",
+                    "Newton's laws of motion describe classical mechanics.",
+                    "The Krebs cycle produces ATP in cellular respiration.",
+                ]
+            )
+        ]
+        ib.index_text_nodes("u1", nodes, eng)
+        out = rv.retrieve("u1", "what powers the cell?", eng)
+        assert out["results"], "composition returned no hits"
+        assert all(h["chunk_id"].startswith("doc1-c") for h in out["text"])
+    finally:
+        eng.close()
+
+
 def test_dp_encoder_quant(tmp_path, monkeypatch):
     """TPU_ENCODER_QUANT=int8 composes with DP: the q8 pytree rides the
     replicated-params spec through shard_map and the sharded engine matches
