@@ -71,6 +71,16 @@ def test_tpu_buckets_sorted():
     assert s.tpu.text_batch_buckets == (8, 32, 128)
 
 
+def test_default_seq_buckets_include_384():
+    """The 384 bucket sits between the splitter shapes: attention is
+    quadratic in the padded bucket, so a ~300-token chunk embeds 1.52x
+    faster than padded to 512 (config.py rationale)."""
+
+    s = load_settings({})
+    assert 384 in s.tpu.text_seq_buckets
+    assert s.tpu.text_seq_buckets == tuple(sorted(s.tpu.text_seq_buckets))
+
+
 def test_index_dtype_knob_is_independent():
     from mmrag_tpu.settings import load_settings
 
