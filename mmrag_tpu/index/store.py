@@ -640,7 +640,8 @@ class VectorIndex:
         )
 
     def _dense_multi_async(self, queries, uids: np.ndarray,
-                           dids: np.ndarray, k: int):
+                           dids: np.ndarray, k: int,
+                           backend: Optional[str] = None):
         """Dispatch the exact masked scan WITHOUT forcing readback; returns a
         zero-arg collector that materializes (with the same runtime-failure
         dense-xla retry as :meth:`_search_with_fallback`). Lets the serving
@@ -665,7 +666,7 @@ class VectorIndex:
         s, i = _search_multi(
             self._slab, self._users, self._docs, self._live, qj,
             jnp.asarray(uids), jnp.asarray(dids), min(k, self._capacity),
-            self.backend)
+            backend or self.backend)
         return lambda: _readback_pair(s, i)
 
     # -- multi-chip (row-sharded slab) dispatch ------------------------------
@@ -1249,12 +1250,19 @@ class VectorIndex:
         user_ids: Sequence[str],
         k: int,
         document_ids: Optional[Sequence[Optional[str]]] = None,
+        _attempt: int = 0,
     ):
         """:meth:`search_batch_multi` split into dispatch + collect: returns a
         zero-arg callable producing the hit lists. On the dense path the
         dispatch is issued asynchronously, so callers can put several index
         dispatches (and the query-embed chain feeding them) in flight and
-        block once — the serving hot path's round-trip economy."""
+        block once — the serving hot path's round-trip economy.
+
+        ``_attempt`` is the internal readback-failure retry depth: 0 = first
+        dispatch; 1 = re-run with fresh refs under the lock (covers the
+        donated-slab race with concurrent upserts); 2 = force the exact
+        dense-xla scan (covers a persistently failing accelerated backend).
+        A failure at depth 2 propagates — retries are strictly bounded."""
 
         q = queries.shape[0]
         if len(user_ids) != q:
@@ -1288,6 +1296,13 @@ class VectorIndex:
                 # pq handles its own sharded dispatch inside _pq_multi_async
                 pending = self._dense_multi_async(queries, uids, dids, k)
                 scores = idx = None
+            elif _attempt >= 2:
+                # final rung: exact dense scan on the always-correct xla
+                # backend, bypassing sharded/ivf/Pallas layouts entirely
+                pending = self._dense_multi_async(
+                    queries, uids, dids, k, backend="xla"
+                )
+                scores = idx = None
             elif self._sharding is not None:
                 scores, idx = self._dispatch_sharded(
                     jnp.asarray(queries.astype(np.float32)),
@@ -1316,21 +1331,29 @@ class VectorIndex:
                     else _readback_pair(scores, idx)
                 )
             except jax.errors.JaxRuntimeError:
-                if self.backend == "xla":
-                    raise
                 # a concurrent upsert may have donated (deleted) the slab
                 # buffers this dispatch captured, so re-dispatching them
-                # would raise "Array has been deleted"; re-run the whole
-                # search under the lock with fresh refs instead (the sync
-                # path's own fallback covers a repeat backend failure)
+                # would raise "Array has been deleted". Retry ladder, each
+                # rung re-running the WHOLE search under the lock with fresh
+                # refs: attempt 1 keeps the layout/backend (donation race);
+                # attempt 2 forces the exact dense-xla scan (persistent
+                # backend failure). pq/xla have no lower rung to descend to
+                # after the fresh-refs re-run, so they get one retry only.
+                if _attempt >= 2 or (
+                    _attempt >= 1 and (self.is_pq or self.backend == "xla")
+                ):
+                    raise
                 self._count_fallback("dense_async")
                 _logger.warning(
-                    "async search backend %r failed at readback; re-running "
-                    "synchronously", self.backend,
+                    "async search backend %r failed at readback "
+                    "(attempt %d); re-running with fresh refs%s",
+                    self.backend, _attempt,
+                    " on dense xla" if _attempt >= 1 else "",
                 )
-                return self.search_batch_multi(
-                    np.asarray(queries)[:q], user_ids, k, document_ids
-                )
+                return self.search_batch_multi_async(
+                    np.asarray(queries)[:q], user_ids, k, document_ids,
+                    _attempt=_attempt + 1,
+                )()
             out: List[List[Tuple[str, float]]] = []
             for qi in range(q):
                 hits = []

@@ -90,7 +90,10 @@ def kmeans(
     n = rows.shape[0]
     train = rows
     if train_sample and n > train_sample:
-        train = rows[:: max(n // train_sample, 1)][:train_sample]
+        # ceil stride: floor would give stride 1 for n < 2*train_sample and
+        # silently train on a first-rows PREFIX (insertion order is
+        # per-tenant, so a later tenant's geometry would go unseen)
+        train = rows[:: -(-n // train_sample)][:train_sample]
     tn = train.shape[0]
     stride = max(tn // n_clusters, 1)
     centroids = l2_normalize(train[::stride][:n_clusters].astype(jnp.float32))
@@ -300,7 +303,7 @@ def build_ivf(
         scales = jnp.asarray(scales, jnp.float32)
         # train on a dequantized sample only (bounded f32 materialization)
         cap = train_sample or n
-        step = max(n // cap, 1)
+        step = -(-n // cap)  # ceil: a floor stride would sample a prefix
         sample = (slab_rows[::step][:cap].astype(jnp.float32)
                   * scales[::step][:cap, None])
         centroids, _ = kmeans(sample, n_clusters, iters, train_sample=0)

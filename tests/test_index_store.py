@@ -553,3 +553,44 @@ def test_readback_pair_bit_exact_and_passthrough(rng):
     sh, ih = _readback_pair(s_np, i_np)
     np.testing.assert_array_equal(sh, s_np)
     np.testing.assert_array_equal(ih, i_np)
+
+
+def test_async_readback_retry_is_bounded_and_recovers(index, monkeypatch):
+    """A readback JaxRuntimeError re-runs the search with fresh refs; a
+    PERSISTENT failure walks a bounded ladder (fresh refs -> dense xla ->
+    raise) instead of recursing forever (regression: the fallback used to
+    re-enter the identical async path unboundedly)."""
+
+    import jax
+
+    from mmrag_tpu.index import store as store_mod
+
+    index.upsert([_row(f"c{i}", user=f"u{i % 2}", vec=_basis(i)) for i in range(6)])
+    queries = np.stack([_basis(i) for i in range(3)])
+    users = ["u0", "u1", "u0"]
+    expected = index.search_batch_multi(queries, users, k=3)
+
+    real = store_mod._readback_pair
+    calls = {"n": 0}
+
+    # one transient failure -> fresh-refs re-run returns correct results
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise jax.errors.JaxRuntimeError("INVALID_ARGUMENT: injected")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(store_mod, "_readback_pair", flaky)
+    assert index.search_batch_multi_async(queries, users, k=3)() == expected
+
+    # persistent failure -> bounded attempts, original error propagates
+    calls["n"] = 0
+
+    def poisoned(*a, **kw):
+        calls["n"] += 1
+        raise jax.errors.JaxRuntimeError("INVALID_ARGUMENT: injected")
+
+    monkeypatch.setattr(store_mod, "_readback_pair", poisoned)
+    with pytest.raises(jax.errors.JaxRuntimeError):
+        index.search_batch_multi_async(queries, users, k=3)()
+    assert calls["n"] <= 3  # attempt 0, fresh-refs, forced dense-xla

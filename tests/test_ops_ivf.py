@@ -529,3 +529,30 @@ def test_build_ivf_pq_partial_probe_and_predicates(rng):
     ivf.mark_dead(np.arange(0, 1000))
     s2, ids2 = ivf_ops.ivf_search_pred(ivf, queries, uids, dids, 10, nprobe=32)
     assert (np.asarray(s2) <= -1e29).all()  # tenant 0 fully tombstoned
+
+
+def test_kmeans_train_sample_spans_insertion_order(rng):
+    """The train subsample must stride the WHOLE corpus (ceil stride), not a
+    first-rows prefix: insertion order is per-tenant, so a floor stride (1
+    whenever train_sample < n < 2*train_sample) would fit centroids only to
+    early tenants and late tenants' geometry would go unseen."""
+
+    d = 32
+    # rows 0..199: cluster near +e0; rows 200..299: a LATE tenant near +e1
+    early = np.zeros((200, d), np.float32)
+    early[:, 0] = 1.0
+    late = np.zeros((100, d), np.float32)
+    late[:, 1] = 1.0
+    rows = np.concatenate([early, late]) + 0.05 * rng.standard_normal(
+        (300, d)
+    ).astype(np.float32)
+    rows = np.asarray(l2_normalize(jnp.asarray(rows)))
+    # train_sample=200 < n=300 < 2*train_sample: the floor-stride regression
+    cents, assign = ivf_ops.kmeans(
+        jnp.asarray(rows), n_clusters=4, iters=6, train_sample=200
+    )
+    # some centroid must sit on the late tenant's direction (e1)
+    assert float(jnp.max(cents[:, 1])) > 0.8
+    # and the late rows must not share a bucket with the early ones
+    a = np.asarray(assign)
+    assert set(a[:200].tolist()).isdisjoint(set(a[200:].tolist()))
