@@ -1262,7 +1262,10 @@ class VectorIndex:
         dispatch; 1 = re-run with fresh refs under the lock (covers the
         donated-slab race with concurrent upserts); 2 = force the exact
         dense-xla scan (covers a persistently failing accelerated backend).
-        A failure at depth 2 propagates — retries are strictly bounded."""
+        Layouts with no lower rung to descend to (pq, an explicit xla
+        backend, int8 already on the plain dense scan) stop after depth 1.
+        A failure at the last rung propagates — retries are strictly
+        bounded."""
 
         q = queries.shape[0]
         if len(user_ids) != q:
@@ -1319,6 +1322,14 @@ class VectorIndex:
             else:
                 pending = self._dense_multi_async(queries, uids, dids, k)
                 scores = idx = None
+            # int8 took the plain dense scan (no ivf/sharded layout): the
+            # attempt-2 "force dense xla" rung would re-run the IDENTICAL
+            # _search_multi_int8 kernel (the int8 branch ignores the backend
+            # override), so it earns only the fresh-refs retry
+            dense_int8 = (
+                pending is not None and not self.is_pq
+                and self.dtype == jnp.int8
+            )
             # snapshot: rows only append under the slab generation this
             # dispatch captured; compact() rebinds a fresh list, leaving this
             # reference consistent with the dispatched arrays
@@ -1337,10 +1348,12 @@ class VectorIndex:
                 # rung re-running the WHOLE search under the lock with fresh
                 # refs: attempt 1 keeps the layout/backend (donation race);
                 # attempt 2 forces the exact dense-xla scan (persistent
-                # backend failure). pq/xla have no lower rung to descend to
-                # after the fresh-refs re-run, so they get one retry only.
+                # backend failure). pq/xla/plain-dense-int8 have no lower
+                # rung to descend to after the fresh-refs re-run, so they
+                # get one retry only.
                 if _attempt >= 2 or (
-                    _attempt >= 1 and (self.is_pq or self.backend == "xla")
+                    _attempt >= 1
+                    and (self.is_pq or dense_int8 or self.backend == "xla")
                 ):
                     raise
                 self._count_fallback("dense_async")

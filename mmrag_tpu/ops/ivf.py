@@ -73,6 +73,15 @@ def _assign_int8(rows_q: jnp.ndarray, centroids: jnp.ndarray, scales: jnp.ndarra
     return jnp.argmax(scores, axis=1).astype(jnp.int32), jnp.mean(best * scales)
 
 
+def _even_indices(n: int, count: int) -> np.ndarray:
+    """``count`` evenly spaced row indices over ``[0, n)`` — deterministic,
+    spans the whole insertion order, and (unlike any integer stride) keeps
+    the full sample size for every n > count. Distinct for count <= n
+    (spacing >= 1)."""
+
+    return np.linspace(0, n - 1, num=count).astype(np.int32)
+
+
 def kmeans(
     rows: jnp.ndarray,  # (n, d), L2-normalized, f32/bf16
     n_clusters: int,
@@ -90,10 +99,11 @@ def kmeans(
     n = rows.shape[0]
     train = rows
     if train_sample and n > train_sample:
-        # ceil stride: floor would give stride 1 for n < 2*train_sample and
-        # silently train on a first-rows PREFIX (insertion order is
-        # per-tenant, so a later tenant's geometry would go unseen)
-        train = rows[:: -(-n // train_sample)][:train_sample]
+        # evenly spaced indices: spans the WHOLE corpus (a floor stride
+        # trains on a first-rows prefix — insertion order is per-tenant, so
+        # a late tenant's geometry would go unseen) at the FULL sample size
+        # (a ceil stride halves the sample just past the cap)
+        train = rows[_even_indices(n, train_sample)]
     tn = train.shape[0]
     stride = max(tn // n_clusters, 1)
     centroids = l2_normalize(train[::stride][:n_clusters].astype(jnp.float32))
@@ -301,11 +311,12 @@ def build_ivf(
         bucket = bucket_size(n, n_clusters, bucket_factor)
     elif scales is not None:
         scales = jnp.asarray(scales, jnp.float32)
-        # train on a dequantized sample only (bounded f32 materialization)
-        cap = train_sample or n
-        step = -(-n // cap)  # ceil: a floor stride would sample a prefix
-        sample = (slab_rows[::step][:cap].astype(jnp.float32)
-                  * scales[::step][:cap, None])
+        # train on a dequantized sample only (bounded f32 materialization);
+        # evenly spaced so it spans insertion order at the full sample size
+        cap = min(train_sample or n, n)
+        sel = _even_indices(n, cap)
+        sample = (slab_rows[sel].astype(jnp.float32)
+                  * scales[sel, None])
         centroids, _ = kmeans(sample, n_clusters, iters, train_sample=0)
         assign, structure = _assign_int8(slab_rows, centroids, scales)
     else:

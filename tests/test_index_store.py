@@ -594,3 +594,30 @@ def test_async_readback_retry_is_bounded_and_recovers(index, monkeypatch):
     with pytest.raises(jax.errors.JaxRuntimeError):
         index.search_batch_multi_async(queries, users, k=3)()
     assert calls["n"] <= 3  # attempt 0, fresh-refs, forced dense-xla
+
+
+def test_async_readback_retry_int8_dense_stops_after_fresh_refs(monkeypatch):
+    """A plain-dense int8 index has no lower rung to descend to (the
+    attempt-2 "force dense xla" override is ignored by the int8 branch),
+    so a persistent failure stops after ONE fresh-refs retry instead of
+    paying a third identical _search_multi_int8 dispatch."""
+
+    import jax
+
+    from mmrag_tpu.index import store as store_mod
+
+    index = VectorIndex(dim=8, dtype="int8")
+    index.upsert([_row(f"c{i}", user="u0", vec=_basis(i)) for i in range(4)])
+    queries = np.stack([_basis(i) for i in range(2)])
+    users = ["u0", "u0"]
+
+    calls = {"n": 0}
+
+    def poisoned(*a, **kw):
+        calls["n"] += 1
+        raise jax.errors.JaxRuntimeError("INVALID_ARGUMENT: injected")
+
+    monkeypatch.setattr(store_mod, "_readback_pair", poisoned)
+    with pytest.raises(jax.errors.JaxRuntimeError):
+        index.search_batch_multi_async(queries, users, k=2)()
+    assert calls["n"] == 2  # attempt 0 + fresh refs; no identical third run

@@ -556,3 +556,15 @@ def test_kmeans_train_sample_spans_insertion_order(rng):
     # and the late rows must not share a bucket with the early ones
     a = np.asarray(assign)
     assert set(a[:200].tolist()).isdisjoint(set(a[200:].tolist()))
+
+
+def test_even_indices_full_sample_past_cap():
+    """Sampling just past the cap must keep the FULL sample size (a ceil
+    stride halved it: n=cap+1 -> stride 2 -> ~cap/2 rows) while still
+    spanning the whole insertion order."""
+
+    for n, cap in ((201, 200), (300, 200), (399, 200), (1000, 10)):
+        sel = ivf_ops._even_indices(n, cap)
+        assert sel.shape == (cap,)
+        assert sel[0] == 0 and sel[-1] == n - 1
+        assert len(np.unique(sel)) == cap  # spacing >= 1 -> distinct
