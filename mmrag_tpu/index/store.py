@@ -28,6 +28,7 @@ pure dot product = cosine.
 
 from __future__ import annotations
 
+import atexit
 import functools
 import json
 import logging
@@ -51,6 +52,28 @@ from ..storage.records import VectorRow
 _MIN_CAPACITY = 4096
 _QUERY_BUCKETS = (1, 2, 4, 8, 16, 32)
 _logger = logging.getLogger(__name__)
+
+
+# In-flight background ivf-build threads. They are daemon threads (a build
+# must never block a clean exit indefinitely), but a daemon thread killed by
+# interpreter teardown while inside an XLA dispatch aborts the whole process
+# ("FATAL: exception not rethrown" — pthread cancellation mid-C++-unwind), so
+# atexit joins them first. atexit runs before CPython kills daemon threads;
+# builds are seconds-scale, the timeout bounds a pathological one.
+_ivf_builds: "set[threading.Thread]" = set()
+_ivf_builds_lock = threading.Lock()
+
+
+def _join_ivf_builds(timeout: float = 120.0) -> None:
+    with _ivf_builds_lock:
+        pending = list(_ivf_builds)
+    for t in pending:
+        t.join(timeout)
+        if t.is_alive():
+            _logger.warning("ivf build %s still running at exit", t.name)
+
+
+atexit.register(_join_ivf_builds)
 
 
 def _query_bucket(q: int) -> int:
@@ -870,8 +893,13 @@ class VectorIndex:
                 _logger.exception("background ivf build failed")
             finally:
                 self._ivf_building = False
+                with _ivf_builds_lock:
+                    _ivf_builds.discard(threading.current_thread())
 
-        threading.Thread(target=run, name="ivf-build", daemon=True).start()
+        t = threading.Thread(target=run, name="ivf-build", daemon=True)
+        with _ivf_builds_lock:
+            _ivf_builds.add(t)
+        t.start()
 
     def _maybe_ivf(self):
         """Return the current layout (possibly stale; the tail scan covers

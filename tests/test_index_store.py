@@ -621,3 +621,37 @@ def test_async_readback_retry_int8_dense_stops_after_fresh_refs(monkeypatch):
     with pytest.raises(jax.errors.JaxRuntimeError):
         index.search_batch_multi_async(queries, users, k=2)()
     assert calls["n"] == 2  # attempt 0 + fresh refs; no identical third run
+
+
+def test_background_ivf_build_does_not_abort_interpreter_exit():
+    """A daemon ivf-build thread killed by interpreter teardown while inside
+    an XLA dispatch aborts the whole process (SIGABRT, "FATAL: exception not
+    rethrown"). The module's atexit hook must join in-flight builds first, so
+    a process that kicks an async build and exits immediately exits 0."""
+
+    import subprocess
+    import sys
+
+    script = """
+import jax
+jax.config.update('jax_platforms', 'cpu')
+import numpy as np
+from mmrag_tpu.index.store import VectorIndex
+from mmrag_tpu.storage import VectorRow
+rng = np.random.default_rng(0)
+rows = []
+for i in range(2000):
+    v = rng.normal(size=32).astype(np.float32)
+    rows.append(VectorRow(chunk_id=f"c{i}", user_id="u", document_id="d",
+                          modality="text", embedding=v / np.linalg.norm(v)))
+idx = VectorIndex(dim=32, backend="ivf", ivf_min_rows=500)
+idx.upsert(rows)
+q = rng.normal(size=(1, 32)).astype(np.float32)
+idx.search_batch_multi(q / np.linalg.norm(q), ["u"], k=5)
+# exit immediately: the background k-means is still mid-dispatch
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, (proc.returncode, proc.stderr[-2000:])
