@@ -132,14 +132,20 @@ class RagEngine:
                 )
             return self._query_batcher
 
-    def warmup_serving(self, max_coalesce: Optional[int] = None) -> int:
+    def warmup_serving(self, max_coalesce: Optional[int] = None,
+                       stop: Optional[threading.Event] = None) -> int:
         """Pre-compile the serving query-path executables for every coalesce
         bucket the MicroBatcher can produce (embed text/image towers, masked
         top-k per modality, cross-encoder rerank), so concurrent load never
         pays a first-compile inside a request. The warmup tenant is a
         never-interned sentinel, so no real rows are scanned into results.
         Returns the number of warm dispatches issued. Skipped shapes (empty
-        index) compile lazily on first data as before."""
+        index) compile lazily on first data as before.
+
+        ``stop``: checked between buckets — a shutting-down server sets it
+        and joins the warmup thread, so interpreter teardown never lands
+        while a warmup dispatch is inside XLA (which aborts the process the
+        same way an orphaned ivf-build thread did, index/store.py)."""
 
         import numpy as np
 
@@ -150,6 +156,8 @@ class RagEngine:
         passage = "warmup passage text for the cross encoder. " * 8
         count = 0
         for b in buckets:
+            if stop is not None and stop.is_set():
+                return count
             qs = [f"warmup query {i} for bucket {b}" for i in range(b)]
             self.runtime.embed_text_batch(qs)
             self.runtime.embed_queries_for_images(qs)

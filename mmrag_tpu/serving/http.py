@@ -447,19 +447,24 @@ def serve_forever(host: str = "0.0.0.0", port: int = 8000) -> None:
 
     server = make_server(host, port)
     ctx0 = server.ctx  # type: ignore[attr-defined]
+    warm_stop = threading.Event()
+    warm_thread = None
     if ctx0.cfg.tpu.serving_warmup:
         # warm in the background so /healthz (compose healthchecks) responds
         # immediately; early requests just compile lazily as before
         def _warm():
             try:
-                n = ctx0.engine.warmup_serving()
+                n = ctx0.engine.warmup_serving(stop=warm_stop)
                 logger.info(
                     "serving warmup: %d query-path dispatches compiled", n
                 )
             except Exception:
                 logger.exception("serving warmup failed (continuing)")
 
-        threading.Thread(target=_warm, name="serving-warmup", daemon=True).start()
+        warm_thread = threading.Thread(
+            target=_warm, name="serving-warmup", daemon=True
+        )
+        warm_thread.start()
 
     from ..utils.watchdog import start_watchdog
 
@@ -479,6 +484,15 @@ def serve_forever(host: str = "0.0.0.0", port: int = 8000) -> None:
         server.serve_forever()
     finally:
         ctx = server.ctx  # type: ignore[attr-defined]
+        # a daemon thread inside an XLA dispatch at interpreter teardown
+        # aborts the process: stop warmup at its next bucket boundary and
+        # join (bounded — one in-flight compile), and stop the watchdog
+        warm_stop.set()
+        if warm_thread is not None:
+            warm_thread.join(timeout=120.0)
+        from ..utils.watchdog import stop_watchdog
+
+        stop_watchdog()
         try:
             # order matters: stop accepting work, drain in-flight ingest jobs
             # (they mutate the index), THEN snapshot, THEN close the stores

@@ -77,6 +77,12 @@ class DeviceWatchdog:
         if self._thread is not None:
             self._thread.join(timeout=self.timeout_sec + 1)
             self._thread = None
+        if self._probe_thread is not None:
+            # a probe mid-dispatch at interpreter teardown aborts the
+            # process; bounded join (a truly wedged probe can't be waited
+            # out — that shutdown is already degraded)
+            self._probe_thread.join(timeout=self.timeout_sec)
+            self._probe_thread = None
 
     # -- state ---------------------------------------------------------------
 
@@ -155,6 +161,19 @@ def start_watchdog(
             )
             _watchdog.start()
         return _watchdog
+
+
+def stop_watchdog() -> None:
+    """Stop and clear the process watchdog (server shutdown): its probe
+    thread dispatches a device op, and a daemon thread inside XLA at
+    interpreter teardown aborts the process (see index/store.py's
+    ivf-build exit join)."""
+
+    global _watchdog
+    with _watchdog_lock:
+        wd, _watchdog = _watchdog, None
+    if wd is not None:
+        wd.stop()
 
 
 def status() -> dict:

@@ -187,3 +187,19 @@ def test_watchdog_disabled_reports_unknown():
 
     assert watchdog.start_watchdog(0) is None
     assert watchdog.status()["device"] == "unknown"
+
+
+def test_stop_watchdog_clears_global():
+    """Server shutdown stops the process watchdog (its probe thread
+    dispatches device ops — a daemon thread inside XLA at interpreter
+    teardown aborts the process) and clears the singleton so a later
+    start_watchdog can re-arm."""
+
+    from mmrag_tpu.utils import watchdog
+
+    wd = watchdog.start_watchdog(60.0, timeout_sec=1.0)
+    assert wd is not None and watchdog._watchdog is wd
+    watchdog.stop_watchdog()
+    assert watchdog._watchdog is None
+    assert watchdog.status()["device"] == "unknown"
+    watchdog.stop_watchdog()  # idempotent when already stopped

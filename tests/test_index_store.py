@@ -655,3 +655,19 @@ idx.search_batch_multi(q / np.linalg.norm(q), ["u"], k=5)
         timeout=300,
     )
     assert proc.returncode == 0, (proc.returncode, proc.stderr[-2000:])
+
+
+def test_engine_warmup_serving_honors_stop(tmp_path):
+    """A shutting-down server sets the stop event and joins warmup; a
+    pre-set event must return before issuing any dispatch (checked at each
+    bucket boundary)."""
+
+    import threading
+
+    from tiny import tiny_engine
+
+    engine = tiny_engine(tmp_path, extra_env={"TPU_COMPILE_CACHE_DIR": ""})
+    stop = threading.Event()
+    stop.set()
+    assert engine.warmup_serving(max_coalesce=4, stop=stop) == 0
+    engine.close()
