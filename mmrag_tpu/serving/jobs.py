@@ -339,6 +339,9 @@ def _worker_main(argv=None) -> None:
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=getattr(logging, args.loglevel.upper(), logging.INFO))
+    import signal
+    import threading
+
     from ..rag.engine import get_engine
     from ..storage.kv import KVStore
     from .tasks import ingest_youtube_task
@@ -353,7 +356,26 @@ def _worker_main(argv=None) -> None:
         )
 
     queue.register("ingest_youtube", handler)
-    queue.worker_loop(poll_sec=args.poll_sec)
+
+    # Celery-style warm shutdown (the compose `docker compose down` path):
+    # stop claiming, DRAIN in-flight ingests (they mutate the index — and a
+    # pool thread killed inside an XLA dispatch at teardown aborts the
+    # process, see index/store.py's exit join), persist, close.
+    stop = threading.Event()
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, lambda *_: stop.set())
+        except ValueError:  # pragma: no cover - non-main-thread embed
+            pass
+    try:
+        queue.worker_loop(poll_sec=args.poll_sec, stop_event=stop)
+    finally:
+        logger.info("worker draining in-flight jobs and shutting down")
+        queue.shutdown(wait=True)
+        engine.persist_indexes()
+        engine.close()
+        kv.close()
+        logger.info("worker shutdown complete")
 
 
 if __name__ == "__main__":  # pragma: no cover - process entrypoint

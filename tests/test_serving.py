@@ -388,3 +388,47 @@ def test_batcher_records_coalescing_histogram():
     hist = b.batch_sizes
     assert sum(k * v for k, v in hist.items()) == 4  # every item counted
     b.close()
+
+
+def test_worker_process_warm_shutdown(tmp_path):
+    """SIGTERM to the dedicated worker process (docker compose down) must
+    drain and exit 0 — not die mid-poll with the default handler (exit 143,
+    in-flight ingests killed, and a pool thread inside an XLA dispatch at
+    teardown aborts the process)."""
+
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    env = dict(os.environ)
+    env.update({
+        "TPU_INDEX_DIR": str(tmp_path / "index"),
+        "NOTES_DB_PATH": str(tmp_path / "notes.db"),
+        "MEDIA_DIR": str(tmp_path / "media"),
+        "INGEST_CACHE_DIR": str(tmp_path / "cache"),
+        "TPU_SERVING_WARMUP": "0",
+    })
+    proc = subprocess.Popen(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+         "from mmrag_tpu.serving.jobs import _worker_main\n"
+         "_worker_main(['worker', '--poll-sec', '0.1'])"],
+        env=env, stderr=subprocess.PIPE, text=True,
+    )
+    # wait until the poll loop is live (startup builds the full engine)
+    deadline = _time.monotonic() + 120
+    lines = []
+    for line in proc.stderr:
+        lines.append(line)
+        if "worker loop polling" in line:
+            break
+        assert _time.monotonic() < deadline, "".join(lines)
+    proc.send_signal(signal.SIGTERM)
+    try:
+        rest = proc.communicate(timeout=60)[1]
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        raise
+    assert proc.returncode == 0, (proc.returncode, rest[-2000:])
+    assert "worker shutdown complete" in rest
