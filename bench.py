@@ -1334,7 +1334,36 @@ def main() -> None:
     # tunnel, subsequent runs start hot
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    backend = jax.default_backend()
+
+    if args.steps:
+        backend = jax.default_backend()
+    else:
+        # PARENT mode never initializes the device runtime in-process: on a
+        # wedged chip even backend init blocks forever (KERNELS.md hazard),
+        # and a parent stuck before run_all() emits no JSON line at all.
+        # Probe in a bounded child; a hang means the chip is gone — emit the
+        # all-null record immediately instead of hanging the driver.
+        import subprocess
+        import sys as _sys
+
+        cmd = [_sys.executable, "-c",
+               "import jax; " +
+               (f"jax.config.update('jax_platforms', '{args.platform}'); "
+                if args.platform else "") +
+               "print('BACKEND', jax.default_backend())"]
+        backend = None
+        try:
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  timeout=300)
+            for line in proc.stdout.splitlines():
+                if line.startswith("BACKEND "):
+                    backend = line.split(" ", 1)[1].strip()
+        except subprocess.TimeoutExpired:
+            pass
+        if backend is None:
+            print("backend init probe hung/failed — device runtime wedged "
+                  "before any step ran", file=_sys.stderr)
+            backend = "wedged"
 
     # step order: multitenant (Pallas bucket-max) before the dense 1M benches
     # — the historical deterministic ordering for the allocator-state hazard
@@ -1440,7 +1469,7 @@ def main() -> None:
             start = steps.index(crashed)  # fresh child resumes here
         return results
 
-    r = run_all()
+    r = {"_device_wedged": True} if backend == "wedged" else run_all()
     minilm = r.get("minilm")
     minilm256 = r.get("minilm_seq256")
     minilm512 = r.get("minilm_seq512")
