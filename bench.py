@@ -1385,7 +1385,9 @@ def main() -> None:
         import sys
 
         for step in args.steps.split(","):
+            _plog(f"step {step} start")
             value = globals()[f"bench_{step}"](args.quick)
+            _plog(f"step {step} done")
             print(f"RESULT {step} " + json.dumps(value), flush=True)
         return
 
