@@ -699,7 +699,9 @@ def bench_pq(quick: bool):
     _plog(f"pq: adc {adc_sec * 1e3:.3f} ms; building ivf_pq layout")
 
     # ivf_pq: probed ADC over the PQ-coded bucket layout (the literal
-    # IVF_PQ) @n. Clustering needs the f32 originals, which the bench only
+    # IVF_PQ, RESIDUAL-coded like the store's production build: bucket
+    # codes encode x - centroid[assign], scoring adds the centroid dot
+    # back) @n. Clustering needs the f32 originals, which the bench only
     # ever holds on device per slab — regenerate each slab and assign it
     # there (the store assigns from its host originals the same chunked way)
     from mmrag_tpu.ops import ivf as ivf_ops
@@ -707,19 +709,33 @@ def bench_pq(quick: bool):
 
     n_cl = min(2048, max(64, n // 512))
     ivf_cents, _ = ivf_ops.kmeans(slab0, n_cl, iters=4, train_sample=65536)
-    assign_h = np.concatenate([
-        np.asarray(ivf_ops._assign_with_structure(mk(i), ivf_cents)[0])
-        for i in range(max(n // slab_rows, 1))
-    ])
-    layout = ivf_ops.build_ivf(
-        codes, centroids=ivf_cents, assign=assign_h, structure_override=1.0,
-        pq_codebooks=books,
+    a0 = ivf_ops._assign_with_structure(slab0, ivf_cents)[0]
+    rbooks = pqops.train_pq(
+        (slab0 - jnp.take(ivf_cents, a0, axis=0))[:65536], m=16
     )
+    assigns, rcodes = [np.asarray(a0)], []
+    rcodes.append(pqops.pq_encode(
+        slab0 - jnp.take(ivf_cents, a0, axis=0), rbooks
+    ))
+    for i in range(1, max(n // slab_rows, 1)):
+        sl = mk(i)
+        a = ivf_ops._assign_with_structure(sl, ivf_cents)[0]
+        assigns.append(np.asarray(a))
+        rcodes.append(pqops.pq_encode(
+            sl - jnp.take(ivf_cents, a, axis=0), rbooks
+        ))
+    assign_h = np.concatenate(assigns)
+    layout = ivf_ops.build_ivf(
+        jnp.concatenate(rcodes), centroids=ivf_cents, assign=assign_h,
+        structure_override=1.0, pq_codebooks=rbooks, pq_residual=True,
+    )
+    del rcodes
     nprobe = min(64, layout.n_clusters)
 
     def make_probe_step(kk, queries, books, cents, buckets, bucket_ids,
                         users_b, docs_b, live_b, spill, spill_ids,
-                        spill_users, spill_docs, spill_live, uids, dids):
+                        spill_users, spill_docs, spill_live, spill_assign,
+                        uids, dids):
         def body(i, acc):
             qq = queries + 1e-6 * i
             tables = jnp.transpose(
@@ -727,12 +743,14 @@ def bench_pq(quick: bool):
             ).astype(jnp.bfloat16)
             s, ix = ivf_ops._ivf_probe_pred_adc(
                 qq, tables, cents, buckets, bucket_ids, users_b, docs_b,
-                live_b, uids, dids, cand, nprobe,
+                live_b, uids, dids, cand, nprobe, residual=True,
             )
             if spill.shape[0]:
+                cs = jnp.dot(qq, cents.T, preferred_element_type=jnp.float32)
                 s2, i2 = ivf_ops._spill_scores_pred_adc(
                     tables, spill, spill_ids, spill_users, spill_docs,
                     spill_live, uids, dids, cand,
+                    offsets=jnp.take(cs, spill_assign, axis=1),
                 )
                 s, ix = merge_topk(s, ix, s2, i2, cand)
             return acc + s[0, 0] + ix[0, 0].astype(jnp.float32)
@@ -741,12 +759,13 @@ def bench_pq(quick: bool):
 
     uids0 = jnp.zeros((q_n,), jnp.int32)
     dids0 = jnp.full((q_n,), -1, jnp.int32)
-    _plog("pq: timing probed ADC (ivf_pq)")
+    _plog("pq: timing probed ADC (ivf_pq, residual)")
     ivf_sec = _per_iter_seconds(
-        make_probe_step, k1, k2, queries, books, cents, layout.buckets,
+        make_probe_step, k1, k2, queries, rbooks, ivf_cents, layout.buckets,
         layout.bucket_ids, layout.users_b, layout.docs_b, layout.live_b,
         layout.spill, layout.spill_ids, layout.spill_users,
-        layout.spill_docs, layout.spill_live, uids0, dids0,
+        layout.spill_docs, layout.spill_live, layout.spill_assign,
+        uids0, dids0,
     )
 
     # end-to-end + recall on the 131k slab (originals needed host-side)
@@ -796,27 +815,40 @@ def bench_pq(quick: bool):
     # synthetic corpus above times the layout; quality is measured where
     # the index operates (encoder geometry — synthetic overlap mostly
     # measures that corpus's ADC tie-blur, not the layout).
-    _plog("pq: ivf_pq recall on encoder corpus")
+    _plog("pq: ivf_pq recall on encoder corpus (residual + raw coding)")
     ecents, _ = ivf_ops.kmeans(enc, min(512, max(64, en // 256)), iters=4,
                                train_sample=65536)
     eassign = np.asarray(ivf_ops._assign_with_structure(enc, ecents)[0])
-    elayout = ivf_ops.build_ivf(
+
+    def _ivf_pq_recall(layout):
+        ps, pix = ivf_ops.ivf_search_pred(
+            layout, encq, jnp.zeros((16,), jnp.int32),
+            jnp.full((16,), -1, jnp.int32), cand,
+            min(64, layout.n_clusters),
+        )
+        prs, _ = pqops.refine_exact(
+            encq_h, enc_h, np.asarray(pix), np.asarray(ps), 10,
+        )
+        return float(np.mean(prs >= thr[:, None]))
+
+    # residual coding (the store's production build): codebooks train on
+    # x - centroid[assign], scoring adds the centroid dot back
+    eres = enc - jnp.take(ecents, jnp.asarray(eassign), axis=0)
+    erbooks = pqops.train_pq(eres, m=16)
+    ivf_recall = _ivf_pq_recall(ivf_ops.build_ivf(
+        pqops.pq_encode(eres, erbooks), centroids=ecents, assign=eassign,
+        structure_override=1.0, pq_codebooks=erbooks, pq_residual=True,
+    ))
+    # raw coding (TPU_PQ_RESIDUAL=0): the flat slab codes laid out as-is
+    ivf_recall_raw = _ivf_pq_recall(ivf_ops.build_ivf(
         ecodes, centroids=ecents, assign=eassign, structure_override=1.0,
         pq_codebooks=ebooks,
-    )
-    ps, pix = ivf_ops.ivf_search_pred(
-        elayout, encq, jnp.zeros((16,), jnp.int32),
-        jnp.full((16,), -1, jnp.int32), cand,
-        min(64, elayout.n_clusters),
-    )
-    prs, _ = pqops.refine_exact(
-        encq_h, enc_h, np.asarray(pix), np.asarray(ps), 10,
-    )
-    ivf_recall = float(np.mean(prs >= thr[:, None]))
+    ))
     return {
         "adc_ms": round(adc_sec * 1e3, 3),
         "ivf_pq_ms": round(ivf_sec * 1e3, 3),
         "ivf_pq_recall": ivf_recall,
+        "ivf_pq_recall_raw": ivf_recall_raw,
         "e2e_ms": round(e2e_sec * 1e3, 3),
         "recall": recall,
     }
@@ -1545,6 +1577,8 @@ def main() -> None:
                     "pq_1m_ivf_pq_p50_ms": pq_r.get("ivf_pq_ms"),
                     "pq_ivf_pq_refined_recall_at_10": rnd(
                         pq_r.get("ivf_pq_recall")),
+                    "pq_ivf_pq_refined_recall_at_10_raw": rnd(
+                        pq_r.get("ivf_pq_recall_raw")),
                     "pq_1m_e2e_p50_ms": pq_r.get("e2e_ms"),
                     "pq_refined_recall_at_10": rnd(pq_r.get("recall")),
                     "ivf_encoder_recall_at_10": rnd(ivf_enc_recall),

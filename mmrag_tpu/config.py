@@ -190,6 +190,11 @@ class TpuDefaults:
     # exactly rescored against the host-RAM originals per query
     pq_m: int = 16
     pq_refine: int = 16
+    # ivf+pq composition: encode bucket codes as residuals vs their cluster
+    # centroid (the FAISS/LanceDB IVF_PQ convention); scoring adds the
+    # query-centroid dot back. Raw coding (False) blurs within-cluster
+    # geometry into the cluster mean.
+    pq_residual: bool = True
     index_shard_rows: int = 131072  # rows per device shard slab (static shape)
     index_growth_factor: int = 2  # append-buffer geometric growth
     mesh_data_axis: str = "data"  # batch DP axis name

@@ -221,7 +221,8 @@ class VectorIndex:
                  ivf_min_rows: Optional[int] = None,
                  ivf_min_structure: Optional[float] = None,
                  mesh=None, pq_m: Optional[int] = None,
-                 pq_refine: Optional[int] = None) -> None:
+                 pq_refine: Optional[int] = None,
+                 pq_residual: Optional[bool] = None) -> None:
         self.dim = dim
         # Multi-chip production mode (SURVEY §2c "LanceDB internal ANN
         # threading" row, lancedb_store.py:103-123): with a mesh, the slab and
@@ -247,6 +248,12 @@ class VectorIndex:
         self.is_pq = dtype == "pq"
         self.pq_m = 16 if pq_m is None else int(pq_m)
         self.pq_refine = 16 if pq_refine is None else int(pq_refine)
+        # ivf+pq composition: encode bucket codes as residuals vs their
+        # cluster centroid (the FAISS/LanceDB IVF_PQ convention) — the
+        # codebooks spend their resolution on within-cluster geometry, the
+        # part raw coding blurs. Scoring adds the query-centroid dot back
+        # (ops/ivf.py). Default on; TPU_PQ_RESIDUAL=0 restores raw coding.
+        self.pq_residual = True if pq_residual is None else bool(pq_residual)
         if self.is_pq and dim % self.pq_m:
             # fail at construction, not first ingest: _apply_upsert validates
             # before tombstoning, and a mid-replay encode failure would wedge
@@ -847,7 +854,15 @@ class VectorIndex:
         codes in buckets. Training pushes only a strided <=131k sample to
         the device; assignment streams the originals through in 65k
         chunks — the full f32 corpus never materializes in HBM (the pq
-        mode's reason to exist)."""
+        mode's reason to exist).
+
+        With ``pq_residual`` (the default, the FAISS/LanceDB IVF_PQ
+        convention) the bucket codes are NOT the flat slab codes: each row
+        re-encodes as ``x - centroid[assign]`` against codebooks trained on
+        those residuals, so within-cluster geometry — which raw coding
+        blurs into the cluster mean — gets the codebooks' full resolution.
+        The residual encode folds into the same chunked assignment pass
+        (one extra matmul per chunk)."""
 
         from ..ops import pq as pqops
 
@@ -861,7 +876,20 @@ class VectorIndex:
             centroids, _ = ivf_ops.kmeans(
                 sample, n_clusters, iters, train_sample=0
             )
+        rbooks = None
+        if self.pq_residual:
+            # residual codebooks train on a strided sample's residuals
+            # (sample assignment is one matmul; full-corpus assignments
+            # stream in the chunk loop below)
+            stride = max(-(-snap_size // self._PQ_TRAIN_SAMPLE), 1)
+            sample = jnp.asarray(
+                host_rows[:snap_size:stride][: self._PQ_TRAIN_SAMPLE]
+            )
+            a_s, _ = ivf_ops._assign_with_structure(sample, centroids)
+            res_sample = sample - jnp.take(centroids, a_s, axis=0)
+            rbooks = pqops.train_pq(res_sample, m=self.pq_m)
         assigns: List[np.ndarray] = []
+        res_codes: List[jnp.ndarray] = []
         weighted = 0.0
         for lo in range(0, snap_size, pqops.ENCODE_CHUNK):
             hi = min(lo + pqops.ENCODE_CHUNK, snap_size)
@@ -869,12 +897,22 @@ class VectorIndex:
             a, st = ivf_ops._assign_with_structure(chunk, centroids)
             assigns.append(np.asarray(a))
             weighted += float(st) * chunk.shape[0]
+            if rbooks is not None:
+                res = chunk - jnp.take(centroids, a, axis=0)
+                res_codes.append(pqops.pq_encode(res, rbooks))
         assign_h = np.concatenate(assigns)
         structure = weighted / snap_size
+        if rbooks is not None:
+            codes = (
+                res_codes[0] if len(res_codes) == 1
+                else jnp.concatenate(res_codes, axis=0)
+            )
+            books = rbooks
         return ivf_ops.build_ivf(
             codes, bucket_factor=bucket_factor, users=users, docs=docs,
             live=live, centroids=centroids, assign=assign_h,
             structure_override=structure, pq_codebooks=books,
+            pq_residual=rbooks is not None,
         )
 
     def drop_ivf(self) -> None:
@@ -1073,6 +1111,7 @@ class VectorIndex:
             ivf_nprobe=self.ivf_nprobe, ivf_min_rows=self.ivf_min_rows,
             ivf_min_structure=self.ivf_min_structure, mesh=self.mesh,
             pq_m=self.pq_m, pq_refine=self.pq_refine,
+            pq_residual=self.pq_residual,
         )
         with self._lock:
             for attr in (
@@ -1599,7 +1638,8 @@ class VectorIndex:
              ivf_min_rows: Optional[int] = None,
              ivf_min_structure: Optional[float] = None,
              mesh=None, pq_m: Optional[int] = None,
-             pq_refine: Optional[int] = None) -> "VectorIndex":
+             pq_refine: Optional[int] = None,
+             pq_residual: Optional[bool] = None) -> "VectorIndex":
         with open(os.path.join(directory, f"{name}.manifest.json")) as fh:
             manifest = json.load(fh)
         with np.load(os.path.join(directory, f"{name}.npz")) as data:
@@ -1628,7 +1668,8 @@ class VectorIndex:
                 index = cls(dim=manifest["dim"], dtype=dtype, backend=backend,
                             ivf_nprobe=ivf_nprobe, ivf_min_rows=ivf_min_rows,
                             ivf_min_structure=ivf_min_structure, mesh=mesh,
-                            pq_m=pq_m, pq_refine=pq_refine)
+                            pq_m=pq_m, pq_refine=pq_refine,
+                            pq_residual=pq_residual)
                 index._install_prequantized(
                     chunk_ids, user_ids, document_ids,
                     data["embeddings_int8"], data["scales"],
@@ -1650,7 +1691,7 @@ class VectorIndex:
         index = cls(dim=manifest["dim"], dtype=dtype, backend=backend,
                     ivf_nprobe=ivf_nprobe, ivf_min_rows=ivf_min_rows,
                     ivf_min_structure=ivf_min_structure, mesh=mesh,
-                    pq_m=pq_m, pq_refine=pq_refine)
+                    pq_m=pq_m, pq_refine=pq_refine, pq_residual=pq_residual)
         if (index.is_pq and pq_books is not None and pq_codes is not None
                 and len(pq_codes) == len(chunk_ids)
                 and pq_codes.shape[1] == index.pq_m):
@@ -1683,13 +1724,15 @@ class VectorIndex:
         ivf_min_rows: Optional[int] = None,
         ivf_min_structure: Optional[float] = None, mesh=None,
         pq_m: Optional[int] = None, pq_refine: Optional[int] = None,
+        pq_residual: Optional[bool] = None,
     ) -> "VectorIndex":
         if os.path.exists(os.path.join(directory, f"{name}.manifest.json")):
             return cls.load(directory, name, dtype, backend,
                             ivf_nprobe=ivf_nprobe, ivf_min_rows=ivf_min_rows,
                             ivf_min_structure=ivf_min_structure, mesh=mesh,
-                            pq_m=pq_m, pq_refine=pq_refine)
+                            pq_m=pq_m, pq_refine=pq_refine,
+                            pq_residual=pq_residual)
         return cls(dim=dim, dtype=dtype, backend=backend,
                    ivf_nprobe=ivf_nprobe, ivf_min_rows=ivf_min_rows,
                    ivf_min_structure=ivf_min_structure, mesh=mesh,
-                   pq_m=pq_m, pq_refine=pq_refine)
+                   pq_m=pq_m, pq_refine=pq_refine, pq_residual=pq_residual)

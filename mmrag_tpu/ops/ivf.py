@@ -199,6 +199,15 @@ class IVFData:
     # the owning index compares against structureless_baseline() to decide
     # whether this layout is worth probing at all (VERDICT r1 item 7)
     structure: float = 0.0
+    # residual coding (the FAISS/LanceDB IVF_PQ convention): bucket/spill
+    # codes encode x - centroid[assign] instead of x, so the per-subvector
+    # codebooks spend their 256 centroids on the WITHIN-cluster geometry the
+    # raw coding blurs (cosine decomposes: q.x = q.c + q.r, so scoring adds
+    # the query-centroid dot — already computed for probe selection — back
+    # as a per-bucket offset). spill_assign carries each spill row's cluster
+    # id for that offset.
+    pq_residual: bool = False
+    spill_assign: Optional[jnp.ndarray] = None  # (S,) int32
 
     @property
     def is_pq(self) -> bool:
@@ -244,6 +253,7 @@ def build_ivf(
     assign: Optional[np.ndarray] = None,  # (n,) precomputed assignment
     structure_override: Optional[float] = None,  # with `assign`
     pq_codebooks: Optional[jnp.ndarray] = None,  # slab_rows are ADC codes
+    pq_residual: bool = False,  # codes encode x - centroid[assign]
 ) -> IVFData:
     """Cluster rows and lay them out in fixed-size buckets.
 
@@ -275,6 +285,8 @@ def build_ivf(
             "pq layout needs a precomputed assignment + centroids "
             "(codes carry no clustering geometry)"
         )
+    if pq_residual and pq_codebooks is None:
+        raise ValueError("pq_residual requires pq_codebooks")
     if users is None:
         users = jnp.zeros((n,), jnp.int32)
     if docs is None:
@@ -371,12 +383,14 @@ def build_ivf(
         spill_users = jnp.where(s_in, users[sclip], -1)
         spill_docs = jnp.where(s_in, docs[sclip], -1)
         spill_live = jnp.where(s_in, live[sclip], 0)
+        spill_assign = jnp.where(s_in, jnp.asarray(assign_h)[sclip], 0)
         if scales is not None:
             spill_scales = jnp.where(s_in, scales[sclip], 1.0)
     else:
         sid_dev = jnp.zeros((0,), jnp.int32)
         spill = jnp.zeros((0, d), slab_rows.dtype)
         spill_users = spill_docs = spill_live = jnp.zeros((0,), jnp.int32)
+        spill_assign = jnp.zeros((0,), jnp.int32)
         if scales is not None:
             spill_scales = jnp.zeros((0,), jnp.float32)
 
@@ -401,6 +415,8 @@ def build_ivf(
             if pq_codebooks is not None else None
         ),
         structure=structure,
+        pq_residual=bool(pq_residual),
+        spill_assign=spill_assign.astype(jnp.int32),
     )
 
 
@@ -743,7 +759,7 @@ def _ivf_probe_pred_q(
     return s, jnp.take_along_axis(ids, sel, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "nprobe"))
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "residual"))
 def _ivf_probe_pred_adc(
     queries: jnp.ndarray,  # (q, d) f32 normalized (probe selection only)
     tables: jnp.ndarray,  # (m, q, K) bf16 per-query ADC tables
@@ -757,6 +773,7 @@ def _ivf_probe_pred_adc(
     dids: jnp.ndarray,
     k: int,
     nprobe: int,
+    residual: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Predicated probe over PQ-CODED buckets (the literal IVF_PQ): probed
     slots score by ADC against the layout's own codebook tables
@@ -766,7 +783,11 @@ def _ivf_probe_pred_adc(
     (B, m) blocks — cheap); SCORING goes through the shared one-hot MXU
     rescore kernel: the old per-query table-lookup loop paid q*nprobe*B*m
     per-element gathers, 136 ms @1M (nprobe 64, B 512, q 16) where the
-    kernel form measures ~2 ms."""
+    kernel form measures ~2 ms.
+
+    With ``residual`` the codes encode ``x - centroid`` and the probe
+    scores add back the query-centroid dot already computed for probe
+    selection — one broadcast add, no extra matmul."""
 
     from .pq import adc_rescore_scores
 
@@ -793,6 +814,11 @@ def _ivf_probe_pred_adc(
     bias = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)
 
     scores = adc_rescore_scores(tables, cand, bias)
+    if residual:
+        offs = jnp.take_along_axis(cscores, probes, axis=1)  # (q, nprobe)
+        scores = scores + jnp.broadcast_to(
+            offs[:, :, None], (q, nprobe, B)
+        ).reshape(q, S)
     s, sel = jax.lax.top_k(scores, min(k, S))
     ids = jnp.take_along_axis(ids, sel, axis=1)
     if s.shape[1] < k:  # degenerate tiny layouts: pad to the contract shape
@@ -813,6 +839,7 @@ def _spill_scores_pred_adc(
     uids: jnp.ndarray,
     dids: jnp.ndarray,
     k: int,
+    offsets: Optional[jnp.ndarray] = None,  # (q, S) residual centroid dots
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     from .pq import adc_rescore_scores
 
@@ -829,6 +856,8 @@ def _spill_scores_pred_adc(
     # per-element table-lookup loop here had the same q*S*m gather cost
     # profile as the probe path above)
     scores = adc_rescore_scores(tables, spill.T[None], bias)
+    if offsets is not None:  # residual layout: add back q . centroid[assign]
+        scores = scores + offsets
     kk = min(k, spill.shape[0])
     s, sel = jax.lax.top_k(scores, kk)
     return s, jnp.take_along_axis(
@@ -936,6 +965,11 @@ def ivf_search(
     """Approximate top-k with an arbitrary row mask (XLA path; prefer
     :func:`ivf_search_pred` on TPU for the reference's tenant/doc masks)."""
 
+    if ivf.is_pq:
+        raise ValueError(
+            "pq-coded layouts score via ivf_search_pred (ADC), not the "
+            "dense row path"
+        )
     nprobe = min(nprobe, ivf.n_clusters)
     k_eff = min(k, nprobe * ivf.bucket_size)
     s, i = _ivf_probe(
@@ -970,12 +1004,21 @@ def ivf_search_pred(
         s, i = _ivf_probe_pred_adc(
             queries, tables, ivf.centroids, ivf.buckets, ivf.bucket_ids,
             ivf.users_b, ivf.docs_b, ivf.live_b, uids, dids, k_eff, nprobe,
+            residual=ivf.pq_residual,
         )
         s, i = _pad_k(s, i, k)
         if ivf.spill.shape[0]:
+            offs = None
+            if ivf.pq_residual:
+                cs = jnp.dot(
+                    queries, ivf.centroids.T,
+                    preferred_element_type=jnp.float32,
+                )
+                offs = jnp.take(cs, ivf.spill_assign, axis=1)  # (q, S)
             s2, i2 = _spill_scores_pred_adc(
                 tables, ivf.spill, ivf.spill_ids, ivf.spill_users,
                 ivf.spill_docs, ivf.spill_live, uids, dids, k,
+                offsets=offs,
             )
             s, i = merge_topk(s, i, s2, i2, k)
         return s, i

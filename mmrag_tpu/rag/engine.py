@@ -70,6 +70,7 @@ class RagEngine:
             ivf_min_structure=self.cfg.tpu.ivf_min_structure,
             mesh=self.mesh,
             pq_m=self.cfg.tpu.pq_m, pq_refine=self.cfg.tpu.pq_refine,
+            pq_residual=self.cfg.tpu.pq_residual,
         )
         self.image_index = VectorIndex.load_or_create(
             paths.index_dir, "image_collection",
@@ -80,6 +81,7 @@ class RagEngine:
             ivf_min_structure=self.cfg.tpu.ivf_min_structure,
             mesh=self.mesh,
             pq_m=self.cfg.tpu.pq_m, pq_refine=self.cfg.tpu.pq_refine,
+            pq_residual=self.cfg.tpu.pq_residual,
         )
         # cross-process replication (reference api/Celery-worker split): both
         # processes journal index mutations into one SQLite log and replay

@@ -226,6 +226,7 @@ class TpuSettings:
     ivf_min_structure: float
     pq_m: int  # PQ subvectors (TPU_INDEX_DTYPE=pq; bytes per device row)
     pq_refine: int  # exact-rescore shortlist factor (k * refine candidates)
+    pq_residual: bool  # ivf+pq: residual-encode bucket codes (FAISS convention)
     index_shard_rows: int
     index_growth_factor: int
     mesh_data_axis: str
@@ -376,6 +377,7 @@ def load_settings(env: Optional[Mapping[str, str]] = None) -> Settings:
             ),
             pq_m=_read_int(env, "TPU_PQ_M", d.tpu.pq_m),
             pq_refine=_read_int(env, "TPU_PQ_REFINE", d.tpu.pq_refine),
+            pq_residual=_read_bool(env, "TPU_PQ_RESIDUAL", d.tpu.pq_residual),
             index_shard_rows=_read_int(env, "TPU_INDEX_SHARD_ROWS", d.tpu.index_shard_rows),
             index_growth_factor=_read_int(
                 env, "TPU_INDEX_GROWTH_FACTOR", d.tpu.index_growth_factor

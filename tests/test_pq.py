@@ -582,3 +582,160 @@ def test_ivf_pq_probe_scores_match_reference_formula(rng):
             np.asarray(got), np.asarray(want[: len(got)])
         )
         assert len(returned) == min(k, len(ref))
+
+
+def test_ivf_pq_residual_scores_match_reference_formula(rng):
+    """Residual coding (ops/ivf.py pq_residual, the FAISS/LanceDB IVF_PQ
+    convention): bucket/spill codes encode x - centroid[assign] and the
+    returned score is EXACTLY (f32 centroid dot) + (bf16-table ADC sum),
+    for probed and spilled rows alike."""
+
+    import jax
+
+    from mmrag_tpu.ops import ivf as ivf_ops
+
+    n, d, m = 4096, 64, 8
+    rows = jnp.asarray(_clustered(rng, n=n, d=d, centers=16))
+    cents, _ = ivf_ops.kmeans(rows, 8, iters=4)
+    assign = np.asarray(ivf_ops._assign_with_structure(rows, cents)[0])
+    res = rows - jnp.take(cents, jnp.asarray(assign), axis=0)
+    books = pq.train_pq(res, m=m, iters=4)
+    codes = pq.pq_encode(res, books)
+    users = jnp.asarray(rng.integers(0, 2, n).astype(np.int32))
+    live = jnp.asarray(rng.random(n) > 0.1)
+    layout = ivf_ops.build_ivf(
+        codes, centroids=cents, assign=assign, structure_override=1.0,
+        bucket_factor=0.5, users=users, live=live,
+        pq_codebooks=books, pq_residual=True,
+    )
+    assert layout.pq_residual and layout.spill.shape[0] > 0
+
+    q_n, k, nprobe = 5, 12, 4
+    queries = rows[:q_n]
+    uids_np = np.array([0, 1, 0, 1, 0], np.int32)
+    dids_np = np.full((q_n,), -1, np.int32)
+    s, ids = ivf_ops.ivf_search_pred(
+        layout, queries, jnp.asarray(uids_np), jnp.asarray(dids_np), k,
+        nprobe=nprobe,
+    )
+    s, ids = np.asarray(s), np.asarray(ids)
+
+    tables = np.asarray(
+        pq._adc_tables(queries, books).astype(jnp.bfloat16), np.float32
+    )  # (m, K, q)
+    cscores_dev = jnp.dot(
+        queries, layout.centroids.T, preferred_element_type=jnp.float32
+    )
+    probes = np.asarray(jax.lax.top_k(cscores_dev, nprobe)[1])
+    cscores = np.asarray(cscores_dev)
+    codes_np = np.asarray(codes).astype(np.int64) + 128
+    users_np = np.asarray(users)
+    live_np = np.asarray(live)
+    b_ids = np.asarray(layout.bucket_ids)
+    sp_ids = np.asarray(layout.spill_ids)
+    assign_np = np.asarray(assign)
+
+    def ref_score(row, qi):
+        acc = np.float32(0.0)
+        for j in range(m):
+            acc = np.float32(acc + tables[j, codes_np[row, j], qi])
+        # the residual offset is ONE f32 add of the device centroid dot
+        return np.float32(acc + cscores[qi, assign_np[row]])
+
+    for qi in range(q_n):
+        cand_rows = set(
+            int(r) for c in probes[qi] for r in b_ids[c].ravel() if r >= 0
+        ) | set(int(r) for r in sp_ids.ravel() if r >= 0)
+        ref = {}
+        for r in cand_rows:
+            if not live_np[r] or users_np[r] != uids_np[qi]:
+                continue
+            ref[r] = ref_score(r, qi)
+        returned = [(int(i), s[qi, c]) for c, i in enumerate(ids[qi])
+                    if s[qi, c] > -1e29]
+        assert returned, f"q{qi}: no valid hits returned"
+        for r, sc in returned:
+            assert r in ref, f"q{qi}: returned row {r} not a valid candidate"
+            assert sc == ref[r], f"q{qi} row {r}: {sc} != {ref[r]}"
+        want = sorted(ref.values(), reverse=True)[:k]
+        got = sorted((sc for _, sc in returned), reverse=True)
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(want[: len(got)])
+        )
+
+
+def test_ivf_pq_residual_improves_clustered_recall(rng):
+    """PQ's documented worst case (KERNELS.md §6): tight clusters where
+    within-cluster neighbors differ only by noise raw codes can't encode.
+    Residual coding spends the codebooks' full resolution on exactly that
+    noise, so the probed shortlist recovers the true neighbors."""
+
+    from mmrag_tpu.ops import ivf as ivf_ops
+
+    n, d, centers, m = 4096, 64, 48, 16
+    c = rng.standard_normal((centers, d)).astype(np.float32)
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    rows = c[rng.integers(0, centers, n)] + 0.07 * rng.standard_normal(
+        (n, d)
+    ).astype(np.float32)
+    rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+    q_n, k = 16, 10
+    queries = rows[rng.integers(0, n, q_n)] + 0.02 * rng.standard_normal(
+        (q_n, d)
+    ).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+
+    rows_j, q_j = jnp.asarray(rows), jnp.asarray(queries)
+    cents, _ = ivf_ops.kmeans(rows_j, centers, iters=6)
+    a_full = np.asarray(ivf_ops._assign_with_structure(rows_j, cents)[0])
+    exact = queries @ rows.T
+    thr = np.partition(exact, n - k, axis=1)[:, n - k] - 1e-3
+
+    def refined_recall(residual):
+        if residual:
+            src = rows_j - jnp.take(cents, jnp.asarray(a_full), axis=0)
+        else:
+            src = rows_j
+        books = pq.train_pq(src, m=m, iters=6)
+        codes = pq.pq_encode(src, books)
+        layout = ivf_ops.build_ivf(
+            codes, centroids=cents, assign=a_full, structure_override=1.0,
+            pq_codebooks=books, pq_residual=residual,
+        )
+        s, ids = ivf_ops.ivf_search_pred(
+            layout, q_j, jnp.zeros((q_n,), jnp.int32),
+            jnp.full((q_n,), -1, jnp.int32), 4 * k,
+            nprobe=min(8, layout.n_clusters),
+        )
+        rs, _ = pq.refine_exact(queries, rows, np.asarray(ids),
+                                np.asarray(s), k)
+        return float(np.mean(rs >= thr[:, None]))
+
+    raw = refined_recall(False)
+    res = refined_recall(True)
+    assert res >= raw, (raw, res)
+    assert res >= 0.9, (raw, res)
+
+
+def test_index_pq_ivf_residual_default_and_optout(rng):
+    """The store's ivf+pq build residual-encodes by default (pq_residual
+    ctor knob / TPU_PQ_RESIDUAL), and both forms serve correct refined
+    results end-to-end."""
+
+    from mmrag_tpu.index.store import VectorIndex
+
+    rows, mat = _mk_rows(rng, 600)
+    ix = VectorIndex(dim=64, dtype="pq", backend="ivf", ivf_min_rows=256)
+    ix.ivf_build_async = False
+    ix.upsert(rows)
+    hits = ix.search_batch(mat[9:10], "u1", k=3)[0]
+    assert ix._ivf is not None and ix._ivf.is_pq and ix._ivf.pq_residual
+    assert hits and hits[0][0] == "c9" and hits[0][1] > 0.97
+
+    raw = VectorIndex(dim=64, dtype="pq", backend="ivf", ivf_min_rows=256,
+                      pq_residual=False)
+    raw.ivf_build_async = False
+    raw.upsert(rows)
+    hits = raw.search_batch(mat[9:10], "u1", k=3)[0]
+    assert raw._ivf is not None and not raw._ivf.pq_residual
+    assert hits and hits[0][0] == "c9" and hits[0][1] > 0.97
