@@ -854,6 +854,208 @@ def bench_pq(quick: bool):
     }
 
 
+def bench_pq_10m(quick: bool):
+    """Residual-coded ivf_pq at the 10M x 384 scale point — where the exact
+    scan costs ~11 ms (bench_topk_10m) and the bf16 slab alone is 7.7 GB.
+    The 16 B/row codes put the DEVICE search state at ~0.45 GB (166 MB code
+    slab + ~1.5x bucket layout), an order of magnitude under the int8 form
+    and 17x under bf16, so the chip's capacity ceiling moves from ~10M rows
+    to ~50M. Reports the probed-ADC p50 (q=16, nprobe 64) and TIE-AWARE
+    refined recall@10 (the bench_pq methodology): the probed k*refine=160
+    shortlist is rescored against exact f32 cosines (the per-slab score
+    matrix is kept host-side during generation — production refines against
+    host-RAM originals the same way) and a hit counts if its true cosine is
+    within 1e-3 of the exact 10th score — reported under a
+    ``worstcase_geometry`` key: this synthetic corpus is PQ's documented
+    adversarial case (KERNELS.md §6), so the number characterizes coding
+    loss at its pathological extreme, not production quality (encoder
+    geometry measures 0.96, bench_pq). Also reports probe_recall — the probed shortlist's
+    coverage of the exact CODED scan's top-10 (same representation both
+    sides, the _ivf_int8_bench methodology) — isolating partition loss
+    from coding loss, which bench_pq characterizes at 1M and on encoder
+    geometry. Quick mode runs 2M."""
+
+    import jax
+    import jax.numpy as jnp
+
+    from mmrag_tpu.ops import ivf as ivf_ops
+    from mmrag_tpu.ops import pq as pqops
+    from mmrag_tpu.ops.topk import l2_normalize, merge_topk
+
+    n = 2_097_152 if quick else 10_485_760
+    d, q_n, centers = 384, 16, 4096
+    slab_rows = 131_072
+    key = jax.random.PRNGKey(0)
+    cents_g = l2_normalize(jax.random.normal(key, (centers, d), jnp.float32))
+
+    def make_slab(i):
+        kk = jax.random.PRNGKey(300 + i)
+        assign = jax.random.randint(kk, (slab_rows,), 0, centers)
+        noise = 0.25 * jax.random.normal(kk, (slab_rows, d), jnp.float32)
+        return l2_normalize(cents_g[assign] + noise)
+
+    mk = jax.jit(make_slab)
+    slab0 = mk(0)
+    queries = l2_normalize(
+        slab0[:q_n] + 0.05 * jax.random.normal(jax.random.PRNGKey(7), (q_n, d))
+    ).astype(jnp.float32)
+
+    n_cl = ivf_ops.default_n_clusters(n)
+    _plog(f"pq_10m: kmeans C={n_cl} on slab0")
+    kc, _ = ivf_ops.kmeans(slab0, n_cl, iters=4, train_sample=65536)
+    a0 = ivf_ops._assign_with_structure(slab0[:65536], kc)[0]
+    rbooks = pqops.train_pq(
+        slab0[:65536] - jnp.take(kc, a0, axis=0), m=16
+    )
+
+    # per slab: exact f32 query scores (kept HOST-side — ground truth +
+    # refine source, the host-RAM-originals role) + the chunked assignment/
+    # residual-encode pass the store's production build runs (65k chunks
+    # keep the (chunk, C) assignment transient ~2 GB)
+    n_slabs = -(-n // slab_rows)
+    k_true = 10
+
+    @jax.jit
+    def slab_scores(sl):
+        return jnp.dot(queries, sl.T, preferred_element_type=jnp.float32)
+
+    assigns, rcodes, score_blocks = [], [], []
+    for i in range(n_slabs):
+        sl = slab0 if i == 0 else mk(i)
+        score_blocks.append(np.asarray(slab_scores(sl)))
+        for lo in range(0, slab_rows, 65536):
+            chunk = sl[lo:lo + 65536]
+            a = ivf_ops._assign_with_structure(chunk, kc)[0]
+            assigns.append(np.asarray(a))
+            rcodes.append(pqops.pq_encode(
+                chunk - jnp.take(kc, a, axis=0), rbooks
+            ))
+        if i and i % 16 == 0:
+            _plog(f"pq_10m: slab {i}/{n_slabs}")
+    assign_h = np.concatenate(assigns)[:n]
+    codes = jnp.concatenate(rcodes)[:n]
+    exact = np.concatenate(score_blocks, axis=1)[:, :n]  # (q, n) host f32
+    del rcodes, score_blocks
+    _plog("pq_10m: building layout")
+    layout = ivf_ops.build_ivf(
+        codes, centroids=kc, assign=assign_h, structure_override=1.0,
+        pq_codebooks=rbooks, pq_residual=True,
+    )
+    nprobe = min(64, layout.n_clusters)
+    cand = 16 * 10
+    uids0 = jnp.zeros((q_n,), jnp.int32)
+    dids0 = jnp.full((q_n,), -1, jnp.int32)
+
+    _plog("pq_10m: tie-aware refined recall")
+    _, pix = ivf_ops.ivf_search_pred(layout, queries, uids0, dids0, cand,
+                                     nprobe)
+    pix_np = np.asarray(pix)
+    thr = np.partition(exact, n - k_true, axis=1)[:, n - k_true] - 1e-3
+    cand_scores = np.take_along_axis(
+        exact, np.clip(pix_np, 0, n - 1), axis=1
+    )
+    cand_scores[pix_np < 0] = -np.inf  # filler sentinels never count
+    refined = -np.sort(-cand_scores, axis=1)[:, :k_true]
+    recall = float(np.mean(refined >= thr[:, None]))
+    del exact
+
+    # probe loss in isolation (the _ivf_int8_bench 10M methodology): recall
+    # of the probed top-10 vs the exact scan OF THE SAME CODED
+    # REPRESENTATION (chunked flat ADC + residual offsets, identical bf16
+    # tables + f32 sums, so both sides rank with the same arithmetic).
+    # Coding loss itself is characterized at 1M and on encoder geometry
+    # (bench_pq) — this synthetic corpus is PQ's documented worst case.
+    _plog("pq_10m: probe recall vs coded-exact scan")
+    tables = jnp.transpose(
+        pqops._adc_tables(queries, rbooks), (0, 2, 1)
+    ).astype(jnp.bfloat16)
+    cs_q = jnp.dot(queries, kc.T, preferred_element_type=jnp.float32)
+    assign_dev = jnp.asarray(assign_h)
+    zero_bias = jnp.zeros((q_n, 65536), jnp.float32)
+
+    @jax.jit
+    def coded_chunk_scores(chunk_codes, chunk_assign):
+        s = pqops.adc_rescore_scores(tables, chunk_codes.T[None], zero_bias)
+        return s + jnp.take(cs_q, chunk_assign, axis=1)
+
+    ces = cei = None
+    for lo in range(0, n, 65536):
+        hi = min(lo + 65536, n)
+        chunk_codes = codes[lo:hi]
+        chunk_assign = assign_dev[lo:hi]
+        if hi - lo < 65536:  # tail: pad to the compiled shape
+            pad = 65536 - (hi - lo)
+            chunk_codes = jnp.pad(chunk_codes, ((0, pad), (0, 0)))
+            chunk_assign = jnp.pad(chunk_assign, (0, pad))
+        s = coded_chunk_scores(chunk_codes, chunk_assign)
+        if hi - lo < 65536:
+            from mmrag_tpu.ops.topk import NEG_INF
+
+            s = s.at[:, hi - lo:].set(float(NEG_INF))
+        sv, si = jax.lax.top_k(s, k_true)
+        ces, cei = (
+            (sv, si + lo) if ces is None
+            else merge_topk(ces, cei, sv, si + lo, k_true)
+        )
+    cei_np = np.asarray(cei)
+    probe_recall = float(np.mean([
+        len(set(cei_np[i]) & set(pix_np[i][pix_np[i] >= 0])) / float(k_true)
+        for i in range(q_n)
+    ]))
+
+    def make_probe_step(kk, queries, books, cents, buckets, bucket_ids,
+                        users_b, docs_b, live_b, spill, spill_ids,
+                        spill_users, spill_docs, spill_live, spill_assign,
+                        uids, dids):
+        def body(i, acc):
+            qq = queries + 1e-6 * i
+            tables = jnp.transpose(
+                pqops._adc_tables(qq, books), (0, 2, 1)
+            ).astype(jnp.bfloat16)
+            s, ix = ivf_ops._ivf_probe_pred_adc(
+                qq, tables, cents, buckets, bucket_ids, users_b, docs_b,
+                live_b, uids, dids, cand, nprobe, residual=True,
+            )
+            if spill.shape[0]:
+                cs = jnp.dot(qq, cents.T, preferred_element_type=jnp.float32)
+                s2, i2 = ivf_ops._spill_scores_pred_adc(
+                    tables, spill, spill_ids, spill_users, spill_docs,
+                    spill_live, uids, dids, cand,
+                    offsets=jnp.take(cs, spill_assign, axis=1),
+                )
+                s, ix = merge_topk(s, ix, s2, i2, cand)
+            return acc + s[0, 0] + ix[0, 0].astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, kk, body, jnp.float32(0.0))
+
+    k1, k2 = (8, 2) if quick else (16, 4)
+    _plog("pq_10m: timing probed ADC (16-query batch)")
+    sec = _per_iter_seconds(
+        make_probe_step, k1, k2, queries, rbooks, kc, layout.buckets,
+        layout.bucket_ids, layout.users_b, layout.docs_b, layout.live_b,
+        layout.spill, layout.spill_ids, layout.spill_users,
+        layout.spill_docs, layout.spill_live, layout.spill_assign,
+        uids0, dids0,
+    )
+    # single-query p50 (the _ivf_int8_bench comparison shape and the
+    # <5 ms-per-query ANN target's unit)
+    _plog("pq_10m: timing probed ADC (q=1)")
+    sec_q1 = _per_iter_seconds(
+        make_probe_step, k1, k2, queries[:1], rbooks, kc, layout.buckets,
+        layout.bucket_ids, layout.users_b, layout.docs_b, layout.live_b,
+        layout.spill, layout.spill_ids, layout.spill_users,
+        layout.spill_docs, layout.spill_live, layout.spill_assign,
+        uids0[:1], dids0[:1],
+    )
+    return {
+        "ivf_pq_ms": round(sec * 1e3, 3),
+        "ivf_pq_q1_ms": round(sec_q1 * 1e3, 3),
+        "refined_recall_worstcase_geometry": recall,
+        "probe_recall": probe_recall,
+        "rows": n,
+    }
+
+
 _ENCODER_CORPUS_CACHE: dict = {}
 
 
@@ -1405,7 +1607,7 @@ def main() -> None:
              "clip_images_pipelined", "clip_images_int8",
              "multitenant", "topk", "topk_int8",
              "topk_10m", "ivf", "ivf_int8", "ivf_int8_10m", "ivf_encoder",
-             "pq",
+             "pq", "pq_10m",
              "rerank",
              "rerank64", "chat_path", "serving_load", "frames_pipeline",
              "asr", "asr_small"]
@@ -1525,6 +1727,7 @@ def main() -> None:
     ivf_i8_10m = r.get("ivf_int8_10m") or (None, None)
     ivf_i8_10m_ms, ivf_i8_10m_recall = ivf_i8_10m
     pq_r = r.get("pq") or {}
+    pq_10m = r.get("pq_10m") or {}
     rerank = r.get("rerank")
     rerank64 = r.get("rerank64")
     chat_ms = r.get("chat_path")
@@ -1580,6 +1783,12 @@ def main() -> None:
                     "pq_ivf_pq_refined_recall_at_10_raw": rnd(
                         pq_r.get("ivf_pq_recall_raw")),
                     "pq_1m_e2e_p50_ms": pq_r.get("e2e_ms"),
+                    "pq_10m_ivf_pq_16q_p50_ms": pq_10m.get("ivf_pq_ms"),
+                    "pq_10m_ivf_pq_q1_p50_ms": pq_10m.get("ivf_pq_q1_ms"),
+                    "pq_10m_refined_recall_at_10_worstcase_geometry": rnd(
+                        pq_10m.get("refined_recall_worstcase_geometry")),
+                    "pq_10m_probe_recall_at_10": rnd(
+                        pq_10m.get("probe_recall")),
                     "pq_refined_recall_at_10": rnd(pq_r.get("recall")),
                     "ivf_encoder_recall_at_10": rnd(ivf_enc_recall),
                     "ivf_encoder_structure_ratio": rnd(ivf_enc_structure, 2),
