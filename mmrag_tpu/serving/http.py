@@ -196,6 +196,25 @@ class ApiHandler(BaseHTTPRequestHandler):
             if path in ("/metrics", "/metrics/"):
                 from ..utils.profiling import metrics
 
+                query = self.path.partition("?")[2]
+                accept = self.headers.get("Accept", "")
+                if (
+                    "format=prometheus" in query
+                    or "application/openmetrics-text" in accept
+                    or "text/plain; version=0.0.4" in accept
+                ):
+                    body = metrics.prometheus_text().encode()
+                    self.send_response(200)
+                    self.send_header(
+                        "Content-Type", "text/plain; version=0.0.4; charset=utf-8"
+                    )
+                    self.send_header("Content-Length", str(len(body)))
+                    self.send_header(
+                        "X-Request-ID", getattr(self, "_request_id", "-")
+                    )
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
                 return self._json(200, metrics.summary())
             if path in ("/videos", "/videos/"):
                 return self._json(

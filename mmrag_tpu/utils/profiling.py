@@ -57,6 +57,41 @@ class Metrics:
                 }
             return out
 
+    def prometheus_text(self) -> str:
+        """The summary in Prometheus text exposition format (v0.0.4).
+
+        Counter names map to ``mmrag_<name>_total`` and each latency
+        reservoir to a ``mmrag_<name>_latency_ms`` summary (p50/p95
+        quantiles + count + max), so a stock Prometheus scrape of
+        ``/metrics?format=prometheus`` works without an exporter sidecar.
+        Dots and other non-metric characters in registry names become
+        underscores per the exposition grammar.
+        """
+
+        def _name(raw: str) -> str:
+            cleaned = [
+                ch if (ch.isalnum() or ch == "_") else "_" for ch in raw
+            ]
+            if cleaned and cleaned[0].isdigit():
+                cleaned.insert(0, "_")
+            return "".join(cleaned)
+
+        summary = self.summary()
+        lines = []
+        for raw, value in sorted(summary["counters"].items()):
+            metric = f"mmrag_{_name(raw)}_total"
+            lines.append(f"# TYPE {metric} counter")
+            lines.append(f"{metric} {value}")
+        for raw, stats in sorted(summary["latency_ms"].items()):
+            metric = f"mmrag_{_name(raw)}_latency_ms"
+            lines.append(f"# TYPE {metric} summary")
+            lines.append(f'{metric}{{quantile="0.5"}} {stats["p50"]}')
+            lines.append(f'{metric}{{quantile="0.95"}} {stats["p95"]}')
+            lines.append(f"{metric}_count {stats['count']}")
+            lines.append(f"# TYPE {metric}_max gauge")
+            lines.append(f"{metric}_max {stats['max']}")
+        return "\n".join(lines) + "\n"
+
     def reset(self) -> None:
         with self._lock:
             self._counters.clear()

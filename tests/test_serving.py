@@ -99,6 +99,39 @@ def test_unknown_route(api):
     assert client.post("/nope").status_code == 404
 
 
+def test_metrics_json_and_prometheus(api):
+    client, _ = api
+    from mmrag_tpu.utils.profiling import metrics
+
+    metrics.incr("test.scrape")
+    metrics.observe("test.scrape", 0.012)
+
+    res = client.get("/metrics")
+    assert res.status_code == 200
+    assert res.headers["content-type"].startswith("application/json")
+    body = res.json()
+    assert body["counters"]["test.scrape"] == 1
+    assert body["latency_ms"]["test.scrape"]["count"] == 1
+
+    # format=prometheus query arg -> text exposition
+    res = client.get("/metrics?format=prometheus")
+    assert res.status_code == 200
+    assert res.headers["content-type"].startswith("text/plain; version=0.0.4")
+    text = res.text
+    assert "# TYPE mmrag_test_scrape_total counter" in text
+    assert "mmrag_test_scrape_total 1" in text
+    assert 'mmrag_test_scrape_latency_ms{quantile="0.5"} 12.0' in text
+    assert "mmrag_test_scrape_latency_ms_count 1" in text
+
+    # a Prometheus scraper's Accept header negotiates the same format
+    res = client.get(
+        "/metrics",
+        headers={"Accept": "application/openmetrics-text;version=1.0.0"},
+    )
+    assert res.headers["content-type"].startswith("text/plain")
+    assert "mmrag_test_scrape_total" in res.text
+
+
 def test_process_pdf_and_chat(api):
     client, _ = api
     pdf = _make_pdf_bytes(["The mitochondria is the powerhouse of the cell"])
