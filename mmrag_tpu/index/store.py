@@ -776,8 +776,15 @@ class VectorIndex:
             # slice (= copy into fresh buffers) UNDER the lock: upsert's
             # donated writes (_write_rows donate_argnums) invalidate the
             # original arrays, so holding bare references across the unlock
-            # races with concurrent appends ("Array has been deleted")
-            slab = self._slab[:snap_size]
+            # races with concurrent appends ("Array has been deleted").
+            # Residual-pq rebuilds re-encode every bucket code from the host
+            # originals, so the flat code slab is never read — skip the
+            # device copy + sync (~size*m bytes dead HBM traffic otherwise).
+            slab = (
+                None
+                if (self.is_pq and self.pq_residual)
+                else self._slab[:snap_size]
+            )
             users = self._users[:snap_size]
             docs = self._docs[:snap_size]
             live = self._live[:snap_size]
@@ -791,7 +798,8 @@ class VectorIndex:
             # place — growth/compact rebind fresh arrays)
             pq_books = self._pq.codebooks if self.is_pq else None
             host_rows = self._host_slab if self.is_pq else None
-            jax.block_until_ready(slab)
+            if slab is not None:
+                jax.block_until_ready(slab)
 
         warm = self._ivf_warm_centroids
         self._ivf_warm_centroids = None  # one-shot; later rebuilds re-train
@@ -866,6 +874,7 @@ class VectorIndex:
 
         from ..ops import pq as pqops
 
+        sample = None
         if warm is not None:
             centroids = jnp.asarray(warm, jnp.float32)
         else:
@@ -880,13 +889,18 @@ class VectorIndex:
         if self.pq_residual:
             # residual codebooks train on a strided sample's residuals
             # (sample assignment is one matmul; full-corpus assignments
-            # stream in the chunk loop below)
-            stride = max(-(-snap_size // self._PQ_TRAIN_SAMPLE), 1)
-            sample = jnp.asarray(
-                host_rows[:snap_size:stride][: self._PQ_TRAIN_SAMPLE]
-            )
-            a_s, _ = ivf_ops._assign_with_structure(sample, centroids)
-            res_sample = sample - jnp.take(centroids, a_s, axis=0)
+            # stream in the chunk loop below). Reuse the kmeans sample when
+            # the cold-start path above already pushed one — re-strided, not
+            # prefix-sliced, so coverage stays even across the corpus.
+            if sample is None:
+                stride = max(-(-snap_size // self._PQ_TRAIN_SAMPLE), 1)
+                sample = jnp.asarray(
+                    host_rows[:snap_size:stride][: self._PQ_TRAIN_SAMPLE]
+                )
+            step = max(-(-sample.shape[0] // self._PQ_TRAIN_SAMPLE), 1)
+            rsample = sample[::step][: self._PQ_TRAIN_SAMPLE]
+            a_s, _ = ivf_ops._assign_with_structure(rsample, centroids)
+            res_sample = rsample - jnp.take(centroids, a_s, axis=0)
             rbooks = pqops.train_pq(res_sample, m=self.pq_m)
         assigns: List[np.ndarray] = []
         res_codes: List[jnp.ndarray] = []

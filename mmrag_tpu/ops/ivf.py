@@ -793,7 +793,7 @@ def _ivf_probe_pred_adc(
 
     q, B, m = queries.shape[0], buckets.shape[1], buckets.shape[2]
     cscores = jnp.dot(queries, centroids.T, preferred_element_type=jnp.float32)
-    _, probes = jax.lax.top_k(cscores, nprobe)  # (q, nprobe)
+    cvals, probes = jax.lax.top_k(cscores, nprobe)  # (q, nprobe) values + ids
 
     flat = probes.reshape(-1)
     S = nprobe * B
@@ -815,9 +815,10 @@ def _ivf_probe_pred_adc(
 
     scores = adc_rescore_scores(tables, cand, bias)
     if residual:
-        offs = jnp.take_along_axis(cscores, probes, axis=1)  # (q, nprobe)
+        # top_k already returned the probed centroids' query dots — they ARE
+        # the residual offsets, no re-gather needed
         scores = scores + jnp.broadcast_to(
-            offs[:, :, None], (q, nprobe, B)
+            cvals[:, :, None], (q, nprobe, B)
         ).reshape(q, S)
     s, sel = jax.lax.top_k(scores, min(k, S))
     ids = jnp.take_along_axis(ids, sel, axis=1)
@@ -839,7 +840,9 @@ def _spill_scores_pred_adc(
     uids: jnp.ndarray,
     dids: jnp.ndarray,
     k: int,
-    offsets: Optional[jnp.ndarray] = None,  # (q, S) residual centroid dots
+    queries: Optional[jnp.ndarray] = None,  # residual layout: (q, d) f32
+    centroids: Optional[jnp.ndarray] = None,  # residual layout: (C, d) f32
+    spill_assign: Optional[jnp.ndarray] = None,  # residual layout: (S,) int32
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     from .pq import adc_rescore_scores
 
@@ -856,8 +859,12 @@ def _spill_scores_pred_adc(
     # per-element table-lookup loop here had the same q*S*m gather cost
     # profile as the probe path above)
     scores = adc_rescore_scores(tables, spill.T[None], bias)
-    if offsets is not None:  # residual layout: add back q . centroid[assign]
-        scores = scores + offsets
+    if spill_assign is not None:  # residual layout: add back q . centroid[assign]
+        # computed in-jit so the production search path doesn't pay two
+        # extra eager dispatches per search (dead rows are spill_live=0,
+        # already NEG_INF-masked, so their offsets are harmless)
+        cs = jnp.dot(queries, centroids.T, preferred_element_type=jnp.float32)
+        scores = scores + jnp.take(cs, spill_assign, axis=1)
     kk = min(k, spill.shape[0])
     s, sel = jax.lax.top_k(scores, kk)
     return s, jnp.take_along_axis(
@@ -1008,17 +1015,19 @@ def ivf_search_pred(
         )
         s, i = _pad_k(s, i, k)
         if ivf.spill.shape[0]:
-            offs = None
-            if ivf.pq_residual:
-                cs = jnp.dot(
-                    queries, ivf.centroids.T,
-                    preferred_element_type=jnp.float32,
+            residual_args = (
+                dict(
+                    queries=queries,
+                    centroids=ivf.centroids,
+                    spill_assign=ivf.spill_assign,
                 )
-                offs = jnp.take(cs, ivf.spill_assign, axis=1)  # (q, S)
+                if ivf.pq_residual
+                else {}
+            )
             s2, i2 = _spill_scores_pred_adc(
                 tables, ivf.spill, ivf.spill_ids, ivf.spill_users,
                 ivf.spill_docs, ivf.spill_live, uids, dids, k,
-                offsets=offs,
+                **residual_args,
             )
             s, i = merge_topk(s, i, s2, i2, k)
         return s, i
