@@ -1611,6 +1611,13 @@ def main() -> None:
              "rerank",
              "rerank64", "chat_path", "serving_load", "frames_pipeline",
              "asr", "asr_small"]
+    # Steps that always START A FRESH CHILD: 4 of the 5 recorded sporadic
+    # INVALID_ARGUMENT crashes (KERNELS.md §3 runtime hazard) fired at the
+    # dense `topk` step's first readback in a child that had accumulated the
+    # encoder + multitenant dispatch history — and one of those crashes
+    # escalated to an hours-long chip wedge. A clean client at that boundary
+    # has never failed, so pay one cheap respawn instead of risking the crash.
+    fresh_boundaries = {"topk"}
 
     if args.steps:
         # child mode: run the listed steps in THIS process, streaming one
@@ -1659,8 +1666,10 @@ def main() -> None:
         start = 0
         first_step_failures = 0
         while start < len(steps):
+            end = next((i for i in range(start + 1, len(steps))
+                        if steps[i] in fresh_boundaries), len(steps))
             cmd = [sys.executable, os.path.abspath(__file__),
-                   "--steps", ",".join(steps[start:])]
+                   "--steps", ",".join(steps[start:end])]
             if args.quick:
                 cmd.append("--quick")
             if args.platform:
@@ -1677,9 +1686,11 @@ def main() -> None:
                 if line.startswith("RESULT "):
                     _, name, payload = line.split(" ", 2)
                     results[name] = json.loads(payload)
+            if all(s in results for s in steps[start:end]):
+                start = end  # planned fresh-child boundary, not a crash
+                first_step_failures = 0
+                continue
             remaining = [s for s in steps[start:] if s not in results]
-            if not remaining:
-                break
             crashed = remaining[0]
             print(f"bench child died at step {crashed}: {stderr[-1500:]}",
                   file=sys.stderr)
