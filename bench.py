@@ -746,11 +746,10 @@ def bench_pq(quick: bool):
                 live_b, uids, dids, cand, nprobe, residual=True,
             )
             if spill.shape[0]:
-                cs = jnp.dot(qq, cents.T, preferred_element_type=jnp.float32)
                 s2, i2 = ivf_ops._spill_scores_pred_adc(
                     tables, spill, spill_ids, spill_users, spill_docs,
                     spill_live, uids, dids, cand,
-                    offsets=jnp.take(cs, spill_assign, axis=1),
+                    queries=qq, centroids=cents, spill_assign=spill_assign,
                 )
                 s, ix = merge_topk(s, ix, s2, i2, cand)
             return acc + s[0, 0] + ix[0, 0].astype(jnp.float32)
@@ -1017,11 +1016,10 @@ def bench_pq_10m(quick: bool):
                 live_b, uids, dids, cand, nprobe, residual=True,
             )
             if spill.shape[0]:
-                cs = jnp.dot(qq, cents.T, preferred_element_type=jnp.float32)
                 s2, i2 = ivf_ops._spill_scores_pred_adc(
                     tables, spill, spill_ids, spill_users, spill_docs,
                     spill_live, uids, dids, cand,
-                    offsets=jnp.take(cs, spill_assign, axis=1),
+                    queries=qq, centroids=cents, spill_assign=spill_assign,
                 )
                 s, ix = merge_topk(s, ix, s2, i2, cand)
             return acc + s[0, 0] + ix[0, 0].astype(jnp.float32)

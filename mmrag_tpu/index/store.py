@@ -423,8 +423,11 @@ class VectorIndex:
 
         total = start + count
         if self._pq is None or total >= 4 * max(self._pq_trained_at, 1):
-            stride = max(-(-total // self._PQ_TRAIN_SAMPLE), 1)  # ceil
-            sample = self._host_slab[:total:stride][: self._PQ_TRAIN_SAMPLE]
+            from ..ops import ivf as ivf_ops
+
+            sample = self._host_slab[
+                ivf_ops._even_indices(total, min(total, self._PQ_TRAIN_SAMPLE))
+            ]
             self._pq = pqops.PQData(
                 pqops.train_pq(jnp.asarray(sample), m=self.pq_m)
             )
@@ -893,12 +896,17 @@ class VectorIndex:
             # the cold-start path above already pushed one — re-strided, not
             # prefix-sliced, so coverage stays even across the corpus.
             if sample is None:
-                stride = max(-(-snap_size // self._PQ_TRAIN_SAMPLE), 1)
-                sample = jnp.asarray(
-                    host_rows[:snap_size:stride][: self._PQ_TRAIN_SAMPLE]
+                sample = jnp.asarray(host_rows[
+                    ivf_ops._even_indices(
+                        snap_size, min(snap_size, self._PQ_TRAIN_SAMPLE)
+                    )
+                ])
+            rsample = sample[
+                ivf_ops._even_indices(
+                    int(sample.shape[0]),
+                    min(int(sample.shape[0]), self._PQ_TRAIN_SAMPLE),
                 )
-            step = max(-(-sample.shape[0] // self._PQ_TRAIN_SAMPLE), 1)
-            rsample = sample[::step][: self._PQ_TRAIN_SAMPLE]
+            ]
             a_s, _ = ivf_ops._assign_with_structure(rsample, centroids)
             res_sample = rsample - jnp.take(centroids, a_s, axis=0)
             rbooks = pqops.train_pq(res_sample, m=self.pq_m)

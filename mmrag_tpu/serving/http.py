@@ -198,10 +198,13 @@ class ApiHandler(BaseHTTPRequestHandler):
 
                 query = self.path.partition("?")[2]
                 accept = self.headers.get("Accept", "")
+                # real scrapers send `text/plain;version=0.0.4` with NO
+                # space after the semicolon — normalize before matching
+                accept_c = accept.replace(" ", "")
                 if (
                     "format=prometheus" in query
-                    or "application/openmetrics-text" in accept
-                    or "text/plain; version=0.0.4" in accept
+                    or "application/openmetrics-text" in accept_c
+                    or "text/plain;version=0.0.4" in accept_c
                 ):
                     body = metrics.prometheus_text().encode()
                     self.send_response(200)

@@ -117,6 +117,15 @@ def test_metrics_json_and_prometheus(api):
     res = client.get("/metrics?format=prometheus")
     assert res.status_code == 200
     assert res.headers["content-type"].startswith("text/plain; version=0.0.4")
+
+    # a REAL Prometheus scraper's Accept has no space after the semicolons
+    res_h = client.get(
+        "/metrics",
+        headers={"Accept": "text/plain;version=0.0.4;q=0.5,*/*;q=0.1"},
+    )
+    assert res_h.status_code == 200
+    assert res_h.headers["content-type"].startswith("text/plain; version=0.0.4")
+    assert "# TYPE mmrag_test_scrape_total counter" in res_h.text
     text = res.text
     assert "# TYPE mmrag_test_scrape_total counter" in text
     assert "mmrag_test_scrape_total 1" in text
