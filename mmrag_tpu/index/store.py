@@ -440,7 +440,9 @@ class VectorIndex:
             # data resists m-byte codes (the refine pass still bounds the
             # damage to shortlist membership, never score accuracy).
             rc = self._pq.reconstruction_cosine(
-                jnp.asarray(self._host_slab[: min(total, 16_384)])
+                jnp.asarray(self._host_slab[
+                    ivf_ops._even_indices(total, min(total, 16_384))
+                ])
             )
             from ..utils.profiling import metrics
 

@@ -121,10 +121,12 @@ def train_pq(
     n = rows.shape[0]
     train = rows
     if train_sample and n > train_sample:
-        # ceil stride: floor would give stride 1 for n < 2*train_sample and
-        # silently train on a first-rows PREFIX (insertion order is
-        # per-tenant, so a later tenant's geometry would go unseen)
-        train = rows[:: -(-n // train_sample)][:train_sample]
+        # evenly spaced (NOT a prefix — insertion order is per-tenant, so a
+        # later tenant's geometry would go unseen; NOT an integer stride —
+        # a ceil stride halves the sample just past the cap)
+        from .ivf import _even_indices
+
+        train = rows[_even_indices(n, train_sample)]
     sub = _split_subvectors(train.astype(jnp.float32), m)
     tn = sub.shape[1]
     stride = max(tn // PQ_K, 1)
