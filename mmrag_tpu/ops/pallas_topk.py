@@ -38,10 +38,13 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as _np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NEG = jnp.float32(-1e30)
+# np scalar, not jnp: a module-level jnp constant becomes a leaked tracer if
+# the module is first imported inside a jit trace (see ops/topk.py NEG_INF)
+NEG = _np.float32(-1e30)
 
 BUCKET = 128  # rows per bucket == one MXU/VPU lane tile
 TILE_N = 2048  # corpus rows per grid step (16 buckets)

@@ -28,8 +28,14 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-NEG_INF = jnp.float32(-1e30)
+# A NUMPY scalar on purpose: a module-level ``jnp.float32`` would become a
+# leaked tracer if this module is first imported inside a jit trace (jax 0.9
+# creates constants as tracers under an active trace), permanently poisoning
+# every later ``float(NEG_INF)``. np scalars weak-type into jnp ops the same
+# way and are always concrete.
+NEG_INF = np.float32(-1e30)
 
 
 def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
