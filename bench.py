@@ -1633,8 +1633,10 @@ def main() -> None:
     # — the historical deterministic ordering for the allocator-state hazard.
     # Default list = north-star metrics + one row per feature (VERDICT r2
     # item 1c); --full adds the 10M capacity builds, the pipelined CLIP
-    # variant, and whisper-base (whisper-SMALL is the production default —
-    # config.py — so it owns the default ASR row).
+    # variant, and whisper-small (the reference loads "base" —
+    # /root/reference/app/ingest/youtube.py:156,163 — so base owns the
+    # default ASR row; VERDICT r2 item 6's "reference loads small" premise
+    # does not match the reference code, see test_reference_asr_model_is_base).
     steps = ["minilm", "minilm_seq256", "minilm_seq512", "minilm_int8",
              "ingest_embed",
              "clip_images"]
@@ -1650,9 +1652,9 @@ def main() -> None:
     if args.full:
         steps += ["pq_10m"]
     steps += ["rerank", "rerank64", "chat_path", "serving_load",
-              "frames_pipeline", "asr_small"]
+              "frames_pipeline", "asr"]
     if args.full:
-        steps += ["asr"]
+        steps += ["asr_small"]
     # Steps that always START A FRESH CHILD: 4 of the 5 recorded sporadic
     # INVALID_ARGUMENT crashes (KERNELS.md §3 runtime hazard) fired at the
     # dense `topk` step's first readback in a child that had accumulated the

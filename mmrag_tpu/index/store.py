@@ -885,8 +885,11 @@ class VectorIndex:
         else:
             if n_clusters is None:
                 n_clusters = ivf_ops.default_n_clusters(snap_size)
-            stride = max(-(-snap_size // 131072), 1)
-            sample = jnp.asarray(host_rows[:snap_size:stride][:131072])
+            # evenly spaced (not ceil-stride prefix): full 131k sample at any
+            # snap_size, spanning the whole insertion order (ADVICE r2)
+            sample = jnp.asarray(host_rows[
+                ivf_ops._even_indices(snap_size, min(snap_size, 131072))
+            ])
             centroids, _ = ivf_ops.kmeans(
                 sample, n_clusters, iters, train_sample=0
             )
@@ -903,12 +906,18 @@ class VectorIndex:
                         snap_size, min(snap_size, self._PQ_TRAIN_SAMPLE)
                     )
                 ])
-            rsample = sample[
-                ivf_ops._even_indices(
-                    int(sample.shape[0]),
-                    min(int(sample.shape[0]), self._PQ_TRAIN_SAMPLE),
-                )
-            ]
+            # only the (larger) kmeans sample needs re-striding; a sample
+            # already at/below the cap would make this an identity gather
+            # copying 65k x d floats for nothing (ADVICE r2)
+            rsample = (
+                sample
+                if int(sample.shape[0]) <= self._PQ_TRAIN_SAMPLE
+                else sample[
+                    ivf_ops._even_indices(
+                        int(sample.shape[0]), self._PQ_TRAIN_SAMPLE
+                    )
+                ]
+            )
             a_s, _ = ivf_ops._assign_with_structure(rsample, centroids)
             res_sample = rsample - jnp.take(centroids, a_s, axis=0)
             rbooks = pqops.train_pq(res_sample, m=self.pq_m)
