@@ -200,6 +200,13 @@ class TpuDefaults:
     # query-centroid dot back. Raw coding (False) blurs within-cluster
     # geometry into the cluster mean.
     pq_residual: bool = True
+    # quality gate (the pq analogue of ivf_min_structure, and of LanceDB's
+    # refine_factor safety role, lancedb_store.py:51-60): if the mean
+    # row-reconstruction cosine at (re)train falls below this, the index
+    # auto-demotes to the exact int8 layout instead of silently serving a
+    # collapsed shortlist (PQ's adversarial isotropic-noise geometry
+    # measures ~0.57; real encoder corpora ~0.99 — KERNELS.md §6). 0 = off.
+    pq_min_quality: float = 0.8
     index_shard_rows: int = 131072  # rows per device shard slab (static shape)
     index_growth_factor: int = 2  # append-buffer geometric growth
     mesh_data_axis: str = "data"  # batch DP axis name

@@ -222,7 +222,8 @@ class VectorIndex:
                  ivf_min_structure: Optional[float] = None,
                  mesh=None, pq_m: Optional[int] = None,
                  pq_refine: Optional[int] = None,
-                 pq_residual: Optional[bool] = None) -> None:
+                 pq_residual: Optional[bool] = None,
+                 pq_min_quality: Optional[float] = None) -> None:
         self.dim = dim
         # Multi-chip production mode (SURVEY §2c "LanceDB internal ANN
         # threading" row, lancedb_store.py:103-123): with a mesh, the slab and
@@ -254,6 +255,14 @@ class VectorIndex:
         # part raw coding blurs. Scoring adds the query-centroid dot back
         # (ops/ivf.py). Default on; TPU_PQ_RESIDUAL=0 restores raw coding.
         self.pq_residual = True if pq_residual is None else bool(pq_residual)
+        # reconstruction-quality gate (VERDICT r2 item 3, the pq analogue of
+        # ivf_min_structure): a (re)train whose mean reconstruction cosine
+        # falls below this demotes the index to the exact int8 layout —
+        # adversarial isotropic-noise geometry measures ~0.57, encoder
+        # corpora ~0.99, so 0.8 splits them cleanly. 0 disables.
+        self.pq_min_quality = (
+            0.8 if pq_min_quality is None else float(pq_min_quality)
+        )
         if self.is_pq and dim % self.pq_m:
             # fail at construction, not first ingest: _apply_upsert validates
             # before tombstoning, and a mid-replay encode failure would wedge
@@ -451,6 +460,16 @@ class VectorIndex:
                 "pq codebooks trained on %d rows (m=%d): reconstruction "
                 "cosine %.4f", total, self.pq_m, rc,
             )
+            if self.pq_min_quality and rc < self.pq_min_quality:
+                # quality gate (VERDICT r2 item 3): the data resists m-byte
+                # codes — the ADC shortlist would collapse (refined recall
+                # 0.08-0.26 measured on this geometry, KERNELS.md §6).
+                # Demote to the exact int8 layout instead of silently
+                # serving garbage, exactly as ivf_min_structure discards a
+                # structureless layout. Same observability contract: log +
+                # /metrics counter; TPU_PQ_MIN_QUALITY=0 overrides.
+                self._demote_pq_to_int8(total, rc)
+                return
             start, count = 0, total  # codes are stale: re-encode everything
         # chunked at ops.pq.ENCODE_CHUNK (ONE shared constant): bounds both
         # the host->device row transfer and the (m, chunk, K) assignment
@@ -459,6 +478,44 @@ class VectorIndex:
             hi = min(lo + pqops.ENCODE_CHUNK, start + count)
             codes = self._pq.encode(jnp.asarray(self._host_slab[lo:hi]))
             self._slab = _write_rows(self._slab, codes, jnp.int32(lo))
+
+    def _demote_pq_to_int8(self, total: int, rc: float) -> None:
+        """Switch a pq index to the exact int8 layout in place (quality-gate
+        trip). Runs under the index lock from ``_pq_write_codes``; every row
+        is re-materialized from the host originals, so no information is
+        lost. The demotion is a local physical decision (like ``compact``):
+        journal peers replaying the same rows reach the same verdict, since
+        the gate statistic is deterministic in the row data. A snapshot of a
+        demoted index persists in the int8 form; a later boot with
+        ``TPU_INDEX_DTYPE=pq`` retrains on the dequantized rows and demotes
+        again at first train (one retrain of boot-time cost, no wrong
+        serving in between)."""
+
+        from ..utils.profiling import metrics
+
+        metrics.incr("index.pq.demoted")
+        _logger.warning(
+            "pq index demoted to int8: reconstruction cosine %.4f < gate "
+            "%.2f on %d rows — this geometry resists %d-byte codes; the "
+            "exact int8 scan serves instead (override: TPU_PQ_MIN_QUALITY)",
+            rc, self.pq_min_quality, total, self.pq_m,
+        )
+        rows = self._host_slab[:total]
+        self.is_pq = False
+        self.dtype = jnp.int8
+        self._dtype_str = "int8"
+        self._pq = None
+        self._pq_trained_at = 0
+        self._host_slab = None
+        self._ivf = None  # any layout held pq codes; rebuilt lazily
+        slab = jnp.zeros((self._capacity, self.dim), jnp.int8)
+        scales = jnp.ones((self._capacity,), jnp.float32)
+        if total:
+            q, s = quantize_rows_int8(jnp.asarray(rows))
+            slab = slab.at[:total].set(q)
+            scales = scales.at[:total].set(s)
+        self._slab = self._place(slab)
+        self._scales = self._place(scales)
 
     def _pq_multi_async(self, queries, uids: np.ndarray, dids: np.ndarray,
                         k: int):
@@ -1145,6 +1202,7 @@ class VectorIndex:
             ivf_min_structure=self.ivf_min_structure, mesh=self.mesh,
             pq_m=self.pq_m, pq_refine=self.pq_refine,
             pq_residual=self.pq_residual,
+            pq_min_quality=self.pq_min_quality,
         )
         with self._lock:
             for attr in (
@@ -1153,6 +1211,9 @@ class VectorIndex:
                 "_chunk_to_row", "_user_intern", "_doc_intern",
                 "_ivf_warm_centroids", "_ivf_poor_at",
                 "_pq", "_pq_trained_at", "_host_slab",
+                # mode attrs: a pq index that demoted to int8 (quality gate)
+                # must carry its demotion through a snapshot reload
+                "is_pq", "dtype", "_dtype_str",
             ):
                 # _ivf_poor_at included: a poor-structure verdict on the
                 # pre-reload corpus must not suppress IVF builds of the
@@ -1672,7 +1733,8 @@ class VectorIndex:
              ivf_min_structure: Optional[float] = None,
              mesh=None, pq_m: Optional[int] = None,
              pq_refine: Optional[int] = None,
-             pq_residual: Optional[bool] = None) -> "VectorIndex":
+             pq_residual: Optional[bool] = None,
+             pq_min_quality: Optional[float] = None) -> "VectorIndex":
         with open(os.path.join(directory, f"{name}.manifest.json")) as fh:
             manifest = json.load(fh)
         with np.load(os.path.join(directory, f"{name}.npz")) as data:
@@ -1702,7 +1764,8 @@ class VectorIndex:
                             ivf_nprobe=ivf_nprobe, ivf_min_rows=ivf_min_rows,
                             ivf_min_structure=ivf_min_structure, mesh=mesh,
                             pq_m=pq_m, pq_refine=pq_refine,
-                            pq_residual=pq_residual)
+                            pq_residual=pq_residual,
+                            pq_min_quality=pq_min_quality)
                 index._install_prequantized(
                     chunk_ids, user_ids, document_ids,
                     data["embeddings_int8"], data["scales"],
@@ -1724,7 +1787,8 @@ class VectorIndex:
         index = cls(dim=manifest["dim"], dtype=dtype, backend=backend,
                     ivf_nprobe=ivf_nprobe, ivf_min_rows=ivf_min_rows,
                     ivf_min_structure=ivf_min_structure, mesh=mesh,
-                    pq_m=pq_m, pq_refine=pq_refine, pq_residual=pq_residual)
+                    pq_m=pq_m, pq_refine=pq_refine, pq_residual=pq_residual,
+                    pq_min_quality=pq_min_quality)
         if (index.is_pq and pq_books is not None and pq_codes is not None
                 and len(pq_codes) == len(chunk_ids)
                 and pq_codes.shape[1] == index.pq_m):
@@ -1758,14 +1822,17 @@ class VectorIndex:
         ivf_min_structure: Optional[float] = None, mesh=None,
         pq_m: Optional[int] = None, pq_refine: Optional[int] = None,
         pq_residual: Optional[bool] = None,
+        pq_min_quality: Optional[float] = None,
     ) -> "VectorIndex":
         if os.path.exists(os.path.join(directory, f"{name}.manifest.json")):
             return cls.load(directory, name, dtype, backend,
                             ivf_nprobe=ivf_nprobe, ivf_min_rows=ivf_min_rows,
                             ivf_min_structure=ivf_min_structure, mesh=mesh,
                             pq_m=pq_m, pq_refine=pq_refine,
-                            pq_residual=pq_residual)
+                            pq_residual=pq_residual,
+                            pq_min_quality=pq_min_quality)
         return cls(dim=dim, dtype=dtype, backend=backend,
                    ivf_nprobe=ivf_nprobe, ivf_min_rows=ivf_min_rows,
                    ivf_min_structure=ivf_min_structure, mesh=mesh,
-                   pq_m=pq_m, pq_refine=pq_refine, pq_residual=pq_residual)
+                   pq_m=pq_m, pq_refine=pq_refine, pq_residual=pq_residual,
+                   pq_min_quality=pq_min_quality)

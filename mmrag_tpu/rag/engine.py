@@ -71,6 +71,7 @@ class RagEngine:
             mesh=self.mesh,
             pq_m=self.cfg.tpu.pq_m, pq_refine=self.cfg.tpu.pq_refine,
             pq_residual=self.cfg.tpu.pq_residual,
+            pq_min_quality=self.cfg.tpu.pq_min_quality,
         )
         self.image_index = VectorIndex.load_or_create(
             paths.index_dir, "image_collection",
@@ -82,6 +83,7 @@ class RagEngine:
             mesh=self.mesh,
             pq_m=self.cfg.tpu.pq_m, pq_refine=self.cfg.tpu.pq_refine,
             pq_residual=self.cfg.tpu.pq_residual,
+            pq_min_quality=self.cfg.tpu.pq_min_quality,
         )
         # cross-process replication (reference api/Celery-worker split): both
         # processes journal index mutations into one SQLite log and replay

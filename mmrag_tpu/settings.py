@@ -227,6 +227,7 @@ class TpuSettings:
     pq_m: int  # PQ subvectors (TPU_INDEX_DTYPE=pq; bytes per device row)
     pq_refine: int  # exact-rescore shortlist factor (k * refine candidates)
     pq_residual: bool  # ivf+pq: residual-encode bucket codes (FAISS convention)
+    pq_min_quality: float  # reconstruction-cosine gate; below -> int8 demote
     index_shard_rows: int
     index_growth_factor: int
     mesh_data_axis: str
@@ -378,6 +379,9 @@ def load_settings(env: Optional[Mapping[str, str]] = None) -> Settings:
             pq_m=_read_int(env, "TPU_PQ_M", d.tpu.pq_m),
             pq_refine=_read_int(env, "TPU_PQ_REFINE", d.tpu.pq_refine),
             pq_residual=_read_bool(env, "TPU_PQ_RESIDUAL", d.tpu.pq_residual),
+            pq_min_quality=_read_float(
+                env, "TPU_PQ_MIN_QUALITY", d.tpu.pq_min_quality
+            ),
             index_shard_rows=_read_int(env, "TPU_INDEX_SHARD_ROWS", d.tpu.index_shard_rows),
             index_growth_factor=_read_int(
                 env, "TPU_INDEX_GROWTH_FACTOR", d.tpu.index_growth_factor

@@ -739,3 +739,102 @@ def test_index_pq_ivf_residual_default_and_optout(rng):
     hits = raw.search_batch(mat[9:10], "u1", k=3)[0]
     assert raw._ivf is not None and not raw._ivf.pq_residual
     assert hits and hits[0][0] == "c9" and hits[0][1] > 0.97
+
+
+# ---------------------------------------------------------------------------
+# reconstruction-quality gate (VERDICT r2 item 3): poor geometry must not
+# silently serve a collapsed ADC shortlist — demote to the exact int8 layout
+# ---------------------------------------------------------------------------
+
+
+def _uniform_rows(rng, n, d=384, user="u1", doc="d1", start=0):
+    """Structureless rows on the d-sphere — at the production text dim (384,
+    m=16 -> 24-d subvectors) PQ reconstruction collapses to ~0.67 cosine,
+    the isotropic-noise geometry KERNELS.md §6 documents at refined recall
+    0.08-0.26."""
+
+    from mmrag_tpu.storage.records import VectorRow
+
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    return [
+        VectorRow(chunk_id=f"c{start + i}", user_id=user, document_id=doc,
+                  modality="text", embedding=mat[i])
+        for i in range(n)
+    ], mat
+
+
+def test_pq_quality_gate_demotes_poor_geometry(rng):
+    from mmrag_tpu.index.store import VectorIndex
+    from mmrag_tpu.utils.profiling import metrics
+
+    rows, mat = _uniform_rows(rng, 2048)
+    before = metrics.summary()["counters"].get("index.pq.demoted", 0)
+    ix = VectorIndex(dim=384, dtype="pq")
+    ix.upsert(rows)
+    # the first (re)train measured reconstruction below the gate: the index
+    # is now the exact int8 layout, observable in /metrics
+    assert not ix.is_pq
+    assert ix._dtype_str == "int8" and ix._slab.dtype == jnp.int8
+    assert ix._scales is not None and ix._pq is None
+    after = metrics.summary()["counters"].get("index.pq.demoted", 0)
+    assert after == before + 1
+
+    # and it SERVES near-exactly (int8 scan ~0.98 top-k recall) — the whole
+    # point of the gate: no silent 0.08-recall shortlist
+    exact = VectorIndex(dim=384, dtype="float32", backend="xla")
+    exact.upsert(rows)
+    q = mat[:8] + 0.05 * rng.standard_normal((8, 384)).astype(np.float32)
+    want = exact.search_batch(q, "u1", k=5)
+    got = ix.search_batch(q, "u1", k=5)
+    overlap = np.mean([
+        len({c for c, _ in w} & {c for c, _ in g}) / 5.0
+        for w, g in zip(want, got)
+    ])
+    assert overlap >= 0.8, overlap
+
+    # appends keep flowing through the demoted (int8) path
+    more, _ = _uniform_rows(rng, 64, start=2048)
+    ix.upsert(more)
+    assert len(ix) == 2112
+
+
+def test_pq_quality_gate_zero_disables(rng):
+    from mmrag_tpu.index.store import VectorIndex
+
+    rows, mat = _uniform_rows(rng, 2048)
+    ix = VectorIndex(dim=384, dtype="pq", pq_min_quality=0.0)
+    ix.upsert(rows)
+    assert ix.is_pq and ix._pq is not None  # operator override honored
+    # refine still rescores exact cosines, so the top hit is right even here
+    hits = ix.search_batch(mat[3:4], "u1", k=3)[0]
+    assert hits and hits[0][0] == "c3"
+
+
+def test_pq_quality_gate_benign_geometry_stays_pq(rng):
+    from mmrag_tpu.index.store import VectorIndex
+
+    # clustered low-noise rows (the encoder-corpus regime): reconstruction
+    # ~0.9+, gate does not trip
+    rows, mat = _mk_rows(rng, 512)
+    ix = VectorIndex(dim=64, dtype="pq")
+    ix.upsert(rows)
+    assert ix.is_pq and ix._pq is not None
+
+
+def test_pq_demoted_index_snapshot_roundtrip(tmp_path, rng):
+    from mmrag_tpu.index.store import VectorIndex
+
+    rows, mat = _uniform_rows(rng, 2048)
+    ix = VectorIndex(dim=384, dtype="pq")
+    ix.upsert(rows)
+    assert not ix.is_pq
+    ix.save(str(tmp_path), "t")
+    # reload under the operator's pq setting: retrains on the dequantized
+    # rows, trips the same gate, converges back to int8 — never serves a
+    # collapsed pq shortlist in between
+    back = VectorIndex.load(str(tmp_path), "t", dtype="pq")
+    assert not back.is_pq and back._dtype_str == "int8"
+    assert len(back) == 2048
+    hits = back.search_batch(mat[7:8], "u1", k=3)[0]
+    assert hits and hits[0][0] == "c7"
