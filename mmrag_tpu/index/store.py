@@ -540,17 +540,32 @@ class VectorIndex:
             else queries
         )
         if self._sharding is not None:
-            key = ("pq", cand)
-            fn = self._shard_fn_cache.get(key)
-            if fn is None:
-                from ..parallel.sharded_index import sharded_search_pq_fn
+            ivf = self._ivf  # (re)built by _maybe_ivf at the search entrances
+            s = i = None
+            if ivf is not None and ivf.is_pq:
+                # probed ADC over the per-shard ivf_pq layouts (+ flat tail)
+                try:
+                    s, i = self._ivf_pq_dispatch(ivf, qj, uids, dids, cand)
+                    s, i = _readback_pair(s, i)
+                except jax.errors.JaxRuntimeError:
+                    s = i = None
+                    self._count_fallback("ivf_pq")
+                    _logger.warning(
+                        "sharded ivf_pq probe failed at runtime; flat ADC retry"
+                    )
+            if s is None:
+                key = ("pq", cand)
+                fn = self._shard_fn_cache.get(key)
+                if fn is None:
+                    from ..parallel.sharded_index import sharded_search_pq_fn
 
-                fn = sharded_search_pq_fn(self.mesh, cand)
-                self._shard_fn_cache[key] = fn
-            s, i = fn(
-                qj, jnp.asarray(uids), jnp.asarray(dids), self._pq.codebooks,
-                self._slab, self._users, self._docs, self._live,
-            )
+                    fn = sharded_search_pq_fn(self.mesh, cand)
+                    self._shard_fn_cache[key] = fn
+                s, i = fn(
+                    qj, jnp.asarray(uids), jnp.asarray(dids),
+                    self._pq.codebooks,
+                    self._slab, self._users, self._docs, self._live,
+                )
         else:
             ivf = self._ivf  # (re)built by _maybe_ivf at the search entrances
             s = i = None
@@ -609,13 +624,12 @@ class VectorIndex:
         a codebook retrain between build and search costs at most shortlist
         quality, never score correctness."""
 
-        from ..ops.ivf import ivf_search_pred
         from ..ops.pq import pq_topk
         from ..ops.topk import merge_topk
 
         uids_j = jnp.asarray(uids)
         dids_j = jnp.asarray(dids)
-        s, i = ivf_search_pred(ivf, qj, uids_j, dids_j, cand, self.ivf_nprobe)
+        s, i = self._ivf_probe_any(ivf, qj, uids_j, dids_j, cand)
         built = ivf.built_rows
         appended = self._size - built
         if appended > 0:
@@ -823,11 +837,10 @@ class VectorIndex:
         from ..ops import ivf as ivf_ops
 
         if self._sharding is not None:
-            # each chip already scans only 1/n of the corpus; the bucketed
-            # layout does not compose with row sharding — dense sharded scan
-            # is the multi-chip ANN mode
-            _logger.warning("ivf build skipped: index is mesh-sharded")
-            return
+            # multi-chip composition (VERDICT r2 item 2): per-shard bucket
+            # layouts under shard_map with shared global centroids —
+            # parallel/sharded_ivf.py. Same gate + install contract below.
+            return self._build_ivf_sharded(n_clusters, bucket_factor, iters)
 
         with self._lock:
             if self._size == 0 or (self.is_pq and self._pq is None):
@@ -877,6 +890,14 @@ class VectorIndex:
                 centroids=warm,
             )
 
+        self._gate_and_install_ivf(data, snap_size, snap_gen)
+
+    def _gate_and_install_ivf(self, data, snap_size: int, snap_gen: int) -> None:
+        """Shared tail of the single-chip and sharded builds: discard
+        structureless layouts, re-apply mid-build tombstones, install."""
+
+        from ..ops import ivf as ivf_ops
+
         baseline = ivf_ops.structureless_baseline(data.n_clusters, self.dim)
         if self.ivf_min_structure and data.structure < self.ivf_min_structure * baseline:
             with self._lock:
@@ -909,12 +930,125 @@ class VectorIndex:
             self._ivf = data
             self._ivf_poor_at = 0
             _logger.info(
-                "ivf built: %d rows, %d clusters x %d bucket, %d spill, "
+                "ivf built%s: %d rows, %d clusters x %d bucket, "
                 "structure %.3f (baseline %.3f)",
-                data.built_rows, data.n_clusters,
-                data.bucket_size, int(data.spill.shape[0]),
+                f" ({data.n_shards} shards)" if hasattr(data, "n_shards")
+                else "",
+                data.built_rows, data.n_clusters, data.bucket_size,
                 data.structure, baseline,
             )
+
+    def _build_ivf_sharded(self, n_clusters, bucket_factor: float,
+                           iters: int) -> None:
+        """Multi-chip (re)build: per-shard bucket layouts over the row-
+        sharded slab with shared global centroids
+        (:mod:`mmrag_tpu.parallel.sharded_ivf`).
+
+        Snapshot semantics match the single-chip path: full-capacity COPIES
+        are taken under the lock (appends' donated writes delete the live
+        buffers, so bare references cannot cross the unlock), rows past the
+        snapshot size are simply never referenced by the host slot
+        bookkeeping, and the generation check aborts a mid-build compact."""
+
+        from ..ops import pq as pqops
+        from ..parallel.sharded_ivf import build_sharded_ivf
+
+        copy = jax.jit(lambda a: a + jnp.zeros((), a.dtype))
+        copy_b = jax.jit(lambda a: jnp.logical_or(a, False))
+        with self._lock:
+            if self._size == 0 or (self.is_pq and self._pq is None):
+                self._ivf = None
+                return
+            snap_size = self._size
+            snap_gen = self._generation
+            slab = None if self.is_pq else copy(self._slab)
+            users = copy(self._users)
+            docs = copy(self._docs)
+            live = copy_b(self._live)
+            scales = (
+                copy(self._scales) if self.dtype == jnp.int8 else None
+            )
+            pq_books = self._pq.codebooks if self.is_pq else None
+            pq_codes = (
+                copy(self._slab)
+                if (self.is_pq and not self.pq_residual) else None
+            )
+            host_rows = self._host_slab if self.is_pq else None
+            if slab is not None:
+                jax.block_until_ready(slab)
+
+        warm = self._ivf_warm_centroids
+        self._ivf_warm_centroids = None
+        if self.is_pq:
+            # cluster on the f32 host originals (codes carry no geometry),
+            # residual-encode per chunk — the _build_ivf_pq recipe — then
+            # shard the code slab for the per-shard layout gather
+            from ..ops import ivf as ivf_ops
+
+            if warm is not None:
+                centroids = jnp.asarray(warm, jnp.float32)
+            else:
+                if n_clusters is None:
+                    n_clusters = ivf_ops.default_n_clusters(snap_size)
+                sample = jnp.asarray(host_rows[
+                    ivf_ops._even_indices(snap_size, min(snap_size, 131072))
+                ])
+                centroids, _ = ivf_ops.kmeans(
+                    sample, n_clusters, iters, train_sample=0
+                )
+            rbooks = None
+            if self.pq_residual:
+                rsample = jnp.asarray(host_rows[
+                    ivf_ops._even_indices(
+                        snap_size, min(snap_size, self._PQ_TRAIN_SAMPLE)
+                    )
+                ])
+                a_s, _ = ivf_ops._assign_with_structure(rsample, centroids)
+                rbooks = pqops.train_pq(
+                    rsample - jnp.take(centroids, a_s, axis=0), m=self.pq_m
+                )
+            assigns, res_codes = [], []
+            weighted = 0.0
+            for lo in range(0, snap_size, pqops.ENCODE_CHUNK):
+                hi = min(lo + pqops.ENCODE_CHUNK, snap_size)
+                chunk = jnp.asarray(host_rows[lo:hi])
+                a, st = ivf_ops._assign_with_structure(chunk, centroids)
+                assigns.append(np.asarray(a))
+                weighted += float(st) * chunk.shape[0]
+                if rbooks is not None:
+                    res_codes.append(pqops.pq_encode(
+                        chunk - jnp.take(centroids, a, axis=0), rbooks
+                    ))
+            assign_h = np.concatenate(assigns)
+            structure = weighted / snap_size
+            if rbooks is not None:
+                codes_h = np.concatenate(
+                    [np.asarray(c) for c in res_codes]
+                )
+                books = rbooks
+            else:
+                codes_h = np.asarray(pq_codes)[:snap_size]
+                books = pq_books
+            cap = self._capacity
+            codes_pad = np.zeros((cap, self.pq_m), np.int8)
+            codes_pad[:snap_size] = codes_h
+            codes_slab = jax.device_put(
+                jnp.asarray(codes_pad), self._sharding
+            )
+            data = build_sharded_ivf(
+                self.mesh, codes_slab, users, docs, live, snap_size,
+                bucket_factor=bucket_factor,
+                centroids=centroids, assign=assign_h,
+                structure_override=structure, pq_codebooks=books,
+                pq_residual=rbooks is not None,
+            )
+        else:
+            data = build_sharded_ivf(
+                self.mesh, slab, users, docs, live, snap_size,
+                n_clusters=n_clusters, bucket_factor=bucket_factor,
+                iters=iters, scales=scales, centroids=warm,
+            )
+        self._gate_and_install_ivf(data, snap_size, snap_gen)
 
     def _build_ivf_pq(self, ivf_ops, codes, host_rows, snap_size, books,
                       users, docs, live, n_clusters, bucket_factor, iters,
@@ -1034,8 +1168,6 @@ class VectorIndex:
         staleness) and kick off a background (re)build when warranted —
         searches never wait on k-means."""
 
-        if self._sharding is not None:
-            return None  # multi-chip mode: dense per-shard scan (see build_ivf)
         if not self.use_ivf:
             return self._ivf  # explicit build_ivf() still honored
         build = (
@@ -1071,11 +1203,48 @@ class VectorIndex:
             _logger.warning("ivf search failed at runtime; dense xla retry")
             return fallback()
 
-    def _ivf_search_inner(self, ivf, queries_j, uids, dids, k):
+    def _ivf_probe_any(self, ivf, queries_j, uids, dids, k):
+        """Probe a layout — single-chip (``ivf_search_pred``) or sharded
+        (the cached shard_map search fn) — returning device (scores, idx)
+        with GLOBAL row ids either way."""
+
         from ..ops.ivf import ivf_search_pred
+        from ..parallel.sharded_ivf import ShardedIVFData
+
+        if not isinstance(ivf, ShardedIVFData):
+            return ivf_search_pred(ivf, queries_j, uids, dids, k,
+                                   self.ivf_nprobe)
+        from ..ops.ivf import _use_pallas_probe
+        from ..parallel.sharded_ivf import (
+            sharded_ivf_kind,
+            sharded_ivf_search_args,
+            sharded_ivf_search_fn,
+        )
+
+        kind = sharded_ivf_kind(ivf)
+        nprobe = min(self.ivf_nprobe, ivf.n_clusters)
+        use_pallas = kind != "adc" and _use_pallas_probe(
+            ivf.bucket_size, int(ivf.buckets.shape[-1]),
+            ivf.buckets.dtype.itemsize,
+        )
+        key = ("sivf", kind, k, nprobe, use_pallas,
+               ivf.spill_size > 0, ivf.pq_residual)
+        fn = self._shard_fn_cache.get(key)
+        if fn is None:
+            fn = sharded_ivf_search_fn(
+                self.mesh, kind, k, nprobe, use_pallas,
+                has_spill=ivf.spill_size > 0, residual=ivf.pq_residual,
+            )
+            self._shard_fn_cache[key] = fn
+        head = [queries_j, uids, dids, ivf.centroids]
+        if kind == "adc":
+            head.append(ivf.pq_codebooks)
+        return fn(*head, *sharded_ivf_search_args(ivf))
+
+    def _ivf_search_inner(self, ivf, queries_j, uids, dids, k):
         from ..ops.topk import merge_topk
 
-        scores, idx = ivf_search_pred(ivf, queries_j, uids, dids, k, self.ivf_nprobe)
+        scores, idx = self._ivf_probe_any(ivf, queries_j, uids, dids, k)
         built = ivf.built_rows
         appended = self._size - built
         if appended > 0:
@@ -1362,12 +1531,18 @@ class VectorIndex:
                 scores, idx = self._dense_single(queries, uid, did, k)
             elif self._sharding is not None:
                 q = queries.shape[0]
-                scores, idx = self._dispatch_sharded(
-                    jnp.asarray(queries.astype(np.float32)),
-                    jnp.full((q,), uid, jnp.int32),
-                    jnp.full((q,), did, jnp.int32),
-                    min(k, self._capacity),
-                )
+                qj = jnp.asarray(queries.astype(np.float32))
+                uid_v = jnp.full((q,), uid, jnp.int32)
+                did_v = jnp.full((q,), did, jnp.int32)
+                kk = min(k, self._capacity)
+                if ivf is not None:  # per-shard bucket layouts (sharded_ivf)
+                    scores, idx = self._ivf_search(
+                        ivf, qj, uid_v, did_v, kk,
+                        fallback=lambda: self._dispatch_sharded(
+                            qj, uid_v, did_v, kk),
+                    )
+                else:
+                    scores, idx = self._dispatch_sharded(qj, uid_v, did_v, kk)
             elif ivf is not None:  # ivf layout serves bf16/f32 AND int8 slabs
                 q = queries.shape[0]
                 scores, idx = self._ivf_search(
@@ -1468,11 +1643,18 @@ class VectorIndex:
                 )
                 scores = idx = None
             elif self._sharding is not None:
-                scores, idx = self._dispatch_sharded(
-                    jnp.asarray(queries.astype(np.float32)),
-                    jnp.asarray(uids), jnp.asarray(dids),
-                    min(k, self._capacity),
-                )
+                qj = jnp.asarray(queries.astype(np.float32))
+                uids_j = jnp.asarray(uids)
+                dids_j = jnp.asarray(dids)
+                kk = min(k, self._capacity)
+                if ivf is not None:  # per-shard bucket layouts (sharded_ivf)
+                    scores, idx = self._ivf_search(
+                        ivf, qj, uids_j, dids_j, kk,
+                        fallback=lambda: self._dispatch_sharded(
+                            qj, uids_j, dids_j, kk),
+                    )
+                else:
+                    scores, idx = self._dispatch_sharded(qj, uids_j, dids_j, kk)
             elif ivf is not None:  # ivf layout serves bf16/f32 AND int8 slabs
                 scores, idx = self._ivf_search(
                     ivf, jnp.asarray(queries.astype(np.float32)),

@@ -35,6 +35,22 @@ def _rows(rng, n, dim=64, user="u1", doc="d1", start=0):
     ]
 
 
+def _clustered_rows(rng, n, dim=64, user="u1", doc="d1", start=0, centers=8):
+    """Embedding-like geometry: passes the ivf structure gate."""
+
+    cents = rng.standard_normal((centers, dim)).astype(np.float32)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    which = rng.integers(0, centers, n)
+    mat = cents[which] + 0.2 * rng.standard_normal((n, dim)).astype(np.float32)
+    return [
+        VectorRow(
+            chunk_id=f"{doc}-c{start + i}", user_id=user, document_id=doc,
+            modality="text", embedding=mat[i],
+        )
+        for i in range(n)
+    ]
+
+
 @pytest.fixture()
 def mesh():
     return build_mesh(model_parallel=1)
@@ -108,18 +124,119 @@ class TestShardedVectorIndex:
         hits = loaded.search_batch(q.astype(np.float32), "u1", k=1)
         assert hits[0][0][0] == "d3-c7"
 
-    def test_ivf_request_degrades_to_dense(self, rng, mesh):
-        # backend=ivf + mesh: the bucketed layout doesn't compose with row
-        # sharding; searches must still answer exactly (dense sharded scan)
-        idx = VectorIndex(dim=64, dtype="float32", backend="ivf", mesh=mesh)
-        idx.ivf_min_rows = 10
-        rows = _rows(rng, 200)
+    def test_ivf_composes_with_mesh(self, rng, mesh):
+        """VERDICT r2 item 2: backend=ivf + mesh builds per-shard bucket
+        layouts (parallel/sharded_ivf.py) instead of silently downgrading
+        to the dense scan — and at nprobe >= C (every cluster probed, spill
+        exact) the candidate set covers every row, so results bit-match the
+        dense sharded scan."""
+
+        from mmrag_tpu.parallel.sharded_ivf import ShardedIVFData
+
+        rows = _clustered_rows(rng, 2000)
+        idx = VectorIndex(dim=64, dtype="float32", backend="ivf", mesh=mesh,
+                          ivf_min_rows=10, ivf_nprobe=10_000)
+        idx.ivf_build_async = False
         idx.upsert(rows)
-        idx.build_ivf()  # warns + no-op
-        assert idx._ivf is None
-        q = rows[3].embedding[None, :] / np.linalg.norm(rows[3].embedding)
+        dense = VectorIndex(dim=64, dtype="float32", mesh=mesh)
+        dense.upsert(rows)
+        q = rng.standard_normal((4, 64)).astype(np.float32)
+        a = idx.search_batch(q, "u1", k=10)
+        assert isinstance(idx._ivf, ShardedIVFData)
+        assert idx._ivf.n_shards == mesh.shape[DATA_AXIS]
+        b = dense.search_batch(q, "u1", k=10)
+        for ha, hb in zip(a, b):
+            assert [c for c, _ in ha] == [c for c, _ in hb]
+            np.testing.assert_allclose(
+                [s for _, s in ha], [s for _, s in hb], rtol=1e-5
+            )
+
+    def test_ivf_int8_composes_with_mesh(self, rng, mesh):
+        from mmrag_tpu.parallel.sharded_ivf import ShardedIVFData
+
+        rows = _clustered_rows(rng, 1500)
+        idx = VectorIndex(dim=64, dtype="int8", backend="ivf", mesh=mesh,
+                          ivf_min_rows=10, ivf_nprobe=10_000)
+        idx.ivf_build_async = False
+        idx.upsert(rows)
+        dense = VectorIndex(dim=64, dtype="int8", mesh=mesh)
+        dense.upsert(rows)
+        q = rng.standard_normal((4, 64)).astype(np.float32)
+        a = idx.search_batch(q, "u1", k=10)
+        assert isinstance(idx._ivf, ShardedIVFData)
+        assert idx._ivf.scales_b is not None
+        b = dense.search_batch(q, "u1", k=10)
+        for ha, hb in zip(a, b):
+            assert [c for c, _ in ha] == [c for c, _ in hb]
+            np.testing.assert_allclose(
+                [s for _, s in ha], [s for _, s in hb], rtol=1e-4
+            )
+
+    def test_ivf_pq_composes_with_mesh(self, rng, mesh):
+        """The partitioned-and-coded layout (residual ivf_pq) in its
+        multi-chip form: probed ADC per shard + exact host refine."""
+
+        from mmrag_tpu.parallel.sharded_ivf import ShardedIVFData
+
+        rows = _clustered_rows(rng, 3000)
+        mat = np.stack([r.embedding for r in rows])
+        idx = VectorIndex(dim=64, dtype="pq", backend="ivf", mesh=mesh,
+                          ivf_min_rows=10)
+        idx.ivf_build_async = False
+        idx.upsert(rows)
+        exact = VectorIndex(dim=64, dtype="float32", mesh=mesh)
+        exact.upsert(rows)
+        q = (mat[:5] + 0.05 * rng.standard_normal((5, 64))).astype(np.float32)
+        a = idx.search_batch(q, "u1", k=8)
+        assert isinstance(idx._ivf, ShardedIVFData)
+        assert idx._ivf.is_pq and idx._ivf.pq_residual
+        b = exact.search_batch(q, "u1", k=8)
+        overlap = np.mean([
+            len({c for c, _ in ha} & {c for c, _ in hb}) / 8.0
+            for ha, hb in zip(a, b)
+        ])
+        assert overlap >= 0.8, overlap
+
+    def test_sharded_ivf_tail_and_tombstones(self, rng, mesh):
+        """Rows appended after the build are exactly scored (tail scan) and
+        tombstones propagate into the per-shard liveness planes."""
+
+        rows = _clustered_rows(rng, 2000)
+        idx = VectorIndex(dim=64, dtype="float32", backend="ivf", mesh=mesh,
+                          ivf_min_rows=10, ivf_nprobe=10_000)
+        idx.ivf_build_async = False
+        idx.upsert(rows)
+        idx.search_batch(rng.standard_normal((1, 64)).astype(np.float32),
+                         "u1", k=1)  # trigger the build
+        built = idx._ivf
+        assert built is not None
+        late = _rows(rng, 50, doc="d9", start=50_000)
+        idx.upsert(late)
+        assert idx._ivf is built  # small tail: no rebuild
+        q = late[7].embedding[None, :] / np.linalg.norm(late[7].embedding)
         hits = idx.search_batch(q.astype(np.float32), "u1", k=1)
-        assert hits[0][0][0] == "d1-c3"
+        assert hits[0][0][0] == "d9-c50007"
+        idx.delete_document("d9")
+        hits = idx.search_batch(q.astype(np.float32), "u1", k=3,
+                                document_id="d9")
+        assert hits[0] == []
+        # clustered rows still served from the layout
+        q0 = rows[3].embedding[None, :] / np.linalg.norm(rows[3].embedding)
+        assert idx.search_batch(q0.astype(np.float32), "u1", k=1)[0][0][0] \
+            == "d1-c3"
+
+    def test_sharded_ivf_structure_gate(self, rng, mesh):
+        """Structureless data discards the sharded layout exactly like the
+        single-chip gate; the dense sharded scan serves instead."""
+
+        idx = VectorIndex(dim=64, dtype="float32", backend="ivf", mesh=mesh,
+                          ivf_min_rows=10)
+        idx.ivf_build_async = False
+        idx.upsert(_rows(rng, 500))  # uniform rows: no cluster structure
+        q = rng.standard_normal((2, 64)).astype(np.float32)
+        hits = idx.search_batch(q, "u1", k=5)
+        assert idx._ivf is None and idx._ivf_poor_at > 0
+        assert all(len(h) == 5 for h in hits)
 
 
 class TestEngineMultichip:
