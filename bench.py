@@ -1527,6 +1527,10 @@ def bench_serving_load(quick: bool):
         "rps": round(len(latencies) / wall, 1),
         "coalesce_mean": round(coalesce_mean, 2),
         "coalesce_hist": {str(k): v for k, v in sorted(hist.items())},
+        # queue-wait vs work-time split (VERDICT r2 item 4): time a request
+        # spent waiting for a runner vs its batch's actual run time
+        "queue_wait": stages.get("queue_wait.retrieval"),
+        "batch_run": stages.get("batch_run.retrieval"),
         "stages": stages,
     }
 
