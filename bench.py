@@ -1477,6 +1477,31 @@ def bench_serving_load(quick: bool):
 
     errors = []
 
+    # tail discriminator (VERDICT r2 item 4): a probe thread times a tiny
+    # device readback every 50 ms during the load. The device work is ~0 and
+    # a probe can wait at most one in-flight batch's device step (~ms), so
+    # multi-second probe stalls == relay/runtime-level stalls hitting every
+    # in-flight batch at once — queueing/coalescing tails would leave the
+    # probe flat.
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    probe_lat: list = []
+    probe_stop = threading.Event()
+
+    def probe():
+        x = _jnp.ones((8, 8), _jnp.float32)
+        f = _jax.jit(lambda a: a + 1.0)
+        _ = np.asarray(f(x))  # compile outside the record
+        while not probe_stop.is_set():
+            t0 = time.perf_counter()
+            _ = np.asarray(f(x))
+            probe_lat.append(time.perf_counter() - t0)
+            probe_stop.wait(0.05)
+
+    probe_thread = threading.Thread(target=probe, daemon=True)
+    probe_thread.start()
+
     def client(tid: int):
         key = list(keys)[tid % n_tenants]
         barrier.wait()
@@ -1497,6 +1522,9 @@ def bench_serving_load(quick: bool):
     for th in threads:
         th.join()
     wall = time.perf_counter() - t0
+    probe_stop.set()
+    probe_thread.join(timeout=10)
+    probe_sorted = sorted(probe_lat) or [0.0]
 
     batcher = engine._retrieval_batcher
     hist = dict(batcher._batcher.batch_sizes) if hasattr(batcher, "_batcher") else (
@@ -1531,6 +1559,14 @@ def bench_serving_load(quick: bool):
         # spent waiting for a runner vs its batch's actual run time
         "queue_wait": stages.get("queue_wait.retrieval"),
         "batch_run": stages.get("batch_run.retrieval"),
+        # tiny-readback probe under load: p95/max >> p50 here means the
+        # relay itself stalls (tail is transport, not scheduling)
+        "tunnel_probe_ms": {
+            "p50": round(probe_sorted[len(probe_sorted) // 2] * 1e3, 2),
+            "p95": round(
+                probe_sorted[int(len(probe_sorted) * 0.95)] * 1e3, 2),
+            "max": round(probe_sorted[-1] * 1e3, 2),
+        },
         "stages": stages,
     }
 

@@ -219,8 +219,13 @@ class TpuDefaults:
     microbatch_window_ms: float = 4.0  # cross-request query coalescing (0 = off)
     microbatch_max: int = 16  # max queries per coalesced device step
     # pipelined batch runners: while one coalesced batch blocks on device
-    # readback, the next tokenizes + dispatches (1 = strictly serial batches)
-    microbatch_workers: int = 2
+    # readback, the next tokenizes + dispatches (1 = strictly serial batches).
+    # 3 measured best on the 16x16 concurrent-load bench (r3 sweep over
+    # window x workers with the queue-wait/batch-run split): p95 ~500 ms =
+    # 1.5-1.8x p50 in both repeats where 1-2 workers showed 2.3-12 s p95
+    # convoys — the third in-flight batch hides the relay round-trip a
+    # two-deep pipeline still exposes.
+    microbatch_workers: int = 3
     # cross-process index replication (api/worker split): mutations flow
     # through a shared SQLite journal so separate processes converge on one
     # row state — the reference's shared on-disk LanceDB semantics
