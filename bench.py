@@ -89,7 +89,13 @@ def _per_iter_seconds(make_step, k1: int, k2: int, *data, repeats: int = 3) -> f
 
     Large arrays (params, corpora) MUST ride in ``*data`` — closure-captured
     device arrays get embedded as constants in the remote-compile request,
-    and the axon tunnel 413s payloads past ~100 MB."""
+    and the axon tunnel 413s payloads past ~100 MB.
+
+    K sizing (r3): the differenced signal ``(k1-k2) * per_iter`` must
+    dominate the relay's readback jitter (~±15 ms observed) — sub-ms steps
+    at a 24-iteration spread produced up to 3x error in either direction
+    (r3 dress rehearsal measured the exact 1M scan at an HBM-impossible
+    0.31 ms). Every step's K pair now targets >= ~150 ms of signal."""
 
     global _DEGRADED
     import jax
@@ -138,7 +144,7 @@ def _bench_minilm_shape(batch: int, seq: int, k1: int, k2: int,
 
 def bench_minilm(quick: bool) -> float:
     batch = 128 if quick else 512
-    k1, k2 = (8, 2) if quick else (16, 4)
+    k1, k2 = (8, 2) if quick else (32, 4)
     return _bench_minilm_shape(batch, 64, k1, k2)
 
 
@@ -147,7 +153,7 @@ def bench_minilm_seq256(quick: bool) -> float:
     chunks (app/ml/index_build.py:14); typical PDF chunks land around 256."""
 
     batch = 64 if quick else 128
-    k1, k2 = (6, 2) if quick else (12, 4)
+    k1, k2 = (6, 2) if quick else (32, 4)
     return _bench_minilm_shape(batch, 256, k1, k2)
 
 
@@ -157,7 +163,7 @@ def bench_minilm_seq512(quick: bool) -> float:
     weak #1)."""
 
     batch = 32 if quick else 64
-    k1, k2 = (6, 2) if quick else (12, 4)
+    k1, k2 = (6, 2) if quick else (28, 4)
     return _bench_minilm_shape(batch, 512, k1, k2)
 
 
@@ -219,7 +225,7 @@ def bench_minilm_int8(quick: bool):
     from mmrag_tpu.models import bert
 
     batch, seq = (32, 512) if quick else (64, 512)
-    k1, k2 = (6, 2) if quick else (12, 4)
+    k1, k2 = (6, 2) if quick else (28, 4)
     eps = _bench_minilm_shape(batch, seq, k1, k2, quant=True)
 
     params = bert.init_bert_params(jax.random.PRNGKey(0))
@@ -261,7 +267,7 @@ def bench_clip_images(quick: bool) -> float:
 
         return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
-    k1, k2 = (6, 2) if quick else (12, 4)
+    k1, k2 = (6, 2) if quick else (28, 4)
     sec = _per_iter_seconds(make_step, k1, k2, params, images)
     return batch / sec
 
@@ -304,7 +310,7 @@ def bench_clip_images_pipelined(quick: bool) -> float:
 
         return jax.jit(step)
 
-    k1, k2 = (6, 2) if quick else (12, 4)
+    k1, k2 = (6, 2) if quick else (28, 4)
     f1, f2 = make_step(k1), make_step(k2)
     best = 0.0
     _ = np.asarray(f1(params, images)), np.asarray(f2(params, images))  # compile
@@ -350,7 +356,7 @@ def bench_clip_images_int8(quick: bool):
 
         return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
-    k1, k2 = (6, 2) if quick else (12, 4)
+    k1, k2 = (6, 2) if quick else (28, 4)
     sec = _per_iter_seconds(make_step, k1, k2, params, q8, images)
 
     probe = images[:8]
@@ -390,7 +396,7 @@ def bench_topk(quick: bool) -> float:
 
         return jax.lax.fori_loop(0, kk, body, jnp.float32(0.0))
 
-    k1, k2 = (16, 4) if quick else (32, 8)
+    k1, k2 = (16, 4) if quick else (128, 8)
     sec = _per_iter_seconds(make_step, k1, k2, queries, corpus, mask)
     return sec * 1e3  # ms per query
 
@@ -418,7 +424,7 @@ def bench_topk_int8(quick: bool) -> float:
 
         return jax.lax.fori_loop(0, kk, body, jnp.float32(0.0))
 
-    k1, k2 = (16, 4) if quick else (32, 8)
+    k1, k2 = (16, 4) if quick else (256, 16)
     sec = _per_iter_seconds(make_step, k1, k2, queries, corpus_q, corpus_s, mask)
     return sec * 1e3
 
@@ -451,7 +457,7 @@ def bench_topk_10m(quick: bool) -> float:
 
         return jax.lax.fori_loop(0, kk, body, jnp.float32(0.0))
 
-    k1, k2 = (4, 1) if quick else (8, 2)
+    k1, k2 = (4, 1) if quick else (20, 2)
     sec = _per_iter_seconds(make_step, k1, k2, queries, corpus, mask)
     return sec * 1e3  # locals (7.7 GB corpus) free on return
 
@@ -512,7 +518,7 @@ def bench_ivf(quick: bool):
 
         return jax.lax.fori_loop(0, kk, body, jnp.float32(0.0))
 
-    k1, k2 = (16, 4) if quick else (32, 8)
+    k1, k2 = (16, 4) if quick else (512, 32)
     sec = _per_iter_seconds(
         make_step, k1, k2, queries, ivf.centroids, ivf.buckets, ivf.bucket_ids,
         ivf.users_b, ivf.docs_b, ivf.live_b,
@@ -628,7 +634,7 @@ def _ivf_int8_bench(n: int, centers: int, quick: bool):
 
         return jax.lax.fori_loop(0, kk, body, jnp.float32(0.0))
 
-    k1, k2 = (16, 4) if quick else (32, 8)
+    k1, k2 = (16, 4) if quick else (768, 32)
     sec = _per_iter_seconds(
         make_step, k1, k2, queries, ivf.centroids, ivf.buckets, ivf.scales_b,
         ivf.bucket_ids, ivf.users_b, ivf.docs_b, ivf.live_b,
@@ -722,7 +728,7 @@ def bench_pq(quick: bool):
 
         return jax.lax.fori_loop(0, kk, body, jnp.float32(0.0))
 
-    k1, k2 = (8, 2) if quick else (16, 4)
+    k1, k2 = (8, 2) if quick else (64, 8)
     _plog(f"pq: timing fused ADC @{n}")
     adc_sec = _per_iter_seconds(make_step, k1, k2, queries, books, codes, mask)
     _plog(f"pq: adc {adc_sec * 1e3:.3f} ms; building ivf_pq layout")
@@ -1055,7 +1061,7 @@ def bench_pq_10m(quick: bool):
 
         return jax.lax.fori_loop(0, kk, body, jnp.float32(0.0))
 
-    k1, k2 = (8, 2) if quick else (16, 4)
+    k1, k2 = (8, 2) if quick else (64, 8)
     _plog("pq_10m: timing probed ADC (16-query batch)")
     sec = _per_iter_seconds(
         make_probe_step, k1, k2, queries, rbooks, kc, layout.buckets,
@@ -1262,7 +1268,7 @@ def bench_multitenant(quick: bool) -> float:
 
         return jax.lax.fori_loop(0, kk, body, jnp.float32(0.0))
 
-    k1, k2 = (16, 4) if quick else (32, 8)
+    k1, k2 = (16, 4) if quick else (64, 8)
     sec = _per_iter_seconds(make_step, k1, k2, queries, corpus, mask2d)
     return sec * 1e3  # ms per 16-query cross-tenant batch
 
@@ -1291,7 +1297,7 @@ def bench_rerank(quick: bool) -> float:
 
         return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
-    k1, k2 = (16, 4) if quick else (32, 8)
+    k1, k2 = (16, 4) if quick else (256, 16)
     sec = _per_iter_seconds(make_step, k1, k2, params, ids, mask, tt)
     return batch / sec
 
@@ -1321,7 +1327,7 @@ def bench_rerank64(quick: bool) -> float:
 
         return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
-    k1, k2 = (8, 2) if quick else (16, 4)
+    k1, k2 = (8, 2) if quick else (64, 8)
     sec = _per_iter_seconds(make_step, k1, k2, params, ids, mask, tt)
     return batch / sec
 
@@ -1378,7 +1384,7 @@ def bench_chat_path(quick: bool) -> float:
 
         return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
-    k1, k2 = (8, 2) if quick else (16, 4)
+    k1, k2 = (8, 2) if quick else (96, 8)
     sec = _per_iter_seconds(make_step, k1, k2, bparams, cparams, xparams,
                             text_corpus, img_corpus, q_ids, ct_ids, rr_ids)
     return sec * 1e3  # ms per chat query

@@ -225,6 +225,36 @@ class TestShardedVectorIndex:
         assert idx.search_batch(q0.astype(np.float32), "u1", k=1)[0][0][0] \
             == "d1-c3"
 
+    def test_sharded_ivf_snapshot_warm_rebuild(self, rng, mesh, tmp_path):
+        """A sharded index snapshot persists its global centroids; the
+        restored index warm-rebuilds per-shard layouts with one assignment
+        matmul (no Lloyd) and serves the same results."""
+
+        from mmrag_tpu.parallel.sharded_ivf import ShardedIVFData
+
+        rows = _clustered_rows(rng, 1200)
+        idx = VectorIndex(dim=64, dtype="float32", backend="ivf", mesh=mesh,
+                          ivf_min_rows=10, ivf_nprobe=10_000)
+        idx.ivf_build_async = False
+        idx.upsert(rows)
+        q = rng.standard_normal((3, 64)).astype(np.float32)
+        want = idx.search_batch(q, "u1", k=6)
+        assert isinstance(idx._ivf, ShardedIVFData)
+        idx.save(str(tmp_path), "t")
+        back = VectorIndex.load(str(tmp_path), "t", dtype="float32",
+                                backend="ivf", mesh=mesh, ivf_min_rows=10,
+                                ivf_nprobe=10_000)
+        back.ivf_build_async = False
+        assert back._ivf_warm_centroids is not None
+        got = back.search_batch(q, "u1", k=6)
+        assert isinstance(back._ivf, ShardedIVFData)
+        np.testing.assert_allclose(
+            np.asarray(back._ivf.centroids), np.asarray(idx._ivf.centroids),
+            atol=1e-6,
+        )  # warm path: persisted centroids reused, not retrained
+        for ha, hb in zip(want, got):
+            assert [c for c, _ in ha] == [c for c, _ in hb]
+
     def test_sharded_ivf_structure_gate(self, rng, mesh):
         """Structureless data discards the sharded layout exactly like the
         single-chip gate; the dense sharded scan serves instead."""
