@@ -168,9 +168,13 @@ class MicroBatcher(Generic[T]):
             )
         try:
             results = self._fn([s.item for s in batch])
-            metrics.observe(
-                f"stage.batch_run.{self._name}", time.monotonic() - t_start
-            )
+            dt = time.monotonic() - t_start
+            metrics.observe(f"stage.batch_run.{self._name}", dt)
+            if logger.isEnabledFor(logging.DEBUG):
+                logger.debug(
+                    "batch name=%s size=%d t=%.3f run_ms=%.1f",
+                    self._name, len(batch), t_start, dt * 1e3,
+                )
             if len(results) != len(batch):
                 raise RuntimeError(
                     f"batch fn returned {len(results)} results for {len(batch)} items"

@@ -109,6 +109,10 @@ _STATUS_RE = re.compile(r"^/(?:yt_status|ingest/status)/([^/]+)/?$")
 
 class ApiHandler(BaseHTTPRequestHandler):
     server_version = "mmrag-tpu/0.1"
+    # HTTP/1.1 persistent connections (uvicorn parity): every response path
+    # is Content-Length-framed, so keep-alive is safe and saves a TCP
+    # handshake + handler-thread spawn per request for pooling clients
+    protocol_version = "HTTP/1.1"
     ctx: ApiContext  # injected by make_server
 
     # -- plumbing -----------------------------------------------------------
