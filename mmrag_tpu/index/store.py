@@ -455,7 +455,9 @@ class VectorIndex:
             )
             from ..utils.profiling import metrics
 
-            metrics.observe("index.pq.reconstruction_cosine", rc)
+            # gauge, not observe: the latency reservoir exports x1000 under
+            # a _latency_ms label — 0.83 cosine would read as "830 ms"
+            metrics.gauge("index.pq.reconstruction_cosine", rc)
             _logger.info(
                 "pq codebooks trained on %d rows (m=%d): reconstruction "
                 "cosine %.4f", total, self.pq_m, rc,
@@ -500,7 +502,23 @@ class VectorIndex:
             "exact int8 scan serves instead (override: TPU_PQ_MIN_QUALITY)",
             rc, self.pq_min_quality, total, self.pq_m,
         )
-        rows = self._host_slab[:total]
+        from ..ops import pq as pqops
+
+        # Build the replacement slab FIRST, in bounded chunks — pq mode
+        # exists because the f32 corpus does NOT fit in HBM, so a one-shot
+        # quantize of the whole host slab is exactly the large-transient
+        # failure mode tools/repro_invalid_argument.py documents. Mode
+        # attrs flip only after every chunk succeeded: a device error
+        # mid-demotion leaves the index serving its (refine-correct) pq
+        # form instead of a half-initialized int8 hybrid.
+        slab = self._place(jnp.zeros((self._capacity, self.dim), jnp.int8))
+        scales = self._place(jnp.ones((self._capacity,), jnp.float32))
+        for lo in range(0, total, pqops.ENCODE_CHUNK):
+            hi = min(lo + pqops.ENCODE_CHUNK, total)
+            q, s = quantize_rows_int8(jnp.asarray(self._host_slab[lo:hi]))
+            slab = _write_rows(slab, q, jnp.int32(lo))
+            scales = _write_ids(scales, s, jnp.int32(lo))
+        jax.block_until_ready(slab)
         self.is_pq = False
         self.dtype = jnp.int8
         self._dtype_str = "int8"
@@ -508,14 +526,8 @@ class VectorIndex:
         self._pq_trained_at = 0
         self._host_slab = None
         self._ivf = None  # any layout held pq codes; rebuilt lazily
-        slab = jnp.zeros((self._capacity, self.dim), jnp.int8)
-        scales = jnp.ones((self._capacity,), jnp.float32)
-        if total:
-            q, s = quantize_rows_int8(jnp.asarray(rows))
-            slab = slab.at[:total].set(q)
-            scales = scales.at[:total].set(s)
-        self._slab = self._place(slab)
-        self._scales = self._place(scales)
+        self._slab = slab
+        self._scales = scales
 
     def _pq_multi_async(self, queries, uids: np.ndarray, dids: np.ndarray,
                         k: int):
@@ -950,7 +962,6 @@ class VectorIndex:
         snapshot size are simply never referenced by the host slot
         bookkeeping, and the generation check aborts a mid-build compact."""
 
-        from ..ops import pq as pqops
         from ..parallel.sharded_ivf import build_sharded_ivf
 
         copy = jax.jit(lambda a: a + jnp.zeros((), a.dtype))
@@ -981,46 +992,13 @@ class VectorIndex:
         self._ivf_warm_centroids = None
         if self.is_pq:
             # cluster on the f32 host originals (codes carry no geometry),
-            # residual-encode per chunk — the _build_ivf_pq recipe — then
-            # shard the code slab for the per-shard layout gather
-            from ..ops import ivf as ivf_ops
-
-            if warm is not None:
-                centroids = jnp.asarray(warm, jnp.float32)
-            else:
-                if n_clusters is None:
-                    n_clusters = ivf_ops.default_n_clusters(snap_size)
-                sample = jnp.asarray(host_rows[
-                    ivf_ops._even_indices(snap_size, min(snap_size, 131072))
-                ])
-                centroids, _ = ivf_ops.kmeans(
-                    sample, n_clusters, iters, train_sample=0
-                )
-            rbooks = None
-            if self.pq_residual:
-                rsample = jnp.asarray(host_rows[
-                    ivf_ops._even_indices(
-                        snap_size, min(snap_size, self._PQ_TRAIN_SAMPLE)
-                    )
-                ])
-                a_s, _ = ivf_ops._assign_with_structure(rsample, centroids)
-                rbooks = pqops.train_pq(
-                    rsample - jnp.take(centroids, a_s, axis=0), m=self.pq_m
-                )
-            assigns, res_codes = [], []
-            weighted = 0.0
-            for lo in range(0, snap_size, pqops.ENCODE_CHUNK):
-                hi = min(lo + pqops.ENCODE_CHUNK, snap_size)
-                chunk = jnp.asarray(host_rows[lo:hi])
-                a, st = ivf_ops._assign_with_structure(chunk, centroids)
-                assigns.append(np.asarray(a))
-                weighted += float(st) * chunk.shape[0]
-                if rbooks is not None:
-                    res_codes.append(pqops.pq_encode(
-                        chunk - jnp.take(centroids, a, axis=0), rbooks
-                    ))
-            assign_h = np.concatenate(assigns)
-            structure = weighted / snap_size
+            # residual-encode per chunk — the SAME recipe as the single-chip
+            # build (_pq_cluster_encode, one definition) — then shard the
+            # code slab for the per-shard layout gather
+            centroids, rbooks, assign_h, res_codes, structure = (
+                self._pq_cluster_encode(host_rows, snap_size, warm,
+                                        n_clusters, iters)
+            )
             if rbooks is not None:
                 codes_h = np.concatenate(
                     [np.asarray(c) for c in res_codes]
@@ -1068,6 +1046,34 @@ class VectorIndex:
         The residual encode folds into the same chunked assignment pass
         (one extra matmul per chunk)."""
 
+        centroids, rbooks, assign_h, res_codes, structure = (
+            self._pq_cluster_encode(host_rows, snap_size, warm, n_clusters,
+                                    iters)
+        )
+        if rbooks is not None:
+            codes = (
+                res_codes[0] if len(res_codes) == 1
+                else jnp.concatenate(res_codes, axis=0)
+            )
+            books = rbooks
+        return ivf_ops.build_ivf(
+            codes, bucket_factor=bucket_factor, users=users, docs=docs,
+            live=live, centroids=centroids, assign=assign_h,
+            structure_override=structure, pq_codebooks=books,
+            pq_residual=rbooks is not None,
+        )
+
+    def _pq_cluster_encode(self, host_rows, snap_size: int, warm,
+                           n_clusters, iters: int):
+        """Shared ivf_pq layout prep for the single-chip AND sharded builds
+        (one definition so sampling/chunking fixes cannot diverge — review
+        finding): global centroids (warm snapshot or sampled kmeans),
+        residual codebooks when enabled, and the chunked
+        assignment(+residual-encode) pass over the host originals. Returns
+        ``(centroids, rbooks_or_None, assign_h, res_codes_or_None,
+        structure)``."""
+
+        from ..ops import ivf as ivf_ops
         from ..ops import pq as pqops
 
         sample = None
@@ -1090,16 +1096,15 @@ class VectorIndex:
             # (sample assignment is one matmul; full-corpus assignments
             # stream in the chunk loop below). Reuse the kmeans sample when
             # the cold-start path above already pushed one — re-strided, not
-            # prefix-sliced, so coverage stays even across the corpus.
+            # prefix-sliced, so coverage stays even across the corpus; a
+            # sample already at/below the cap skips the identity gather
+            # (ADVICE r2).
             if sample is None:
                 sample = jnp.asarray(host_rows[
                     ivf_ops._even_indices(
                         snap_size, min(snap_size, self._PQ_TRAIN_SAMPLE)
                     )
                 ])
-            # only the (larger) kmeans sample needs re-striding; a sample
-            # already at/below the cap would make this an identity gather
-            # copying 65k x d floats for nothing (ADVICE r2)
             rsample = (
                 sample
                 if int(sample.shape[0]) <= self._PQ_TRAIN_SAMPLE
@@ -1124,19 +1129,10 @@ class VectorIndex:
             if rbooks is not None:
                 res = chunk - jnp.take(centroids, a, axis=0)
                 res_codes.append(pqops.pq_encode(res, rbooks))
-        assign_h = np.concatenate(assigns)
-        structure = weighted / snap_size
-        if rbooks is not None:
-            codes = (
-                res_codes[0] if len(res_codes) == 1
-                else jnp.concatenate(res_codes, axis=0)
-            )
-            books = rbooks
-        return ivf_ops.build_ivf(
-            codes, bucket_factor=bucket_factor, users=users, docs=docs,
-            live=live, centroids=centroids, assign=assign_h,
-            structure_override=structure, pq_codebooks=books,
-            pq_residual=rbooks is not None,
+        return (
+            centroids, rbooks, np.concatenate(assigns),
+            res_codes if rbooks is not None else None,
+            weighted / snap_size,
         )
 
     def drop_ivf(self) -> None:

@@ -162,6 +162,13 @@ def validate_checkpoints(args) -> None:
         print("nothing to validate: pass --minilm/--clip/--reranker/"
               "--whisper <checkpoint_dir>", file=sys.stderr)
         raise SystemExit(2)
+    if args.model_id and len(sources) > 1:
+        # one target dir + several families would have each family's
+        # model.npz overwrite the previous one
+        print("--model-id applies to a single family; validating "
+              f"{sorted(sources)} into one dir would overwrite weights",
+              file=sys.stderr)
+        raise SystemExit(2)
     reports = []
     all_ok = True
     for fam, src in sources.items():

@@ -165,10 +165,13 @@ def validate_minilm(source: str, pq_corpus: int = 4096) -> Dict:
     texts = _probe_texts(pq_corpus)
 
     def embed_many(texts_batch):
+        import zlib
+
         toks = [t.split() for t in texts_batch]
-        # deterministic hash-tokenization keeps this self-contained for
-        # checkpoints without tokenizer files; real runs have vocab.txt and
-        # could use the full runtime, but PQ recall only needs the
+        # deterministic hash-tokenization (crc32 — Python's hash() is
+        # randomized per process, which would make the gate verdict flip
+        # between runs of the same checkpoint) keeps this self-contained
+        # for checkpoints without tokenizer files; PQ recall only needs the
         # checkpoint's embedding GEOMETRY, which the encoder defines
         s = max(len(t) for t in toks) + 2
         ids = np.zeros((len(toks), s), np.int32)
@@ -176,7 +179,9 @@ def validate_minilm(source: str, pq_corpus: int = 4096) -> Dict:
         for i, t in enumerate(toks):
             ids[i, 0] = 101 % cfg.vocab_size
             for j, w in enumerate(t):
-                ids[i, j + 1] = (hash(w) % (cfg.vocab_size - 10)) + 5
+                ids[i, j + 1] = (
+                    zlib.crc32(w.encode()) % (cfg.vocab_size - 10)
+                ) + 5
             ids[i, len(t) + 1] = 102 % cfg.vocab_size
             mask[i, : len(t) + 2] = 1
         return np.asarray(jbert.minilm_embed(

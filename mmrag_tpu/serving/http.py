@@ -136,7 +136,35 @@ class ApiHandler(BaseHTTPRequestHandler):
         length = int(self.headers.get("Content-Length") or 0)
         if length > self._MAX_BODY_BYTES:
             raise _BodyTooLarge(length)
+        self._body_consumed = True
         return self.rfile.read(length) if length else b""
+
+    def _drain_body(self) -> None:
+        """Keep-alive hygiene: a handler that responded BEFORE consuming the
+        request body (401 auth, 413 too-large, 404 route) leaves the body
+        bytes in ``rfile``, where HTTP/1.1 framing would parse them as the
+        next request line on the persistent connection. Discard a bounded
+        body; anything unbounded (too large, or chunked encoding we don't
+        parse) closes the connection instead — correctness over reuse."""
+
+        if self.headers.get("Transfer-Encoding"):
+            self.close_connection = True
+            return
+        if getattr(self, "_body_consumed", False):
+            return
+        length = int(self.headers.get("Content-Length") or 0)
+        if length <= 0:
+            return
+        if length > self._MAX_BODY_BYTES:
+            self.close_connection = True
+            return
+        remaining = length
+        while remaining > 0:
+            chunk = self.rfile.read(min(remaining, 1 << 20))
+            if not chunk:
+                self.close_connection = True
+                return
+            remaining -= len(chunk)
 
     def _auth(self) -> Optional[str]:
         user = self.ctx.user_for_key(self.headers.get("X-API-Key"))
@@ -269,9 +297,17 @@ class ApiHandler(BaseHTTPRequestHandler):
 
     def do_POST(self):  # noqa: N802
         self._request_id = uuid.uuid4().hex[:8]
+        self._body_consumed = False
         path = self.path.split("?")[0]
         started = time.monotonic()
         try:
+            if self.headers.get("Transfer-Encoding"):
+                # we frame strictly by Content-Length; a chunked body would
+                # desync the persistent connection if silently ignored
+                self.close_connection = True
+                return self._json(
+                    411, {"detail": "chunked bodies unsupported; send "
+                                    "Content-Length"})
             user = self._auth()
             if user is None:
                 return
@@ -289,6 +325,10 @@ class ApiHandler(BaseHTTPRequestHandler):
             logger.exception("POST %s failed", path)
             return self._json(500, {"detail": str(exc)})
         finally:
+            try:
+                self._drain_body()
+            except Exception:
+                self.close_connection = True
             logger.info(
                 "rid=%s POST %s %.0fms", self._request_id, path,
                 (time.monotonic() - started) * 1e3,

@@ -30,6 +30,7 @@ class Metrics:
     def __init__(self, reservoir: int = 512) -> None:
         self._lock = threading.Lock()
         self._counters: Dict[str, int] = defaultdict(int)
+        self._gauges: Dict[str, float] = {}
         self._latencies: Dict[str, deque] = defaultdict(
             lambda: deque(maxlen=reservoir)
         )
@@ -42,9 +43,22 @@ class Metrics:
         with self._lock:
             self._latencies[name].append(seconds)
 
+    def gauge(self, name: str, value: float) -> None:
+        """Last-value-wins statistic in its OWN unit (quality scores,
+        sizes) — ``observe`` is for durations only: its reservoir exports
+        as a ``*_latency_ms`` summary multiplied by 1e3, which renders a
+        0.83 reconstruction cosine as "830 ms" (review finding)."""
+
+        with self._lock:
+            self._gauges[name] = float(value)
+
     def summary(self) -> Dict:
         with self._lock:
-            out: Dict = {"counters": dict(self._counters), "latency_ms": {}}
+            out: Dict = {
+                "counters": dict(self._counters),
+                "gauges": dict(self._gauges),
+                "latency_ms": {},
+            }
             for name, values in self._latencies.items():
                 if not values:
                     continue
@@ -82,6 +96,10 @@ class Metrics:
             metric = f"mmrag_{_name(raw)}_total"
             lines.append(f"# TYPE {metric} counter")
             lines.append(f"{metric} {value}")
+        for raw, value in sorted(summary["gauges"].items()):
+            metric = f"mmrag_{_name(raw)}"
+            lines.append(f"# TYPE {metric} gauge")
+            lines.append(f"{metric} {value}")
         for raw, stats in sorted(summary["latency_ms"].items()):
             metric = f"mmrag_{_name(raw)}_latency_ms"
             lines.append(f"# TYPE {metric} summary")
@@ -95,6 +113,7 @@ class Metrics:
     def reset(self) -> None:
         with self._lock:
             self._counters.clear()
+            self._gauges.clear()
             self._latencies.clear()
 
 

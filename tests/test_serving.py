@@ -474,3 +474,31 @@ def test_worker_process_warm_shutdown(tmp_path):
         raise
     assert proc.returncode == 0, (proc.returncode, rest[-2000:])
     assert "worker shutdown complete" in rest
+
+
+def test_keepalive_after_early_response_drains_body(api):
+    """HTTP/1.1 keep-alive hygiene (review finding): a handler that responds
+    BEFORE consuming the request body (401 auth) must drain it, or the
+    leftover bytes desync the persistent connection and corrupt the next
+    request on it."""
+
+    client, _ = api
+    payload = json.dumps({"query": "x" * 5000})  # large unread body
+    r1 = client.post("/chat_pro", content=payload,
+                     headers={"X-API-Key": "wrong-key",
+                              "Content-Type": "application/json"})
+    assert r1.status_code == 401
+    # same pooled connection: would 400/garbage if the body leaked into the
+    # request stream
+    r2 = client.get("/videos/")
+    assert r2.status_code == 200
+
+    # chunked bodies are refused explicitly (411) instead of silently
+    # desyncing the framing, and the connection is not reused afterwards
+    def chunks():
+        yield b'{"query": "hi"}'
+
+    r3 = client.post("/chat_pro", content=chunks(),
+                     headers={"Content-Type": "application/json"})
+    assert r3.status_code == 411
+    assert client.get("/videos/").status_code == 200
