@@ -122,21 +122,24 @@ class LocalJobQueue:
         with self._lock:
             if self._closed:
                 # shutdown(wait=False) left this job running on purpose; its
-                # remaining state writes are droppable, not crashes
+                # remaining state writes are droppable, not crashes. Checked
+                # under the SAME lock acquisition as the write: a separate
+                # check-then-write pair let shutdown close the connection in
+                # between, turning the drop into a ProgrammingError.
                 logger.warning("job %s state %s dropped: queue closed", job_id, state)
                 return
-        with self._lock, self._conn:
-            self._conn.execute(
-                "UPDATE jobs SET state=?, meta=COALESCE(?, meta), "
-                "result=COALESCE(?, result), updated_at=? WHERE job_id=?",
-                (
-                    state,
-                    json.dumps(meta) if meta is not None else None,
-                    json.dumps(result) if result is not None else None,
-                    time.time(),
-                    job_id,
-                ),
-            )
+            with self._conn:
+                self._conn.execute(
+                    "UPDATE jobs SET state=?, meta=COALESCE(?, meta), "
+                    "result=COALESCE(?, result), updated_at=? WHERE job_id=?",
+                    (
+                        state,
+                        json.dumps(meta) if meta is not None else None,
+                        json.dumps(result) if result is not None else None,
+                        time.time(),
+                        job_id,
+                    ),
+                )
 
     def status(self, job_id: str) -> Dict:
         """Celery AsyncResult-shaped status (reference ``routes.py:214-228``)."""
