@@ -458,3 +458,83 @@ def test_non_power_of_two_mesh(rng):
     b = sharded.search_batch(queries, "u1", k=7)
     for ha, hb in zip(a, b):
         assert [c for c, _ in ha] == [c for c, _ in hb]
+
+
+def test_sharded_ivf_concurrent_mutation_stress(rng, tmp_path):
+    """Race-safety of the r3 composition: ASYNC background sharded-IVF
+    builds run while writers append, readers search, a deleter tombstones,
+    and a compactor rebuilds — tenant isolation and liveness must hold at
+    every observation, and the final state must reflect every write
+    (the sharded analogue of test_index_store's concurrency stress)."""
+
+    import threading
+
+    mesh = build_mesh(model_parallel=1)
+    index = VectorIndex(dim=64, dtype="float32", backend="ivf", mesh=mesh,
+                        ivf_min_rows=32, ivf_nprobe=10_000)
+    # async builds ON: the production mode — installs race real searches
+    assert index.ivf_build_async
+    cents = rng.standard_normal((8, 64)).astype(np.float32)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    def mk(tid, i):
+        noise = rng.standard_normal(64).astype(np.float32)
+        emb = cents[(tid + i) % 8] + 0.2 * noise / np.linalg.norm(noise)
+        return VectorRow(chunk_id=f"t{tid}-c{i}", user_id=f"u{tid}",
+                         document_id=f"d{tid}", modality="text",
+                         embedding=emb)
+
+    errors = []
+
+    def writer(tid):
+        try:
+            for i in range(40):
+                index.upsert([mk(tid, i)])
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    q = rng.standard_normal((2, 64)).astype(np.float32)
+
+    def reader(tid):
+        try:
+            for _ in range(12):
+                for hits in index.search_batch(q, f"u{tid % 3}", k=5):
+                    for cid, _ in hits:
+                        assert cid.startswith(f"t{tid % 3}-"), cid
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    def deleter():
+        try:
+            index.upsert([mk(3, i) for i in range(16)])
+            index.delete_document("d3")
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    def compactor():
+        try:
+            index.compact()
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    threads = (
+        [threading.Thread(target=writer, args=(t,)) for t in range(3)]
+        + [threading.Thread(target=reader, args=(t,)) for t in range(3)]
+        + [threading.Thread(target=deleter), threading.Thread(target=compactor)]
+    )
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert len(index) == 120  # 3 writers x 40; d3's 16 rows tombstoned
+    # quiesce: force a final build and verify isolation + correctness on it
+    index.ivf_build_async = False
+    index.build_ivf()
+    from mmrag_tpu.parallel.sharded_ivf import ShardedIVFData
+
+    assert isinstance(index._ivf, ShardedIVFData)
+    for tid in range(3):
+        hits = index.search_batch(q, f"u{tid}", k=8)[0]
+        assert hits and all(c.startswith(f"t{tid}-") for c, _ in hits)
+    assert index.search_batch(q, "u3", k=5)[0] == []  # deleted tenant
