@@ -181,7 +181,13 @@ class TpuDefaults:
     # (12.7k vs 8.4k emb/s measured b=64 v5e) — worth one extra warmup
     # compile per batch bucket
     text_seq_buckets: str = "64,128,256,384,512"
-    rerank_seq_len: int = 256  # cross-encoder pair length (fixed bucket)
+    # cross-encoder pair length (fixed bucket). 512 matches the reference's
+    # truncation: sentence-transformers CrossEncoder(max_length=None) uses
+    # the ms-marco tokenizer's model_max_length=512, and splitter chunks run
+    # up to 512 tokens — a 256 bucket scored long passages on half their
+    # text (r3 parity audit). Depth-8 rerank at 512 costs ~1 ms/request
+    # more; set TPU_RERANK_SEQ_LEN=256 to trade parity for that millisecond.
+    rerank_seq_len: int = 512
     topk_backend: str = "auto"  # auto|pallas|xla|approx|ivf
     ivf_nprobe: int = 64  # clusters probed per query (ivf backend)
     ivf_min_rows: int = 65536  # rows before the ivf layout is built lazily
