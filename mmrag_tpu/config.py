@@ -181,6 +181,15 @@ class TpuDefaults:
     # (12.7k vs 8.4k emb/s measured b=64 v5e) — worth one extra warmup
     # compile per batch bucket
     text_seq_buckets: str = "64,128,256,384,512"
+    # MiniLM text-EMBED truncation (tokens incl. [CLS]/[SEP]). 256 matches
+    # the reference exactly: SentenceTransformer("all-MiniLM-L6-v2") sets
+    # max_seq_length=256 in its sentence_bert_config.json, so the reference
+    # embeds every chunk/query on its first 256 tokens even though the
+    # splitter emits up to 512 (r3 parity audit — and long chunks embed
+    # ~2.4x faster through the 256 bucket). 0 = no cap (embed full length,
+    # diverging from the reference on >256-token chunks). The cross-encoder
+    # keeps its own 512 bucket (ms-marco truncates at 512).
+    text_embed_max_len: int = 256
     # cross-encoder pair length (fixed bucket). 512 matches the reference's
     # truncation: sentence-transformers CrossEncoder(max_length=None) uses
     # the ms-marco tokenizer's model_max_length=512, and splitter chunks run

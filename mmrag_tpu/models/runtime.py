@@ -386,6 +386,13 @@ class EncoderRuntime:
                 # batched matrix tokenization + numpy [CLS] body [SEP]
                 # assembly: no per-token Python lists on the ingest hot path
                 buf, lengths = btok.tokenize_matrix(chunk)
+                if tpu.text_embed_max_len:
+                    # reference parity: SentenceTransformer caps MiniLM
+                    # embeds at max_seq_length=256 — clamp BEFORE bucket
+                    # selection so long chunks also ride the cheaper bucket
+                    lengths = np.minimum(
+                        lengths, tpu.text_embed_max_len - 2
+                    )
                 seq_all = _bucket(int(lengths.max(initial=0)) + 2, tpu.text_seq_buckets)
                 # dispatch-size cap: big batches amortize the fixed dispatch
                 # cost (seq-64 ingest measured 2x going 512->2048 rows), but
@@ -402,6 +409,9 @@ class EncoderRuntime:
                     dispatch(ids, mask, len(glen))
             else:  # HashTokenizer fallback keeps the list path
                 tokenized = [btok.tokenize_ids(t) for t in chunk]
+                if tpu.text_embed_max_len:
+                    cap = tpu.text_embed_max_len - 2
+                    tokenized = [t[:cap] for t in tokenized]
                 longest = max((len(t) for t in tokenized), default=1) + 2
                 seq_all = _bucket(longest, tpu.text_seq_buckets)
                 rows = _capped_batch(buckets, seq_all)
@@ -513,6 +523,8 @@ class EncoderRuntime:
         bsz = self._round_batch(_bucket(n, tpu.text_batch_buckets))
         btok = self._bert_tok
         tokenized = [btok.tokenize_ids(t) for t in queries]
+        if tpu.text_embed_max_len:
+            tokenized = [t[: tpu.text_embed_max_len - 2] for t in tokenized]
         longest = max((len(t) for t in tokenized), default=1) + 2
         seq = _bucket(longest, tpu.text_seq_buckets)
         if bsz * seq > _DISPATCH_TOKEN_CAP:  # long queries at a wide bucket

@@ -220,6 +220,7 @@ class TpuSettings:
     image_batch_buckets: Tuple[int, ...]
     text_seq_buckets: Tuple[int, ...]
     rerank_seq_len: int
+    text_embed_max_len: int  # ST max_seq_length parity cap (0 = uncapped)
     topk_backend: str
     ivf_nprobe: int
     ivf_min_rows: int
@@ -370,6 +371,9 @@ def load_settings(env: Optional[Mapping[str, str]] = None) -> Settings:
             ),
             text_seq_buckets=_read_int_csv(env, "TPU_TEXT_SEQ_BUCKETS", d.tpu.text_seq_buckets),
             rerank_seq_len=_read_int(env, "TPU_RERANK_SEQ_LEN", d.tpu.rerank_seq_len),
+            text_embed_max_len=_read_int(
+                env, "TPU_TEXT_EMBED_MAX_LEN", d.tpu.text_embed_max_len
+            ),
             topk_backend=_read_env(env, "TPU_TOPK_BACKEND", d.tpu.topk_backend),
             ivf_nprobe=_read_int(env, "TPU_IVF_NPROBE", d.tpu.ivf_nprobe),
             ivf_min_rows=_read_int(env, "TPU_IVF_MIN_ROWS", d.tpu.ivf_min_rows),

@@ -83,3 +83,38 @@ def test_get_runtime_singleton():
     b = rt.get_runtime()
     assert a is b
     rt.reset_runtime()
+
+
+def test_text_embed_truncates_at_st_max_seq_length(tmp_path):
+    """Reference parity (r3 audit): SentenceTransformer("all-MiniLM-L6-v2")
+    sets max_seq_length=256, so the reference embeds every chunk on its
+    first 256 tokens even though the splitter emits up to 512. Our embed
+    path must do the same by default: a long text embeds identically to its
+    own 254-token prefix — and TPU_TEXT_EMBED_MAX_LEN=0 restores full-length
+    embedding (which then differs)."""
+
+    import numpy as np
+
+    from mmrag_tpu.models.runtime import EncoderRuntime
+    from mmrag_tpu.settings import load_settings
+
+    base = {"TPU_COMPUTE_DTYPE": "float32", "WEIGHTS_DIR": str(tmp_path)}
+    rt = EncoderRuntime(load_settings(base))
+    rt.embed_text_batch(["warm"])  # lazily initializes the tokenizer
+    words = [f"tok{i}" for i in range(600)]
+    long_text = " ".join(words)
+    toks = rt._bert_tok.tokenize_ids(long_text)
+    assert len(toks) > 300, "fixture must exceed the 256-token cap"
+    # byte-reconstruct the 254-token prefix as text via the same tokenizer:
+    # hash-tokenizer maps one word -> one token, so the prefix is words[:254]
+    prefix_text = " ".join(words[:254])
+
+    full = rt.embed_text_batch([long_text])
+    prefix = rt.embed_text_batch([prefix_text])
+    np.testing.assert_allclose(full, prefix, atol=1e-6)
+
+    uncapped = EncoderRuntime(
+        load_settings({**base, "TPU_TEXT_EMBED_MAX_LEN": "0"})
+    )
+    full_u = uncapped.embed_text_batch([long_text])
+    assert np.abs(full_u - full).max() > 1e-3  # genuinely longer input
