@@ -170,11 +170,14 @@ def bench_minilm_seq512(quick: bool) -> float:
 def bench_ingest_embed(quick: bool) -> float:
     """Real end-to-end document-ingest embedding: raw text in, normalized
     vectors out — host WordPiece (native C++ matrix path), [CLS]/[SEP]
-    assembly, H2D, the seq-512 forward, with readbacks deferred so tokenize
+    assembly, H2D, the bucketed forward, with readbacks deferred so tokenize
     and compute overlap. Unlike the fori_loop benches this is wall-clock of
     the actual `embed_text_batch` API, host costs included (reference
     analogue: sentence-transformers ``encode`` inside
-    ``app/ml/index_build.py``)."""
+    ``app/ml/index_build.py``). Since r3 the production default truncates
+    text embeds at the SentenceTransformer max_seq_length (256 — parity
+    with the reference's ST encode), so ~400-word chunks ride the seq-256
+    bucket here exactly as they do in production ingest."""
 
     import random as _random
     import string as _string
