@@ -4,7 +4,8 @@ Measures the BASELINE.md north-star metrics:
   * MiniLM-L6 sentence embeds/sec  (target >= 50k/chip)
   * CLIP ViT-B/32 image embeds/sec with fused preprocess (target >= 10k/chip)
   * masked cosine top-k p50 latency over a 1M x 384 index (target < 5 ms)
-  * cross-encoder rerank pairs/sec (reference depth-8 path at seq 256)
+  * cross-encoder rerank pairs/sec (reference depth-8 path at the
+    production seq-512 pair bucket)
 
 Timing methodology: this chip is reached through the axon relay, where
 ``block_until_ready`` is asynchronous and a host readback carries ~29 ms of
@@ -664,6 +665,46 @@ def bench_ivf_int8_10m(quick: bool):
     return _ivf_int8_bench(2_097_152 if quick else 10_485_760, 4096, quick)
 
 
+def _ivf_pq_probe_step_factory(cand: int, nprobe: int):
+    """Shared fori-chained residual-ivf_pq probe step, used by bench_pq,
+    bench_pq_10m, AND tools/pq_50m_experiment.py — ONE definition so a probe
+    methodology change (table dtype, merge order) reaches every scale point
+    instead of silently diverging between the 1M/10M/50M numbers."""
+
+    import jax
+    import jax.numpy as jnp
+
+    from mmrag_tpu.ops import ivf as ivf_ops
+    from mmrag_tpu.ops import pq as pqops
+    from mmrag_tpu.ops.topk import merge_topk
+
+    def make_probe_step(kk, queries, books, cents, buckets, bucket_ids,
+                        users_b, docs_b, live_b, spill, spill_ids,
+                        spill_users, spill_docs, spill_live, spill_assign,
+                        uids, dids):
+        def body(i, acc):
+            qq = queries + 1e-6 * i
+            tables = jnp.transpose(
+                pqops._adc_tables(qq, books), (0, 2, 1)
+            ).astype(jnp.bfloat16)
+            s, ix = ivf_ops._ivf_probe_pred_adc(
+                qq, tables, cents, buckets, bucket_ids, users_b, docs_b,
+                live_b, uids, dids, cand, nprobe, residual=True,
+            )
+            if spill.shape[0]:
+                s2, i2 = ivf_ops._spill_scores_pred_adc(
+                    tables, spill, spill_ids, spill_users, spill_docs,
+                    spill_live, uids, dids, cand,
+                    queries=qq, centroids=cents, spill_assign=spill_assign,
+                )
+                s, ix = merge_topk(s, ix, s2, i2, cand)
+            return acc + s[0, 0] + ix[0, 0].astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, kk, body, jnp.float32(0.0))
+
+    return make_probe_step
+
+
 def bench_pq(quick: bool):
     """Product-quantized index (TPU_INDEX_DTYPE=pq, ops/pq.py — the
     reference's IVF_PQ num_sub_vectors=16 compression): 16 B/row device
@@ -770,29 +811,7 @@ def bench_pq(quick: bool):
     del rcodes
     nprobe = min(64, layout.n_clusters)
 
-    def make_probe_step(kk, queries, books, cents, buckets, bucket_ids,
-                        users_b, docs_b, live_b, spill, spill_ids,
-                        spill_users, spill_docs, spill_live, spill_assign,
-                        uids, dids):
-        def body(i, acc):
-            qq = queries + 1e-6 * i
-            tables = jnp.transpose(
-                pqops._adc_tables(qq, books), (0, 2, 1)
-            ).astype(jnp.bfloat16)
-            s, ix = ivf_ops._ivf_probe_pred_adc(
-                qq, tables, cents, buckets, bucket_ids, users_b, docs_b,
-                live_b, uids, dids, cand, nprobe, residual=True,
-            )
-            if spill.shape[0]:
-                s2, i2 = ivf_ops._spill_scores_pred_adc(
-                    tables, spill, spill_ids, spill_users, spill_docs,
-                    spill_live, uids, dids, cand,
-                    queries=qq, centroids=cents, spill_assign=spill_assign,
-                )
-                s, ix = merge_topk(s, ix, s2, i2, cand)
-            return acc + s[0, 0] + ix[0, 0].astype(jnp.float32)
-
-        return jax.lax.fori_loop(0, kk, body, jnp.float32(0.0))
+    make_probe_step = _ivf_pq_probe_step_factory(cand, nprobe)
 
     uids0 = jnp.zeros((q_n,), jnp.int32)
     dids0 = jnp.full((q_n,), -1, jnp.int32)
@@ -1040,29 +1059,7 @@ def bench_pq_10m(quick: bool):
         for i in range(q_n)
     ]))
 
-    def make_probe_step(kk, queries, books, cents, buckets, bucket_ids,
-                        users_b, docs_b, live_b, spill, spill_ids,
-                        spill_users, spill_docs, spill_live, spill_assign,
-                        uids, dids):
-        def body(i, acc):
-            qq = queries + 1e-6 * i
-            tables = jnp.transpose(
-                pqops._adc_tables(qq, books), (0, 2, 1)
-            ).astype(jnp.bfloat16)
-            s, ix = ivf_ops._ivf_probe_pred_adc(
-                qq, tables, cents, buckets, bucket_ids, users_b, docs_b,
-                live_b, uids, dids, cand, nprobe, residual=True,
-            )
-            if spill.shape[0]:
-                s2, i2 = ivf_ops._spill_scores_pred_adc(
-                    tables, spill, spill_ids, spill_users, spill_docs,
-                    spill_live, uids, dids, cand,
-                    queries=qq, centroids=cents, spill_assign=spill_assign,
-                )
-                s, ix = merge_topk(s, ix, s2, i2, cand)
-            return acc + s[0, 0] + ix[0, 0].astype(jnp.float32)
-
-        return jax.lax.fori_loop(0, kk, body, jnp.float32(0.0))
+    make_probe_step = _ivf_pq_probe_step_factory(cand, nprobe)
 
     k1, k2 = (8, 2) if quick else (64, 8)
     _plog("pq_10m: timing probed ADC (16-query batch)")
@@ -1283,7 +1280,11 @@ def bench_rerank(quick: bool) -> float:
     from mmrag_tpu.models import bert
 
     params = bert.init_cross_encoder_params(jax.random.PRNGKey(2))
-    batch, seq = 8, 256  # reference rerank depth 8, pair bucket 256
+    # reference rerank depth 8 at the PRODUCTION pair bucket: 512 since r3
+    # (CrossEncoder truncates at the ms-marco tokenizer's 512 max;
+    # TPU_RERANK_SEQ_LEN). r1/r2 measured this step at seq 256 — those
+    # numbers are a different shape, not comparable.
+    batch, seq = 8, 512
     ids = jax.random.randint(jax.random.PRNGKey(4), (batch, seq), 5, 30000, jnp.int32)
     mask = jnp.ones((batch, seq), jnp.int32)
     tt = jnp.asarray(np.concatenate(
@@ -1308,7 +1309,8 @@ def bench_rerank(quick: bool) -> float:
 def bench_rerank64(quick: bool) -> float:
     """Coalesced rerank (8 concurrent chat requests x depth 8 = 64 pairs in
     one dispatch, the serving MicroBatcher shape): crosses the fused
-    attention gate — measured 3.6x over the XLA path at this shape."""
+    attention gate — measured 3.6x over the XLA path at the r1/r2 seq-256
+    shape; measured at the production seq-512 pair bucket since r3."""
 
     import jax
     import jax.numpy as jnp
@@ -1316,7 +1318,7 @@ def bench_rerank64(quick: bool) -> float:
     from mmrag_tpu.models import bert
 
     params = bert.init_cross_encoder_params(jax.random.PRNGKey(2))
-    batch, seq = (32 if quick else 64), 256
+    batch, seq = (32 if quick else 64), 512  # production bucket since r3
     ids = jax.random.randint(jax.random.PRNGKey(4), (batch, seq), 5, 30000, jnp.int32)
     mask = jnp.ones((batch, seq), jnp.int32)
     tt = jnp.concatenate(
@@ -1361,12 +1363,12 @@ def bench_chat_path(quick: bool) -> float:
     img_corpus = mk(jax.random.PRNGKey(4), n_img, 512)
     q_ids = jax.random.randint(jax.random.PRNGKey(5), (1, 64), 5, 30000, jnp.int32)
     ct_ids = jax.random.randint(jax.random.PRNGKey(6), (1, 77), 5, 49000, jnp.int32)
-    rr_ids = jax.random.randint(jax.random.PRNGKey(7), (8, 256), 5, 30000, jnp.int32)
+    rr_ids = jax.random.randint(jax.random.PRNGKey(7), (8, 512), 5, 30000, jnp.int32)
     ones = jnp.ones((1, 64), jnp.int32)
     ones77 = jnp.ones((1, 77), jnp.int32)
-    rr_mask = jnp.ones((8, 256), jnp.int32)
+    rr_mask = jnp.ones((8, 512), jnp.int32)
     rr_tt = jnp.concatenate(
-        [jnp.zeros((8, 128), jnp.int32), jnp.ones((8, 128), jnp.int32)], 1)
+        [jnp.zeros((8, 256), jnp.int32), jnp.ones((8, 256), jnp.int32)], 1)
     tmask = jnp.ones((n_text,), bool)
     imask = jnp.ones((n_img,), bool)
 

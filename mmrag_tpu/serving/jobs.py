@@ -145,6 +145,9 @@ class LocalJobQueue:
         """Celery AsyncResult-shaped status (reference ``routes.py:214-228``)."""
 
         with self._lock:
+            if self._closed:  # benign read racing shutdown, not a 500
+                return {"job_id": job_id, "state": "PENDING", "meta": {},
+                        "result": None}
             row = self._conn.execute(
                 "SELECT state, meta, result, updated_at FROM jobs WHERE job_id=?",
                 (job_id,),
@@ -171,12 +174,16 @@ class LocalJobQueue:
             raise KeyError(f"no handler registered for {task_name!r}")
         job_id = uuid.uuid4().hex
         now = time.time()
-        with self._lock, self._conn:
-            self._conn.execute(
-                "INSERT INTO jobs (job_id, state, meta, created_at, updated_at, "
-                "task, payload) VALUES (?, 'PENDING', '{}', ?, ?, ?, ?)",
-                (job_id, now, now, task_name, json.dumps(payload)),
-            )
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("job queue is closed")
+            with self._conn:
+                self._conn.execute(
+                    "INSERT INTO jobs (job_id, state, meta, created_at, "
+                    "updated_at, task, payload) "
+                    "VALUES (?, 'PENDING', '{}', ?, ?, ?, ?)",
+                    (job_id, now, now, task_name, json.dumps(payload)),
+                )
         if self._workers > 0:
             self._submit(job_id, task_name, payload)
         return job_id
@@ -201,13 +208,16 @@ class LocalJobQueue:
     def _claim(self, job_id: str) -> bool:
         """Atomic PENDING -> STARTED transition; exactly one process wins."""
 
-        with self._lock, self._conn:
-            cur = self._conn.execute(
-                "UPDATE jobs SET state='STARTED', meta=?, updated_at=? "
-                "WHERE job_id=? AND state='PENDING'",
-                (json.dumps({"stage": "begin"}), time.time(), job_id),
-            )
-            return cur.rowcount == 1
+        with self._lock:
+            if self._closed:
+                return False  # racing shutdown(wait=False): drop, don't crash
+            with self._conn:
+                cur = self._conn.execute(
+                    "UPDATE jobs SET state='STARTED', meta=?, updated_at=? "
+                    "WHERE job_id=? AND state='PENDING'",
+                    (json.dumps({"stage": "begin"}), time.time(), job_id),
+                )
+                return cur.rowcount == 1
 
     def _run(self, job_id: str, task_name: str, payload: Dict) -> None:
         if not self._claim(job_id):
@@ -252,6 +262,8 @@ class LocalJobQueue:
         number of jobs submitted; ``wait=True`` blocks until they finish."""
 
         with self._lock:
+            if self._closed:
+                return 0
             rows = self._conn.execute(
                 "SELECT job_id, task, payload FROM jobs WHERE state='PENDING' "
                 "AND task IS NOT NULL ORDER BY created_at"
@@ -273,6 +285,8 @@ class LocalJobQueue:
 
         logger.info("worker loop polling every %.1fs", poll_sec)
         while stop_event is None or not stop_event.is_set():
+            if self._closed:
+                return
             try:
                 # non-blocking: keep claiming while workers chew on long
                 # ingests, so all --workers slots stay busy

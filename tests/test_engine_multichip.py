@@ -460,7 +460,7 @@ def test_non_power_of_two_mesh(rng):
         assert [c for c, _ in ha] == [c for c, _ in hb]
 
 
-def test_sharded_ivf_concurrent_mutation_stress(rng, tmp_path):
+def test_sharded_ivf_concurrent_mutation_stress(rng):
     """Race-safety of the r3 composition: ASYNC background sharded-IVF
     builds run while writers append, readers search, a deleter tombstones,
     and a compactor rebuilds — tenant isolation and liveness must hold at
@@ -476,9 +476,12 @@ def test_sharded_ivf_concurrent_mutation_stress(rng, tmp_path):
     assert index.ivf_build_async
     cents = rng.standard_normal((8, 64)).astype(np.float32)
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    # np.random.Generator is NOT thread-safe: concurrent draws race on the
+    # BitGenerator state — give every mutating thread its own spawned child
+    thread_rngs = rng.spawn(5)
 
-    def mk(tid, i):
-        noise = rng.standard_normal(64).astype(np.float32)
+    def mk(tid, i, r):
+        noise = r.standard_normal(64).astype(np.float32)
         emb = cents[(tid + i) % 8] + 0.2 * noise / np.linalg.norm(noise)
         return VectorRow(chunk_id=f"t{tid}-c{i}", user_id=f"u{tid}",
                          document_id=f"d{tid}", modality="text",
@@ -489,7 +492,7 @@ def test_sharded_ivf_concurrent_mutation_stress(rng, tmp_path):
     def writer(tid):
         try:
             for i in range(40):
-                index.upsert([mk(tid, i)])
+                index.upsert([mk(tid, i, thread_rngs[tid])])
         except Exception as exc:  # pragma: no cover
             errors.append(exc)
 
@@ -506,7 +509,7 @@ def test_sharded_ivf_concurrent_mutation_stress(rng, tmp_path):
 
     def deleter():
         try:
-            index.upsert([mk(3, i) for i in range(16)])
+            index.upsert([mk(3, i, thread_rngs[3]) for i in range(16)])
             index.delete_document("d3")
         except Exception as exc:  # pragma: no cover
             errors.append(exc)

@@ -7,7 +7,8 @@ clustered synthetic corpus generated in 131k slabs, global kmeans
 (C = default_n_clusters(50M) = 16384), residual codes, bucket layout,
 probed-ADC latency at q=1/q=16, and TIE-AWARE refined recall@10 against the
 host-side exact f32 scores (kept per slab during generation — the
-production host-RAM-originals role; ~3.2 GB host RAM for 16 queries).
+production host-RAM-originals role; ~3.4 GB host RAM for 16 queries,
+preallocated so the peak is not doubled by a final concatenate).
 
 Run: python tools/pq_50m_experiment.py [--rows N]
 Prints one JSON line. Not a bench.py step: ~10-20 min wall, beyond the
@@ -34,7 +35,7 @@ def main() -> None:
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
-    from bench import _per_iter_seconds, _plog
+    from bench import _ivf_pq_probe_step_factory, _per_iter_seconds, _plog
     from mmrag_tpu.ops import ivf as ivf_ops
     from mmrag_tpu.ops import pq as pqops
     from mmrag_tpu.ops.topk import l2_normalize
@@ -70,26 +71,32 @@ def main() -> None:
     def slab_scores(sl):
         return jnp.dot(queries, sl.T, preferred_element_type=jnp.float32)
 
-    assigns, rcodes, score_blocks = [], [], []
+    # preallocated host buffers, written slab-by-slab: a concatenate at the
+    # end would briefly hold source blocks AND the result (2x the ~3.4 GB
+    # exact matrix — review finding), and codes assembled host-side ship to
+    # the device once instead of 400 live slices peaking ~2x slab HBM
+    total_rows = n_slabs * slab_rows
+    exact = np.empty((q_n, total_rows), np.float32)
+    codes_h = np.empty((total_rows, 16), np.int8)
+    assign_h = np.empty((total_rows,), np.int32)
     for i in range(n_slabs):
         sl = slab0 if i == 0 else mk(i)
-        score_blocks.append(np.asarray(slab_scores(sl)))
+        base = i * slab_rows
+        exact[:, base : base + slab_rows] = np.asarray(slab_scores(sl))
         for lo in range(0, slab_rows, 65536):
             chunk = sl[lo : lo + 65536]
             a = ivf_ops._assign_with_structure(chunk, kc)[0]
-            assigns.append(np.asarray(a))
-            rcodes.append(np.asarray(pqops.pq_encode(
-                chunk - jnp.take(kc, a, axis=0), rbooks
-            )))
+            assign_h[base + lo : base + lo + 65536] = np.asarray(a)
+            codes_h[base + lo : base + lo + 65536] = np.asarray(
+                pqops.pq_encode(chunk - jnp.take(kc, a, axis=0), rbooks)
+            )
         if i and i % 40 == 0:
             _plog(f"pq_50m: slab {i}/{n_slabs} "
                   f"(+{time.perf_counter() - t_start:.0f}s)")
-    assign_h = np.concatenate(assigns)[:n]
-    # codes assembled HOST-side then shipped once: 400 device-side slices
-    # held alive for a late concat would peak ~2x the slab in HBM
-    codes = jnp.asarray(np.concatenate(rcodes)[:n])
-    exact = np.concatenate(score_blocks, axis=1)[:, :n]
-    del rcodes, score_blocks
+    assign_h = assign_h[:n]
+    codes = jnp.asarray(codes_h[:n])
+    exact = exact[:, :n]
+    del codes_h
     _plog(f"pq_50m: building layout (+{time.perf_counter() - t_start:.0f}s)")
     layout = ivf_ops.build_ivf(
         codes, centroids=kc, assign=assign_h, structure_override=1.0,
@@ -111,31 +118,7 @@ def main() -> None:
     recall = float(np.mean(refined >= thr[:, None]))
     del exact
 
-    def make_probe_step(kk, queries, books, cents, buckets, bucket_ids,
-                        users_b, docs_b, live_b, spill, spill_ids,
-                        spill_users, spill_docs, spill_live, spill_assign,
-                        uids, dids):
-        from mmrag_tpu.ops.topk import merge_topk
-
-        def body(i, acc):
-            qq = queries + 1e-6 * i
-            tables = jnp.transpose(
-                pqops._adc_tables(qq, books), (0, 2, 1)
-            ).astype(jnp.bfloat16)
-            s, ix = ivf_ops._ivf_probe_pred_adc(
-                qq, tables, cents, buckets, bucket_ids, users_b, docs_b,
-                live_b, uids, dids, cand, nprobe, residual=True,
-            )
-            if spill.shape[0]:
-                s2, i2 = ivf_ops._spill_scores_pred_adc(
-                    tables, spill, spill_ids, spill_users, spill_docs,
-                    spill_live, uids, dids, cand,
-                    queries=qq, centroids=cents, spill_assign=spill_assign,
-                )
-                s, ix = merge_topk(s, ix, s2, i2, cand)
-            return acc + s[0, 0] + ix[0, 0].astype(jnp.float32)
-
-        return jax.lax.fori_loop(0, kk, body, jnp.float32(0.0))
+    make_probe_step = _ivf_pq_probe_step_factory(cand, nprobe)
 
     common = (queries, rbooks, kc, layout.buckets, layout.bucket_ids,
               layout.users_b, layout.docs_b, layout.live_b, layout.spill,
