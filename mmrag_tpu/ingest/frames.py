@@ -208,14 +208,23 @@ def _ffmpeg_available() -> bool:
 
 
 def _decode_with_ffmpeg(
-    video_path: str, stride_sec: float, out_dir: str, timeout_sec: int
+    video_path: str, stride_sec: float, out_dir: str, timeout_sec: int,
+    max_samples: int = 2000,
 ) -> Tuple[np.ndarray, List[float]]:
     """ffmpeg fps-filter decode to a temp frame dir (used when the binary
-    exists; same subprocess+timeout guard as the reference ``frames.py:77``)."""
+    exists; same subprocess+timeout guard as the reference ``frames.py:77``).
+
+    ``max_samples`` caps the decoded stack like the cv2 path's cap — an
+    uncapped 2-hour 1080p video would stack ~9 GB of host frames (review
+    finding); the temp dir is cleared up-front so a previously crashed
+    run's partial files can't leak into this extraction with wrong
+    timestamps, and removed with ``rmtree`` so unreadable leftovers can't
+    turn cleanup into a non-FrameExtractionError crash."""
 
     import cv2
 
     tmp = os.path.join(out_dir, "_ffmpeg_tmp")
+    shutil.rmtree(tmp, ignore_errors=True)  # stale frames from a crashed run
     os.makedirs(tmp, exist_ok=True)
     cmd = [
         "ffmpeg", "-hide_banner", "-loglevel", "error", "-i", video_path,
@@ -225,17 +234,17 @@ def _decode_with_ffmpeg(
     try:
         subprocess.run(cmd, check=True, timeout=timeout_sec, capture_output=True)
     except (subprocess.SubprocessError, OSError) as exc:
+        shutil.rmtree(tmp, ignore_errors=True)
         raise FrameExtractionError(f"ffmpeg failed: {exc}") from exc
     files = sorted(os.listdir(tmp))
     frames, stamps = [], []
-    for i, name in enumerate(files):
+    for i, name in enumerate(files[:max_samples]):
         img = cv2.imread(os.path.join(tmp, name))
         if img is None:
             continue
         frames.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
         stamps.append(i * stride_sec)
-        os.remove(os.path.join(tmp, name))
-    os.rmdir(tmp)
+    shutil.rmtree(tmp, ignore_errors=True)
     if not frames:
         raise FrameExtractionError("ffmpeg produced no frames")
     return np.stack(frames), stamps
@@ -270,20 +279,20 @@ def extract_scene_frames(
     else:
         stack, stamps = _decode_sampled_frames(video_path, yt.frame_stride_sec)
 
-    # scene gate: keep stride frames that start a scene OR are the periodic
-    # baseline (every frame here IS the stride baseline, so the scene score
-    # only prioritizes; the dedup + cap do the real pruning)
-    scores = np.asarray(_scene_scores(jnp.asarray(stack)))
+    # scene gate: dedup walks frames in descending scene-score order, so
+    # scene starts claim dedup slots before near-duplicates of the periodic
+    # baseline (every frame here IS the stride baseline — the threshold
+    # needs no separate partition: a descending sort already places every
+    # above-threshold frame first). _scene_scores takes the HOST stack
+    # (it chunks its own device transfers), and dedup_frames hashes in
+    # bounded chunks — no full-stack device round trip at any video length.
+    scores = np.asarray(_scene_scores(stack))
     order = np.argsort(-scores, kind="stable")  # scene starts first
-    scene_first = np.concatenate(
-        [order[scores[order] > yt.frame_scene_threshold],
-         order[scores[order] <= yt.frame_scene_threshold]]
-    )
     # restore temporal order within the budget after dedup below
     kept_rel, _ = dedup_frames(
-        jnp.asarray(stack[scene_first]), yt.frame_dedup_delta, yt.max_frames
+        stack[order], yt.frame_dedup_delta, yt.max_frames
     )
-    kept = np.sort(scene_first[kept_rel])
+    kept = np.sort(order[kept_rel])
 
     import cv2
 

@@ -102,9 +102,14 @@ def get_transcript(
         raise YouTubeIngestError(
             "youtube-transcript-api is not installed; transcript path unavailable"
         ) from exc
-    raw = YouTubeTranscriptApi.get_transcript(
-        video_id, languages=languages or ["en", "en-US", "en-GB"]
-    )
+    langs = languages or ["en", "en-US", "en-GB"]
+    if hasattr(YouTubeTranscriptApi, "get_transcript"):
+        raw = YouTubeTranscriptApi.get_transcript(video_id, languages=langs)
+    else:  # v1.0+ removed the static API in favor of instance .fetch()
+        raw = [
+            {"text": sn.text, "start": sn.start, "duration": sn.duration}
+            for sn in YouTubeTranscriptApi().fetch(video_id, languages=langs)
+        ]
     return [
         TranscriptSegment(
             text=seg.get("text", ""), start=float(seg.get("start", 0.0)),
@@ -132,6 +137,9 @@ def download_video(
         "quiet": True,
         "format": cfg.youtube.download_format,
         "outtmpl": template,
+        # yt-dlp's internal retries AND the outer backoff loop both get
+        # cfg.retries — deliberately mirroring the reference's double-retry
+        # structure (app/ingest/youtube.py:69-70 inside its own outer loop)
         "retries": cfg.youtube.retries,
         "socket_timeout": cfg.youtube.timeout_sec,
     }
@@ -193,20 +201,33 @@ def transcribe_audio(wav_path: str) -> List[TranscriptSegment]:
             return runtime.transcribe_wav(wav_path)
     except Exception as exc:  # degrade, don't fail the ingest stage
         logger.warning("JAX whisper ASR failed (%s); trying torch ladder", exc)
+    # the reference loads whisper "base" on both torch rungs
+    # (app/ingest/youtube.py:156,163); follow MODEL_ASR so the ladder and
+    # the JAX runtime agree on the model size
+    size = _default_settings.models.asr.rsplit("-", 1)[-1] or "base"
+    segments = None
     try:
         import whisperx  # type: ignore
 
-        model = whisperx.load_model("small", device="cpu")
+        model = whisperx.load_model(size, device="cpu")
         result = model.transcribe(wav_path)
         segments = result.get("segments", [])
     except ImportError:
+        pass
+    except Exception as exc:
+        # NOT just ImportError: whisperx runtime failures (e.g. ctranslate2
+        # rejecting its default float16 compute type on CPU) must degrade to
+        # the plain-whisper rung like the rest of the ladder, not crash the
+        # ingest job with a non-YouTubeIngestError (review finding)
+        logger.warning("whisperx failed (%s); trying plain whisper", exc)
+    if segments is None:
         try:
             import whisper  # type: ignore
         except ImportError as exc:
             raise YouTubeIngestError(
                 "neither whisperx nor whisper is installed; ASR unavailable"
             ) from exc
-        model = whisper.load_model("small")
+        model = whisper.load_model(size)
         segments = model.transcribe(wav_path).get("segments", [])
     return [
         TranscriptSegment(

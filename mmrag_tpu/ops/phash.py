@@ -96,19 +96,44 @@ def greedy_dedup_mask(distances: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray
     return jax.lax.fori_loop(1, n, body, kept0)
 
 
+# frames per phash dispatch: bounds the (chunk, h, w) f32 grayscale +
+# lanczos transients to ~0.5 GB at 1080p instead of growing with video
+# length (review finding: a one-shot phash over a long video's full stack
+# was the same unbounded-transient class _SCENE_CHUNK fixed for the
+# histogram pass). One static shape -> one compile (tail padded).
+_PHASH_CHUNK = 32
+
+
 def dedup_frames(
-    images: jnp.ndarray, delta: int, max_keep: int
+    images, delta: int, max_keep: int
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Full pipeline: phash -> Hamming -> greedy mask -> cap at max_keep.
 
-    Returns (kept_indices (m,), bits (n, 64)) as NumPy. The cap mirrors the
-    reference's ``max_frames`` truncation (``frames.py:108-109``).
+    ``images`` is (n, h, w, 3) uint8 (np or device array). Hashing runs in
+    fixed-size chunks so device transients stay bounded at any video
+    length; the (n, 64) bit matrix is tiny, so the Hamming + greedy passes
+    are one dispatch. Returns (kept_indices (m,), bits (n, 64)) as NumPy.
+    The cap mirrors the reference's ``max_frames`` truncation
+    (``frames.py:108-109``).
     """
 
-    if images.shape[0] == 0:
+    images = np.asarray(images)
+    n = images.shape[0]
+    if n == 0:
         return np.zeros(0, dtype=np.int64), np.zeros((0, 64), dtype=np.float32)
-    bits = phash_batch(images)
-    dist = hamming_matrix(bits)
+    bits_l = []
+    for lo in range(0, n, _PHASH_CHUNK):
+        chunk = images[lo : lo + _PHASH_CHUNK]
+        pad = _PHASH_CHUNK - chunk.shape[0]
+        if pad and n > _PHASH_CHUNK:  # keep the tail on the same executable
+            chunk = np.concatenate([chunk, chunk[-1:].repeat(pad, axis=0)])
+            bits_l.append(
+                np.asarray(phash_batch(jnp.asarray(chunk)))[: -pad or None]
+            )
+        else:
+            bits_l.append(np.asarray(phash_batch(jnp.asarray(chunk))))
+    bits = np.concatenate(bits_l)
+    dist = hamming_matrix(jnp.asarray(bits))
     mask = greedy_dedup_mask(dist, jnp.float32(delta))
     kept = np.flatnonzero(np.asarray(mask))[:max_keep]
-    return kept, np.asarray(bits)
+    return kept, bits

@@ -69,16 +69,12 @@ def build_prompt(query: str, results: Sequence[Dict]) -> str:
 def _gemini_answer(
     prompt: str, image_paths: List[str], cfg: Settings
 ) -> Optional[str]:
-    if not cfg.gemini.api_key:
+    from ..utils.gemini import get_model
+
+    model = get_model(cfg)
+    if model is None:
         return None
     try:
-        import google.generativeai as genai
-    except ImportError:
-        logger.warning("google-generativeai not installed; abstaining path only")
-        return None
-    try:
-        genai.configure(api_key=cfg.gemini.api_key)
-        model = genai.GenerativeModel(cfg.gemini.model)
         content: List = [prompt]
         for path in image_paths:
             with open(path, "rb") as fh:
@@ -110,7 +106,14 @@ def generate_response(
             "chunk_id": h.get("chunk_id"),
             "document_id": h.get("document_id"),
             "modality": h.get("modality"),
-            "score": h.get("combined_score", h.get("score")),
+            # combined_score is PRESENT but None on unfused per-modality
+            # hits, so a dict-default never fires — coalesce explicitly
+            # (the confidence gate below already did; review finding)
+            "score": (
+                h.get("combined_score")
+                if h.get("combined_score") is not None
+                else h.get("score")
+            ),
             "media_path": h.get("media_path") or None,
         }
         for h in results

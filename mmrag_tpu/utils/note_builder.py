@@ -36,6 +36,11 @@ def truncate_context(
         if not text:
             continue
         if used + len(text) + 1 > max_chars:
+            if not parts:
+                # a single giant segment: truncate like the reference's
+                # char-cap (note_builder.py:10-22) instead of returning an
+                # EMPTY context that invites ungrounded generation
+                parts.append(text[:max_chars])
             break
         parts.append(text)
         used += len(text) + 1
@@ -94,11 +99,10 @@ def heuristic_notes(
 def _gemini_notes(
     title: str, context: str, quiz_questions: int, cfg: Settings
 ) -> Optional[Dict]:
-    if not cfg.gemini.api_key:
-        return None
-    try:
-        import google.generativeai as genai
-    except ImportError:
+    from .gemini import get_model
+
+    model = get_model(cfg)
+    if model is None:
         return None
     prompt = (
         "You are a study assistant. From the transcript below produce STRICT "
@@ -108,8 +112,6 @@ def _gemini_notes(
         f"Video title: {title}\n\nTranscript:\n{context}"
     )
     try:
-        genai.configure(api_key=cfg.gemini.api_key)
-        model = genai.GenerativeModel(cfg.gemini.model)
         response = model.generate_content(prompt)
         text = getattr(response, "text", "") or ""
         start, end = text.find("{"), text.rfind("}")
