@@ -143,3 +143,31 @@ def test_all_null_record_still_emits_compact_line():
     assert compact["extra"]["real_weights"] == "unavailable"
     assert compact["extra"]["skipped"] == ["minilm", "clip_images"]
     assert len(lines[-1]) <= 1500
+
+
+def test_budget_promotion_runs_cheap_full_steps(tmp_path):
+    """After a clean default list, leftover budget auto-promotes --full
+    steps whose historical cost fits (VERDICT r3 item 2); steps whose
+    estimate exceeds the remaining budget are left un-promoted."""
+
+    import subprocess
+
+    env = dict(os.environ)
+    env.update({
+        "BENCH_STEPS": "topk",
+        # topk_int8 is cheap and fits; the 99999-s estimate can never fit
+        "BENCH_PROMOTE_COSTS": json.dumps(
+            {"topk_int8": 5, "ivf_int8_10m": 99999}),
+        "BENCH_BUDGET_S": "400",
+    })
+    proc = subprocess.run(
+        [sys.executable, os.path.join(_REPO, "bench.py"),
+         "--platform", "cpu", "--quick"],
+        capture_output=True, text=True, timeout=480, env=env)
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    last = proc.stdout.strip().splitlines()[-1]
+    assert len(last) <= 1500
+    rec = json.loads(last)
+    assert rec["extra"]["promoted"] == ["topk_int8"]
+    assert rec["extra"]["topk_i8_ms"] is not None
+    assert rec["extra"]["ivf_i8_10m_ms"] is None
