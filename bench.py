@@ -1418,8 +1418,10 @@ def bench_serving_load(quick: bool):
     from mmrag_tpu.storage import Document
 
     n_tenants = 4 if quick else 8
-    n_threads = 8 if quick else 16
-    reqs_per_thread = 4 if quick else 16
+    n_threads = int(os.environ.get(
+        "BENCH_SERVING_THREADS", "8" if quick else "16"))
+    reqs_per_thread = int(os.environ.get(
+        "BENCH_SERVING_REQS", "4" if quick else "16"))
 
     td = tempfile.mkdtemp(prefix="mmrag_bench_srv_")
     keys = {f"key-{i}": f"tenant{i}" for i in range(n_tenants)}
@@ -1485,9 +1487,21 @@ def bench_serving_load(quick: bool):
 
     _stage_metrics.reset()  # drop warmup/compile samples from the breakdown
 
-    latencies = []
-    lat_lock = threading.Lock()
-    barrier = threading.Barrier(n_threads)
+    # XLA-compile counter for the warm window (VERDICT r3 item 3): r3's
+    # captured 11.9 s worst-case batch was indistinguishable from a missed
+    # warmup compile in the record. Every backend_compile during a counted
+    # window is recorded, so a warm-window tail can no longer be ambiguous
+    # between a host convoy and a compile.
+    from jax._src import monitoring as _jmon
+
+    compile_count = [0]
+    compile_counting = [False]
+
+    def _on_event(name, *a, **kw):
+        if compile_counting[0] and "backend_compile" in name:
+            compile_count[0] += 1
+
+    _jmon.register_event_duration_secs_listener(_on_event)
 
     errors = []
 
@@ -1516,26 +1530,49 @@ def bench_serving_load(quick: bool):
     probe_thread = threading.Thread(target=probe, daemon=True)
     probe_thread.start()
 
-    def client(tid: int):
-        key = list(keys)[tid % n_tenants]
-        barrier.wait()
-        mine = []
-        try:
-            for r in range(reqs_per_thread):
-                mine.append(chat(key, f"client {tid} question {r} about energy"))
-        except Exception as exc:  # surface thread failures to the caller
-            with lat_lock:
-                errors.append(f"client {tid}: {exc!r}")
-        with lat_lock:
-            latencies.extend(mine)
+    def run_window(tag: str):
+        """One full 16x16 concurrent load; unique queries per window keep
+        every request cache-busting. Returns (latencies, wall_seconds)."""
 
-    threads = [threading.Thread(target=client, args=(i,)) for i in range(n_threads)]
-    t0 = time.perf_counter()
-    for th in threads:
-        th.start()
-    for th in threads:
-        th.join()
-    wall = time.perf_counter() - t0
+        latencies: list = []
+        lat_lock = threading.Lock()
+        barrier = threading.Barrier(n_threads)
+
+        def client(tid: int):
+            key = list(keys)[tid % n_tenants]
+            barrier.wait()
+            mine = []
+            try:
+                for r in range(reqs_per_thread):
+                    mine.append(
+                        chat(key, f"{tag} client {tid} question {r} about energy"))
+            except Exception as exc:  # surface thread failures to the caller
+                with lat_lock:
+                    errors.append(f"{tag} client {tid}: {exc!r}")
+            with lat_lock:
+                latencies.extend(mine)
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(n_threads)]
+        t0 = time.perf_counter()
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        return latencies, time.perf_counter() - t0
+
+    # window 1 (cold): the historical measurement — absorbs any residual
+    # first-compiles and host cold caches. window 2 (warm): the steady
+    # state the r2 "p95 <= 3x p50" bar is judged on, with the compile
+    # counter armed so a slow warm batch can never be ambiguous.
+    latencies, wall = run_window("cold")
+    _plog("serving cold window done")
+    _stage_metrics.reset()  # stage breakdown reports the WARM window only
+    compile_count[0] = 0
+    compile_counting[0] = True
+    warm_latencies, warm_wall = run_window("warm")
+    compile_counting[0] = False
+    _plog(f"serving warm window done ({compile_count[0]} compiles)")
     probe_stop.set()
     probe_thread.join(timeout=10)
     probe_sorted = sorted(probe_lat) or [0.0]
@@ -1554,8 +1591,9 @@ def bench_serving_load(quick: bool):
         # partial client failures shrink both the sample AND the offered
         # load, silently flattering p95/rps — fail loud instead
         raise RuntimeError(
-            f"{len(errors)}/{n_threads} serving-load clients failed "
-            f"({len(latencies)} latencies collected): " + "; ".join(errors[:3])
+            f"{len(errors)} serving-load clients failed across both windows "
+            f"({len(latencies)}+{len(warm_latencies)} latencies collected): "
+            + "; ".join(errors[:3])
         )
     stages = {
         name.removeprefix("stage."): s
@@ -1563,10 +1601,22 @@ def bench_serving_load(quick: bool):
         if name.startswith("stage.")
     }
     ordered = sorted(latencies)
+    warm_ordered = sorted(warm_latencies)
     return {
         "p50_ms": round(ordered[len(ordered) // 2] * 1e3, 2),
         "p95_ms": round(ordered[int(len(ordered) * 0.95)] * 1e3, 2),
         "rps": round(len(latencies) / wall, 1),
+        # warm steady-state window (VERDICT r3 item 3): measured after a
+        # full identical load window, with the XLA backend_compile counter
+        # armed — compiles_in_window must be 0 for the warm tail to be
+        # attributable to the serving stack itself
+        "warm": {
+            "p50_ms": round(warm_ordered[len(warm_ordered) // 2] * 1e3, 2),
+            "p95_ms": round(
+                warm_ordered[int(len(warm_ordered) * 0.95)] * 1e3, 2),
+            "rps": round(len(warm_latencies) / warm_wall, 1),
+            "compiles_in_window": compile_count[0],
+        },
         "coalesce_mean": round(coalesce_mean, 2),
         "coalesce_hist": {str(k): v for k, v in sorted(hist.items())},
         # queue-wait vs work-time split (VERDICT r2 item 4): time a request
@@ -1582,6 +1632,235 @@ def bench_serving_load(quick: bool):
             "max": round(probe_sorted[-1] * 1e3, 2),
         },
         "stages": stages,
+    }
+
+
+def find_real_checkpoints() -> dict:
+    """Delegates to :func:`mmrag_tpu.models.probe.find_real_checkpoints`
+    (shared with ``__graft_entry__.dryrun_multichip``); see that module."""
+
+    from mmrag_tpu.models.probe import find_real_checkpoints as probe
+
+    return probe()
+
+
+def bench_real_weights(quick: bool):
+    """Opportunistic real-checkpoint validation (VERDICT r3 item 4): when
+    any of the four reference checkpoints is provisioned, run the
+    :mod:`mmrag_tpu.models.validate` battery on it and record the per-family
+    parity/W8A8/PQ numbers in the bench record; otherwise record the string
+    ``"unavailable"`` so the record states the evidence gap explicitly.
+    """
+
+    found = find_real_checkpoints()
+    if not found:
+        return "unavailable"
+    from mmrag_tpu.models import validate as val
+
+    out = {}
+    for fam, src in found.items():
+        _plog(f"validating real {fam} weights from {src}")
+        rep = val.VALIDATORS[fam](
+            src, **({"pq_corpus": 512} if quick and fam == "minilm" else {}))
+        pub = val.public_report(rep)
+        entry = {"ok": val.report_passed(rep), "source": src}
+        for k, v in pub.items():
+            if isinstance(v, (int, float)) and not isinstance(v, bool):
+                entry[k] = round(float(v), 6)
+        out[fam] = entry
+    return out
+
+
+def bench_e2e_video_ingest(quick: bool):
+    """Offline end-to-end video ingest (VERDICT r3 item 6; BASELINE config
+    #5 without the network): a locally synthesized video runs through the
+    REAL ``serving/tasks.py`` pipeline (``ingest_youtube_task`` — the same
+    function the Celery-shaped job runner executes) with the url ladder's
+    network rungs stubbed to the local file: transcript fetch returns
+    nothing (offline), the download rung hands back the local path, then
+    audio extraction, the production JAX Whisper runtime (timestamp
+    segmentation), per-segment nodes -> MiniLM text index, scene-frame
+    extraction -> CLIP -> image index, notes — followed by ONE real
+    ``/chat_pro`` HTTP request against the indexed video. Reports
+    wall-clock vs video duration. Reference: ``app/tasks.py:49-208``.
+
+    ffmpeg tiering: with ffmpeg present the video is muxed with a real
+    audio track and the ladder's real ``extract_audio`` runs; without it
+    (this container has none) the video is cv2-written (no audio track is
+    possible) and the audio rung is stubbed to a 16 kHz sine wav of the
+    same duration — everything from ASR onward is identical. The record
+    says which tier ran under ``audio_rung``.
+    """
+
+    import dataclasses
+    import functools
+    import json as _json
+    import shutil
+    import subprocess
+    import sys as _sys
+    import tempfile
+    import threading
+    import urllib.request
+    import wave
+
+    import jax
+
+    from mmrag_tpu.models import convert, tokenizer as jtok, whisper as jwhisper
+
+    duration = 12.0 if quick else 60.0
+    fps = 12
+    td = tempfile.mkdtemp(prefix="mmrag_bench_e2e_")
+    video_path = os.path.join(td, "src.mp4")
+
+    have_ffmpeg = shutil.which("ffmpeg") is not None
+    if have_ffmpeg:
+        subprocess.run(
+            ["ffmpeg", "-hide_banner", "-loglevel", "error", "-y",
+             "-f", "lavfi",
+             "-i", f"testsrc2=duration={duration}:size=320x240:rate={fps}",
+             "-f", "lavfi", "-i", f"sine=frequency=440:duration={duration}",
+             "-c:v", "mpeg4", "-c:a", "aac", "-shortest", video_path],
+            check=True, timeout=180, capture_output=True)
+    else:
+        import cv2
+
+        wr = cv2.VideoWriter(video_path, cv2.VideoWriter_fourcc(*"mp4v"),
+                             fps, (320, 240))
+        assert wr.isOpened(), "cv2 VideoWriter failed to open"
+        n_frames = int(duration * fps)
+        for i in range(n_frames):
+            # hue cut every 3 s (the scene detector needs real cuts) plus a
+            # moving block so consecutive frames aren't phash-identical
+            hue = (i // (3 * fps)) * 37 % 180
+            frame = np.full((240, 320, 3), 32, np.uint8)
+            frame[:, :, 0] = hue
+            x = (i * 7) % 280
+            frame[60:120, x:x + 40] = 255 - (hue % 128)
+            wr.write(frame)
+        wr.release()
+
+    def write_sine_wav(path: str) -> str:
+        sr = 16000
+        t = np.arange(int(sr * duration)) / sr
+        pcm = (np.sin(2 * np.pi * 440 * t) * 0.3 * 32767).astype(np.int16)
+        with wave.open(path, "wb") as fh:
+            fh.setnchannels(1)
+            fh.setsampwidth(2)
+            fh.setframerate(sr)
+            fh.writeframes(pcm.tobytes())
+        return path
+
+    # provision the ASR runtime's converted-weights dir: a real whisper
+    # checkpoint when the probe finds one, else seeded whisper-base (quick
+    # mode: a reduced config under the same model id — the runtime reads
+    # the architecture from the saved meta, asr.py:140-143)
+    weights_dir = os.path.join(td, "weights")
+    model_id = "openai/whisper-base"
+    wdir = os.path.join(weights_dir, model_id.replace("/", "__"))
+    real = find_real_checkpoints()
+    if "whisper" in real:
+        proc = subprocess.run(
+            [_sys.executable, "-m", "mmrag_tpu.models.cli", "convert-whisper",
+             real["whisper"], "--out", weights_dir, "--model-id", model_id],
+            capture_output=True, text=True, timeout=600)
+        if proc.returncode != 0:
+            _plog(f"real whisper convert failed, falling back to seeded: "
+                  f"{proc.stderr[-300:]}")
+    if not os.path.isfile(os.path.join(wdir, "model.npz")):
+        wcfg = jwhisper.WHISPER_BASE if not quick else dataclasses.replace(
+            jwhisper.WHISPER_BASE, d_model=64, encoder_layers=2,
+            encoder_heads=4, decoder_layers=2, decoder_heads=4, ffn_dim=128,
+            max_source_positions=200, max_target_positions=48)
+        params = jwhisper.init_whisper_params(jax.random.PRNGKey(11), wcfg)
+        convert.save_params(
+            params, wdir, "model",
+            meta={"arch": "whisper", "config": dataclasses.asdict(wcfg)})
+        b2u = jtok._bytes_to_unicode()
+        vocab = {"".join(b2u[b] for b in f" tok{i}".encode()): i
+                 for i in range(wcfg.vocab_size)}
+        with open(os.path.join(wdir, "vocab.json"), "w") as fh:
+            _json.dump(vocab, fh)
+
+    from mmrag_tpu.ingest import asr, youtube as yt
+    from mmrag_tpu.rag.engine import RagEngine
+    from mmrag_tpu.serving import tasks
+    from mmrag_tpu.serving.http import make_server
+    from mmrag_tpu.settings import load_settings
+
+    env = dict(os.environ)
+    env.update({
+        "TPU_INDEX_DIR": f"{td}/index",
+        "NOTES_DB_PATH": f"{td}/notes.db",
+        "MEDIA_DIR": f"{td}/media",
+        "INGEST_CACHE_DIR": f"{td}/cache",
+        "WEIGHTS_DIR": weights_dir,
+        "MODEL_ASR": model_id,
+        "API_KEYS": _json.dumps({"bench-key": "u1"}),
+        # measure the FULL config-#5 pipeline: frames+CLIP inline, not the
+        # reference's lazy deferral (app/tasks.py's LAZY_FRAME_INDEXING)
+        "YT_LAZY_FRAMES": "0",
+    })
+    cfg = load_settings(env)
+    engine = RagEngine(cfg)
+    asr.reset_asr_runtime()  # the singleton must rebuild against THIS cfg
+
+    def asr_rung(wav_path: str):
+        # the production JAX runtime with the bench cfg passed explicitly
+        # (the module-default Settings were bound at import, before this
+        # step's weights dir existed)
+        runtime = asr.get_asr_runtime(cfg)
+        assert runtime is not None, "converted whisper weights not found"
+        return runtime.transcribe_wav(wav_path)
+
+    ladder = functools.partial(
+        yt.transcript_or_fallback,
+        transcript_fn=lambda vid: [],  # offline: no caption API
+        download_fn=lambda url, work_dir, c: video_path,
+        asr_fn=asr_rung,
+        **({} if have_ffmpeg else
+           {"audio_fn": lambda vp, c: write_sine_wav(
+               os.path.splitext(vp)[0] + ".wav")}),
+    )
+    video_id = "benchvide0x"
+    url = f"https://www.youtube.com/watch?v={video_id}"
+
+    stages: list = []
+    t0 = time.perf_counter()
+    result = tasks.ingest_youtube_task(
+        lambda *a, **k: stages.append(a[0] if a else k),
+        "u1", url, engine=engine,
+        info_fn=lambda u, c: {"video_id": video_id, "title": "bench video",
+                              "duration": duration},
+        ladder_fn=ladder,
+    )
+    wall = time.perf_counter() - t0
+
+    # one real /chat_pro over HTTP against the freshly indexed video
+    server = make_server("127.0.0.1", 0, cfg, engine)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/chat_pro", method="POST",
+        data=_json.dumps({"query": "what does the video show",
+                          "video_id": video_id}).encode(),
+        headers={"X-API-Key": "bench-key", "Content-Type": "application/json"})
+    t1 = time.perf_counter()
+    with urllib.request.urlopen(req, timeout=600) as resp:
+        body = _json.loads(resp.read())
+    chat_s = time.perf_counter() - t1
+    server.shutdown()
+    engine.close()
+    assert result["text_nodes"] > 0, result
+    assert "response" in body, body
+    return {
+        "x_realtime": round(duration / wall, 2),
+        "wall_s": round(wall, 2),
+        "video_s": duration,
+        "text_nodes": result["text_nodes"],
+        "image_nodes": result["image_nodes"],
+        "chat_ms": round(chat_s * 1e3, 1),
+        "audio_rung": "ffmpeg" if have_ffmpeg else "stubbed_wav",
+        "stages": stages[:12],
     }
 
 
@@ -1694,7 +1973,8 @@ def main() -> None:
     # /root/reference/app/ingest/youtube.py:156,163 — so base owns the
     # default ASR row; VERDICT r2 item 6's "reference loads small" premise
     # does not match the reference code, see test_reference_asr_model_is_base).
-    steps = ["minilm", "minilm_seq256", "minilm_seq512", "minilm_int8",
+    steps = ["real_weights",  # instant when no weights are provisioned
+             "minilm", "minilm_seq256", "minilm_seq512", "minilm_int8",
              "ingest_embed",
              "clip_images"]
     if args.full:
@@ -1709,7 +1989,7 @@ def main() -> None:
     if args.full:
         steps += ["pq_10m"]
     steps += ["rerank", "rerank64", "chat_path", "serving_load",
-              "frames_pipeline", "asr"]
+              "frames_pipeline", "asr", "e2e_video_ingest"]
     if args.full:
         steps += ["asr_small"]
     if os.environ.get("BENCH_STEPS"):
@@ -1981,6 +2261,27 @@ def _mfu(rate_per_sec, tflop_per_item):
     return round(tps, 1), round(100.0 * tps / _PEAK_TFLOPS_BF16, 1)
 
 
+def _compact_real_weights(rw):
+    """Shrink the per-family validation reports to {family: primary_drift}
+    (or "FAIL") for the size-capped compact line; the rich reports ride the
+    full record."""
+
+    if not isinstance(rw, dict):
+        return rw
+    primary_keys = ("cosine_drift_vs_torch", "image_cosine_drift_vs_torch",
+                    "score_max_abs_err_vs_torch",
+                    "encoder_cosine_drift_vs_torch")
+    out = {}
+    for fam, entry in rw.items():
+        if not isinstance(entry, dict):
+            out[fam] = entry
+            continue
+        primary = next(
+            (entry[k] for k in primary_keys if k in entry), None)
+        out[fam] = primary if entry.get("ok") else "FAIL"
+    return out
+
+
 def emit_record(r: dict, partial: bool, *, backend: str,
                 degraded_steps: list, budget_s: float,
                 quick: bool, full: bool) -> None:
@@ -2022,6 +2323,7 @@ def emit_record(r: dict, partial: bool, *, backend: str,
     asr_small_rtf = r.get("asr_small")
     frames_pipe = r.get("frames_pipeline") or {}
 
+    serving_warm = serving.get("warm") or {}
     rnd = lambda v, p=3: round(v, p) if v is not None else None  # noqa: E731
     mfu = {
         "minilm": _mfu(minilm, _FLOPS_MINILM),
@@ -2102,6 +2404,13 @@ def emit_record(r: dict, partial: bool, *, backend: str,
                     "serving_p50_ms": serving.get("p50_ms"),
                     "serving_p95_ms": serving.get("p95_ms"),
                     "serving_rps": serving.get("rps"),
+                    # warm steady-state window with the compile counter
+                    # armed (VERDICT r3 item 3)
+                    "serving_warm_p50_ms": serving_warm.get("p50_ms"),
+                    "serving_warm_p95_ms": serving_warm.get("p95_ms"),
+                    "serving_warm_rps": serving_warm.get("rps"),
+                    "serving_compiles_in_window": serving_warm.get(
+                        "compiles_in_window"),
                     "serving_coalesce_mean": serving.get("coalesce_mean"),
                     "whisper_base_asr_x_realtime": rnd(asr_rtf, 1),
                     "whisper_small_asr_x_realtime": rnd(asr_small_rtf, 1),
@@ -2109,6 +2418,12 @@ def emit_record(r: dict, partial: bool, *, backend: str,
                         frames_pipe.get("x_realtime"), 1),
                     "frames_pipeline_frames_per_sec": rnd(
                         frames_pipe.get("frames_per_sec"), 1),
+                    # offline end-to-end video ingest through the real
+                    # serving/tasks.py pipeline (VERDICT r3 item 6)
+                    "e2e_video_ingest": r.get("e2e_video_ingest"),
+                    # real-checkpoint validation battery results, or the
+                    # explicit "unavailable" marker (VERDICT r3 item 4)
+                    "real_weights": r.get("real_weights", "unavailable"),
                     # queue-wait vs device-time split per serving stage
                     # (VERDICT r2 item 4): {stage: {p50_ms, p95_ms, ...}}
                     "serving_stages": serving.get("stages"),
@@ -2133,7 +2448,6 @@ def emit_record(r: dict, partial: bool, *, backend: str,
     )
 
     # --- compact headline line (always LAST; <=1.5 KB hard cap) ---
-    serving_warm = serving.get("warm") or {}
     compact = {
         "backend": backend,
         "minilm512": rnd(minilm512, 1),
@@ -2166,7 +2480,8 @@ def emit_record(r: dict, partial: bool, *, backend: str,
         "frames_x": rnd(frames_pipe.get("x_realtime"), 1),
         "e2e_video_x": rnd(
             (r.get("e2e_video_ingest") or {}).get("x_realtime"), 1),
-        "real_weights": r.get("real_weights", "unavailable"),
+        "real_weights": _compact_real_weights(
+            r.get("real_weights", "unavailable")),
         "degraded": sorted(set(degraded_steps)),
         "skipped": r.get("_skipped_budget", []),
         "promoted": r.get("_promoted_steps", []),
