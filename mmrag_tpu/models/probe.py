@@ -1,0 +1,148 @@
+"""Real-checkpoint discovery + conversion (VERDICT r3 item 4).
+
+The reference's value rests on four real checkpoints loaded at
+``/root/reference/app/ml/embeddings.py:23-43`` and
+``/root/reference/app/ingest/youtube.py:154-166``; this build environment
+has zero egress, so every parity number so far is measured on seeded init.
+This module is the standing probe that upgrades everything automatically
+the day real weights appear: ``find_real_checkpoints`` discovers
+provisioned torch checkpoints (flat dir or HF hub cache layout), and
+``convert_found_into`` converts them into a ``WEIGHTS_DIR`` with the
+architecture derived FROM each checkpoint so the production
+:class:`~mmrag_tpu.models.runtime.EncoderRuntime` loads them instead of
+seeded init. ``bench.py`` records the probe's outcome every run, and
+``__graft_entry__.dryrun_multichip`` converts whatever the probe finds.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Dict, Optional
+
+logger = logging.getLogger(__name__)
+
+REAL_WEIGHT_FAMILIES = {
+    # family -> the reference's checkpoint id
+    "minilm": "sentence-transformers/all-MiniLM-L6-v2",
+    "clip": "openai/clip-vit-base-patch32",
+    "reranker": "cross-encoder/ms-marco-MiniLM-L-6-v2",
+    "whisper": "openai/whisper-base",
+}
+
+_TOKENIZER_FILES = (
+    "vocab.txt", "vocab.json", "merges.txt", "tokenizer.json",
+    "tokenizer_config.json", "special_tokens_map.json",
+    "preprocessor_config.json",
+)
+
+
+def _has_weights(d: str) -> bool:
+    if not os.path.isfile(os.path.join(d, "config.json")):
+        return False
+    return any(
+        os.path.isfile(os.path.join(d, w))
+        for w in ("pytorch_model.bin", "model.safetensors"))
+
+
+def find_real_checkpoints() -> Dict[str, str]:
+    """Probe for the four real reference checkpoints.
+
+    Looks in ``TPU_REAL_WEIGHTS_DIR`` (a dir of per-model subdirs, named by
+    HF id with ``/``, ``--``, or ``__`` separators, or the bare model name)
+    and the HF hub cache (``$HF_HOME/hub`` or ``~/.cache/huggingface/hub``
+    snapshot layout). Returns {family: loadable_torch_checkpoint_dir} for
+    every family whose dir holds a config.json plus torch weights; empty
+    when the environment has none provisioned.
+    """
+
+    found: Dict[str, str] = {}
+    roots = []
+    if os.environ.get("TPU_REAL_WEIGHTS_DIR"):
+        roots.append(os.environ["TPU_REAL_WEIGHTS_DIR"])
+    hf_home = os.environ.get(
+        "HF_HOME", os.path.expanduser("~/.cache/huggingface"))
+    hub = os.path.join(hf_home, "hub")
+    for fam, model_id in REAL_WEIGHT_FAMILIES.items():
+        candidates = []
+        for root in roots:
+            candidates += [
+                os.path.join(root, model_id),
+                os.path.join(root, model_id.replace("/", "--")),
+                os.path.join(root, model_id.replace("/", "__")),
+                os.path.join(root, model_id.split("/")[-1]),
+            ]
+        snap_root = os.path.join(
+            hub, "models--" + model_id.replace("/", "--"), "snapshots")
+        if os.path.isdir(snap_root):
+            candidates += sorted(
+                (os.path.join(snap_root, s) for s in os.listdir(snap_root)),
+                key=os.path.getmtime, reverse=True)
+        for cand in candidates:
+            if os.path.isdir(cand) and _has_weights(cand):
+                found[fam] = cand
+                break
+    return found
+
+
+def convert_found_into(weights_dir: str,
+                       found: Dict[str, str],
+                       families: Optional[tuple] = None) -> Dict[str, object]:
+    """Convert provisioned encoder checkpoints into ``weights_dir`` in the
+    production layout (``<weights_dir>/<model_id with '/'->'__'>/model.npz``
+    plus tokenizer files), deriving each architecture from its checkpoint.
+
+    Returns {family: derived_config} for the converted families so callers
+    (e.g. the multichip dryrun) can hand the real configs to
+    :class:`EncoderRuntime` instead of seeded-init presets. Only the three
+    encoder families are converted here — whisper has its own runtime-side
+    loader (:mod:`mmrag_tpu.ingest.asr`).
+    """
+
+    import shutil
+
+    import transformers
+
+    from . import convert
+    from . import validate as val
+    from .runtime import _sanitize
+
+    def state(model):
+        return {k: v.detach().cpu().numpy()
+                for k, v in model.state_dict().items()}
+
+    def out_dir(fam: str) -> str:
+        return os.path.join(weights_dir, _sanitize(REAL_WEIGHT_FAMILIES[fam]))
+
+    def copy_tokenizer(src: str, out: str) -> None:
+        for name in _TOKENIZER_FILES:
+            p = os.path.join(src, name)
+            if os.path.isfile(p):
+                shutil.copy2(p, os.path.join(out, name))
+
+    converted: Dict[str, object] = {}
+    for fam in families or ("minilm", "clip", "reranker"):
+        src = found.get(fam)
+        if not src:
+            continue
+        logger.info("converting real %s checkpoint from %s", fam, src)
+        if fam == "minilm":
+            model = transformers.BertModel.from_pretrained(src).eval()
+            cfg = val.bert_config_from_hf(model.config)
+            params = convert.convert_bert(state(model), cfg)
+        elif fam == "reranker":
+            model = transformers.BertForSequenceClassification.from_pretrained(
+                src).eval()
+            cfg = val.bert_config_from_hf(model.config)
+            params = convert.convert_cross_encoder(state(model), cfg)
+        else:  # clip
+            model = transformers.CLIPModel.from_pretrained(src).eval()
+            cfg = val.clip_config_from_hf(model.config)
+            params = convert.convert_clip(state(model), cfg)
+        out = out_dir(fam)
+        os.makedirs(out, exist_ok=True)
+        convert.save_params(params, out, "model",
+                            meta={"arch": fam, "source": src})
+        copy_tokenizer(src, out)
+        converted[fam] = cfg
+    return converted

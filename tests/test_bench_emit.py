@@ -171,3 +171,119 @@ def test_budget_promotion_runs_cheap_full_steps(tmp_path):
     assert rec["extra"]["promoted"] == ["topk_int8"]
     assert rec["extra"]["topk_i8_ms"] is not None
     assert rec["extra"]["ivf_i8_10m_ms"] is None
+
+
+def test_find_real_checkpoints_empty_env(monkeypatch, tmp_path):
+    monkeypatch.delenv("TPU_REAL_WEIGHTS_DIR", raising=False)
+    monkeypatch.setenv("HF_HOME", str(tmp_path / "empty_hf"))
+    assert bench.find_real_checkpoints() == {}
+    assert bench.bench_real_weights(True) == "unavailable"
+
+
+def test_real_weights_battery_runs_on_provisioned_checkpoint(
+        monkeypatch, tmp_path):
+    """A provisioned real-format checkpoint (tiny BertModel written with
+    save_pretrained) is discovered by the probe — both the flat
+    TPU_REAL_WEIGHTS_DIR layout and the HF hub snapshot layout — and the
+    bench step runs the actual validate battery on it (VERDICT r3 item 4)."""
+
+    import torch
+    import transformers
+
+    torch.manual_seed(0)
+    cfg = transformers.BertConfig(
+        vocab_size=211, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=96, type_vocab_size=2)
+    flat = tmp_path / "weights" / "all-MiniLM-L6-v2"
+    transformers.BertModel(cfg).eval().save_pretrained(flat)
+    monkeypatch.setenv("TPU_REAL_WEIGHTS_DIR", str(tmp_path / "weights"))
+    monkeypatch.setenv("HF_HOME", str(tmp_path / "empty_hf"))
+    found = bench.find_real_checkpoints()
+    assert found == {"minilm": str(flat)}
+
+    # HF hub snapshot layout is probed too
+    snap = (tmp_path / "hf" / "hub"
+            / "models--cross-encoder--ms-marco-MiniLM-L-6-v2"
+            / "snapshots" / "ab12cd")
+    transformers.BertForSequenceClassification(
+        transformers.BertConfig(
+            vocab_size=211, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=4, intermediate_size=64,
+            max_position_embeddings=96, type_vocab_size=2, num_labels=1)
+    ).eval().save_pretrained(snap)
+    monkeypatch.setenv("HF_HOME", str(tmp_path / "hf"))
+    found = bench.find_real_checkpoints()
+    assert found["reranker"] == str(snap)
+
+    result = bench.bench_real_weights(True)
+    assert set(result) == {"minilm", "reranker"}
+    assert result["minilm"]["ok"] is True
+    assert result["minilm"]["cosine_drift_vs_torch"] <= 1e-3
+    assert result["reranker"]["ok"] is True
+
+    compact = bench._compact_real_weights(result)
+    assert compact["minilm"] == result["minilm"]["cosine_drift_vs_torch"]
+    assert compact["reranker"] == result["reranker"][
+        "score_max_abs_err_vs_torch"]
+    assert len(json.dumps(compact)) < 200  # stays compact-line sized
+
+
+def test_compact_real_weights_marks_failures():
+    assert bench._compact_real_weights("unavailable") == "unavailable"
+    assert bench._compact_real_weights(
+        {"clip": {"ok": False, "image_cosine_drift_vs_torch": 0.5}}
+    ) == {"clip": "FAIL"}
+
+
+def test_convert_found_into_feeds_encoder_runtime(monkeypatch, tmp_path):
+    """The dryrun upgrade path: a provisioned checkpoint converts into the
+    production WEIGHTS_DIR layout with its checkpoint-derived config, and
+    EncoderRuntime then loads the converted params instead of seeded init
+    (embeddings match the torch model, not a random init)."""
+
+    import numpy as np
+    import torch
+    import transformers
+
+    from mmrag_tpu.models.probe import convert_found_into, find_real_checkpoints
+
+    torch.manual_seed(1)
+    cfg = transformers.BertConfig(
+        vocab_size=211, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=96, type_vocab_size=2)
+    src = tmp_path / "real" / "all-MiniLM-L6-v2"
+    model = transformers.BertModel(cfg).eval()
+    model.save_pretrained(src)
+    monkeypatch.setenv("TPU_REAL_WEIGHTS_DIR", str(tmp_path / "real"))
+    monkeypatch.setenv("HF_HOME", str(tmp_path / "no_hf"))
+
+    found = find_real_checkpoints()
+    weights_dir = tmp_path / "weights"
+    converted = convert_found_into(str(weights_dir), found)
+    assert set(converted) == {"minilm"}
+    assert (weights_dir
+            / "sentence-transformers__all-MiniLM-L6-v2" / "model.npz").exists()
+
+    from mmrag_tpu.models import bert as jbert
+    from mmrag_tpu.models.runtime import EncoderRuntime
+    from mmrag_tpu.settings import load_settings
+
+    s = load_settings({"WEIGHTS_DIR": str(weights_dir),
+                       "TPU_INDEX_DIR": str(tmp_path / "ix"),
+                       "TPU_COMPUTE_DTYPE": "float32",
+                       "TPU_DATA_PARALLEL": "off"})
+    rt = EncoderRuntime(s, bert_cfg=converted["minilm"])
+    ids = np.array([[2, 5, 9, 41, 3]], dtype=np.int32)
+    mask = np.ones_like(ids)
+    got = np.asarray(jbert.minilm_embed(
+        rt._ensure_minilm(), ids, mask, converted["minilm"]))
+    with torch.no_grad():
+        hidden = model(input_ids=torch.tensor(ids.astype(np.int64)),
+                       attention_mask=torch.tensor(mask.astype(np.int64))
+                       ).last_hidden_state
+        pooled = hidden.mean(1)
+        want = torch.nn.functional.normalize(pooled, dim=-1).numpy()
+    cos = float((got * want).sum(-1))
+    assert cos > 0.999, cos  # loaded REAL converted weights, not seeded init
