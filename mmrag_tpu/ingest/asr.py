@@ -301,6 +301,110 @@ class WhisperRuntime:
             for start, dur, text in self.transcribe_array(audio)
         ]
 
+    # -- word-level alignment (the WhisperX-align equivalent) ----------------
+
+    def _align_fn(self, n_tokens: int) -> Callable:
+        """One jitted mel->encode->teacher-forced cross-attention capture
+        per padded token length (single ``max_tokens`` bucket in practice);
+        see :mod:`mmrag_tpu.models.align`."""
+
+        key = ("align", n_tokens)
+        with self._lock:
+            if key not in self._fns:
+                import jax
+
+                from ..models import align as jalign, whisper
+
+                mcfg = self._model_cfg
+                compute = self._compute_dtype()
+
+                def fn(params, audio, toks):
+                    mel = whisper.log_mel_spectrogram(audio, mcfg.num_mel_bins)
+                    enc = whisper.whisper_encode(
+                        params, mel, mcfg, compute_dtype=compute)
+                    _, cross = jalign.decoder_cross_attention(
+                        params, toks, enc, mcfg, compute_dtype=compute)
+                    return cross
+
+                self._fns[key] = jax.jit(fn)
+            return self._fns[key]
+
+    def transcribe_array_aligned(self, audio: np.ndarray) -> List[Dict]:
+        """Waveform -> segments WITH word-level timestamps.
+
+        The TPU-native equivalent of the reference's WhisperX alignment
+        rung (``/root/reference/app/ingest/youtube.py:156-157``): instead
+        of a second wav2vec model, a teacher-forced decoder pass captures
+        cross-attention on device and a host DTW recovers word spans
+        (:mod:`mmrag_tpu.models.align`). Returns
+        ``[{"start", "duration", "text", "words": [WordSpan, ...]}, ...]``
+        — an enrichment API on top of the ladder's segment contract.
+        """
+
+        import jax.numpy as jnp
+
+        from ..models import align as jalign
+        from ..models.whisper import HOP_LENGTH, SAMPLE_RATE
+
+        self._ensure()
+        if self._decoder is None:
+            raise FileNotFoundError(
+                "word alignment needs the vocab.json detokenizer")
+        mcfg = self._model_cfg
+        chunk_samples = mcfg.max_source_positions * 2 * HOP_LENGTH
+        audio = np.asarray(audio, np.float32)
+        total = len(audio)
+        if total == 0:
+            return []
+        n_chunks = max(1, -(-total // chunk_samples))
+        first = np.zeros(chunk_samples, np.float32)
+        first[: min(total, chunk_samples)] = audio[:chunk_samples]
+        prefix = self._resolve_prefix(first)
+
+        out: List[Dict] = []
+        for idx in range(n_chunks):
+            window = np.zeros(chunk_samples, np.float32)
+            part = audio[idx * chunk_samples: (idx + 1) * chunk_samples]
+            window[: len(part)] = part
+            start = idx * chunk_samples / SAMPLE_RATE
+            covered = min(total - idx * chunk_samples, chunk_samples) / SAMPLE_RATE
+            tokens, lengths = self._transcribe_fn(1, prefix)(
+                self._params, window[None])
+            toks = np.asarray(tokens)[0, : int(np.asarray(lengths)[0])]
+            segs = self._window_segments(toks, start, covered)
+            if not segs:
+                continue
+            padded = np.full(self.max_tokens, mcfg.eot_id, np.int32)
+            padded[: len(toks)] = toks
+            cross = np.asarray(self._align_fn(self.max_tokens)(
+                self._params, jnp.asarray(window[None]),
+                jnp.asarray(padded[None])))
+            words = jalign.words_from_cross(
+                cross[:, 0][:, :, : len(toks), :], toks, self._decoder,
+                mcfg, time_offset=start)
+            # assign each word to the segment containing its midpoint
+            # (fallback: the nearest segment start)
+            segments = [
+                {"start": s, "duration": d, "text": t, "words": []}
+                for s, d, t in segs
+            ]
+            for w in words:
+                mid = (w.start + w.end) / 2.0
+                target = next(
+                    (seg for seg in segments
+                     if seg["start"] <= mid < seg["start"] + seg["duration"]),
+                    min(segments, key=lambda seg: abs(seg["start"] - w.start)),
+                )
+                target["words"].append(w)
+            out.extend(segments)
+        return out
+
+    def transcribe_wav_aligned(self, wav_path: str) -> List[Dict]:
+        """wav file -> word-aligned segments (see
+        :meth:`transcribe_array_aligned`)."""
+
+        return self.transcribe_array_aligned(read_wav_mono16k(wav_path))
+
 
 _runtime: Optional[WhisperRuntime] = None
 _runtime_lock = threading.Lock()
