@@ -1671,6 +1671,34 @@ def bench_real_weights(quick: bool):
     return out
 
 
+def bench_pq_50m(quick: bool):
+    """The 50M x 384 single-chip capacity point (VERDICT r3 item 2
+    stretch): runs ``tools/pq_50m_experiment.py`` — the r3 builder-measured
+    experiment — as a bounded subprocess and surfaces its JSON record.
+    Never in the default or --full lists; reachable ONLY via budget
+    promotion when >20 min of budget remains after everything else.
+    Quick mode measures a 2M-row scale-down of the same construction."""
+
+    import subprocess
+    import sys as _sys
+
+    rows = (2 * 1024 * 1024) if quick else (50 * 1024 * 1024)
+    proc = subprocess.run(
+        [_sys.executable,
+         os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "tools", "pq_50m_experiment.py"),
+         "--rows", str(rows)],
+        capture_output=True, text=True, timeout=1500)
+    if proc.returncode != 0:
+        raise RuntimeError(f"pq_50m experiment failed: {proc.stderr[-800:]}")
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError:
+            continue
+    raise RuntimeError(f"pq_50m produced no JSON line: {proc.stdout[-400:]}")
+
+
 def bench_e2e_video_ingest(quick: bool):
     """Offline end-to-end video ingest (VERDICT r3 item 6; BASELINE config
     #5 without the network): a locally synthesized video runs through the
@@ -2062,10 +2090,14 @@ def main() -> None:
             except subprocess.TimeoutExpired:
                 return False
 
-        def run_child(step_list):
+        def run_child(step_list, timeout_s=None):
             """Spawn a child over ``step_list``, streaming its RESULT lines
             into ``results`` as they land (each one re-emitted to the driver
-            via ``emit_partial``). Returns (completed_all, budget_hit)."""
+            via ``emit_partial``). ``timeout_s`` overrides the per-step
+            timeout (the 50M promotion needs >600 s for one step). Returns
+            (completed_all, budget_hit)."""
+
+            child_step_timeout = timeout_s or step_timeout_s
 
             cmd = [sys.executable, os.path.abspath(__file__),
                    "--steps", ",".join(step_list)]
@@ -2093,7 +2125,7 @@ def main() -> None:
             threading.Thread(target=read_out, daemon=True).start()
             threading.Thread(target=read_err, daemon=True).start()
             pending = list(step_list)
-            step_deadline = time.perf_counter() + step_timeout_s
+            step_deadline = time.perf_counter() + child_step_timeout
             budget_hit = timed_out = False
             while pending:
                 wait = min(step_deadline, deadline) - time.perf_counter()
@@ -2115,12 +2147,12 @@ def main() -> None:
                     if name in pending:
                         pending.remove(name)
                     emit_partial(results)
-                    step_deadline = time.perf_counter() + step_timeout_s
+                    step_deadline = time.perf_counter() + child_step_timeout
             if proc.poll() is None:
                 proc.kill()
                 proc.wait()
             if timed_out and pending:
-                print(f"bench child timed out ({step_timeout_s:.0f}s) at "
+                print(f"bench child timed out ({child_step_timeout:.0f}s) at "
                       f"step {pending[0]}", file=sys.stderr)
             elif pending and not budget_hit:
                 print(f"bench child died at step {pending[0]}: "
@@ -2186,6 +2218,8 @@ def main() -> None:
             ("topk_10m", 240.0),
             ("asr_small", 180.0),
             ("clip_images_pipelined", 120.0),
+            # the 50M capacity experiment: only when >20 min remain
+            ("pq_50m", 1100.0),
         ]
         if os.environ.get("BENCH_PROMOTE_COSTS"):
             # test/debug seam: JSON {step: est_seconds}, ordered
@@ -2200,7 +2234,8 @@ def main() -> None:
                 remaining = deadline - time.perf_counter()
                 if remaining < est * 1.3 + 60.0:
                     continue  # a cheaper later candidate may still fit
-                completed, _ = run_child([step])
+                completed, _ = run_child(
+                    [step], timeout_s=max(step_timeout_s, est * 1.3))
                 if completed:
                     results.setdefault("_promoted_steps", []).append(step)
                     emit_partial(results)
@@ -2394,6 +2429,8 @@ def emit_record(r: dict, partial: bool, *, backend: str,
                         pq_10m.get("refined_recall_worstcase_geometry")),
                     "pq_10m_probe_recall_at_10": rnd(
                         pq_10m.get("probe_recall")),
+                    # 50M x 384 capacity point (budget-promotion only)
+                    "pq_50m": r.get("pq_50m"),
                     "pq_refined_recall_at_10": rnd(pq_r.get("recall")),
                     "ivf_encoder_recall_at_10": rnd(ivf_enc_recall),
                     "ivf_encoder_structure_ratio": rnd(ivf_enc_structure, 2),
@@ -2465,6 +2502,7 @@ def emit_record(r: dict, partial: bool, *, backend: str,
         "topk_10m_ms": rnd(topk_10m_ms),
         "ivf_i8_10m_ms": rnd(ivf_i8_10m_ms),
         "pq_10m_ms": pq_10m.get("ivf_pq_ms"),
+        "pq_50m_q1_ms": (r.get("pq_50m") or {}).get("ivf_pq_q1_p50_ms"),
         "multitenant_ms": rnd(multitenant_ms),
         "rerank_ps": rnd(rerank, 1),
         "chat_ms": rnd(chat_ms),
