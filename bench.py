@@ -1658,7 +1658,13 @@ def bench_real_weights(quick: bool):
     from mmrag_tpu.models import validate as val
 
     out = {}
+    t0 = time.perf_counter()
+    soft_deadline_s = 420.0  # stay under the 600 s step timeout: better a
+    # truncated per-family record than the whole step nulled after 2 tries
     for fam, src in found.items():
+        if time.perf_counter() - t0 > soft_deadline_s:
+            out[fam] = {"ok": None, "truncated": "step soft deadline"}
+            continue
         _plog(f"validating real {fam} weights from {src}")
         rep = val.VALIDATORS[fam](
             src, **({"pq_corpus": 512} if quick and fam == "minilm" else {}))

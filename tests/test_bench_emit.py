@@ -293,3 +293,29 @@ def test_convert_found_into_feeds_encoder_runtime(monkeypatch, tmp_path):
         want = torch.nn.functional.normalize(pooled, dim=-1).numpy()
     cos = float((got * want).sum(-1))
     assert cos > 0.999, cos  # loaded REAL converted weights, not seeded init
+
+
+def test_default_step_list_covers_round4_steps():
+    """The driver runs plain `python bench.py`; the default list must carry
+    the round-4 additions (real-weights probe first, e2e video ingest) —
+    pinned via the zero-budget skip list, which names every default step."""
+
+    import subprocess
+
+    env = dict(os.environ)
+    env["BENCH_BUDGET_S"] = "0"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(_REPO, "bench.py"),
+         "--platform", "cpu"],
+        capture_output=True, text=True, timeout=240, env=env)
+    assert proc.returncode == 0, proc.stderr[-800:]
+    rec = json.loads(proc.stdout.strip().splitlines()[-1])
+    skipped = rec["extra"]["skipped"]
+    assert skipped[0] == "real_weights"
+    for step in ("minilm", "minilm_seq512", "clip_images", "topk", "ivf",
+                 "pq", "rerank", "serving_load", "frames_pipeline", "asr",
+                 "e2e_video_ingest"):
+        assert step in skipped, step
+    # capacity steps are NOT in the default list (they ride promotion)
+    for step in ("topk_10m", "ivf_int8_10m", "pq_10m", "pq_50m", "asr_small"):
+        assert step not in skipped, step
