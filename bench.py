@@ -1495,11 +1495,16 @@ def bench_serving_load(quick: bool):
     from jax._src import monitoring as _jmon
 
     compile_count = [0]
+    compile_secs = [0.0]
     compile_counting = [False]
 
-    def _on_event(name, *a, **kw):
+    def _on_event(name, duration=0.0, *a, **kw):
         if compile_counting[0] and "backend_compile" in name:
             compile_count[0] += 1
+            try:
+                compile_secs[0] += float(duration)
+            except (TypeError, ValueError):
+                pass
 
     _jmon.register_event_duration_secs_listener(_on_event)
 
@@ -1569,10 +1574,12 @@ def bench_serving_load(quick: bool):
     _plog("serving cold window done")
     _stage_metrics.reset()  # stage breakdown reports the WARM window only
     compile_count[0] = 0
+    compile_secs[0] = 0.0
     compile_counting[0] = True
     warm_latencies, warm_wall = run_window("warm")
     compile_counting[0] = False
-    _plog(f"serving warm window done ({compile_count[0]} compiles)")
+    _plog(f"serving warm window done ({compile_count[0]} compiles, "
+          f"{compile_secs[0]:.2f}s)")
     probe_stop.set()
     probe_thread.join(timeout=10)
     probe_sorted = sorted(probe_lat) or [0.0]
@@ -1616,6 +1623,10 @@ def bench_serving_load(quick: bool):
                 warm_ordered[int(len(warm_ordered) * 0.95)] * 1e3, 2),
             "rps": round(len(warm_latencies) / warm_wall, 1),
             "compiles_in_window": compile_count[0],
+            # total seconds spent compiling inside the window: a multi-
+            # second warm stall with compile_secs ~0 is a host convoy
+            # (1-core bench topology, BASELINE.md forensics), not a compile
+            "compile_secs_in_window": round(compile_secs[0], 2),
         },
         "coalesce_mean": round(coalesce_mean, 2),
         "coalesce_hist": {str(k): v for k, v in sorted(hist.items())},
@@ -1855,19 +1866,28 @@ def bench_e2e_video_ingest(quick: bool):
            {"audio_fn": lambda vp, c: write_sine_wav(
                os.path.splitext(vp)[0] + ".wav")}),
     )
-    video_id = "benchvide0x"
-    url = f"https://www.youtube.com/watch?v={video_id}"
-
+    # two ingests of the same local file under different video ids: the
+    # first pays every first-compile (whisper encode/decode, CLIP, embed
+    # buckets — all persistent-cache-able), the second measures the
+    # steady-state pipeline a production worker runs
     stages: list = []
-    t0 = time.perf_counter()
-    result = tasks.ingest_youtube_task(
-        lambda *a, **k: stages.append(a[0] if a else k),
-        "u1", url, engine=engine,
-        info_fn=lambda u, c: {"video_id": video_id, "title": "bench video",
-                              "duration": duration},
-        ladder_fn=ladder,
-    )
-    wall = time.perf_counter() - t0
+    walls = []
+    result = None
+    for run_idx, video_id in enumerate(
+            ["benchvide0x"] if quick else ["benchvide0x", "benchvide1x"]):
+        url = f"https://www.youtube.com/watch?v={video_id}"
+        t0 = time.perf_counter()
+        result = tasks.ingest_youtube_task(
+            lambda *a, **k: stages.append(a[0] if a else k),
+            "u1", url, engine=engine,
+            info_fn=lambda u, c, vid=video_id: {
+                "video_id": vid, "title": f"bench video {run_idx}",
+                "duration": duration},
+            ladder_fn=ladder,
+        )
+        walls.append(time.perf_counter() - t0)
+        _plog(f"e2e ingest {run_idx} done in {walls[-1]:.1f}s")
+    wall = walls[-1]  # warm = the steady-state number
 
     # one real /chat_pro over HTTP against the freshly indexed video
     server = make_server("127.0.0.1", 0, cfg, engine)
@@ -1888,7 +1908,9 @@ def bench_e2e_video_ingest(quick: bool):
     assert "response" in body, body
     return {
         "x_realtime": round(duration / wall, 2),
+        "x_realtime_cold": round(duration / walls[0], 2),
         "wall_s": round(wall, 2),
+        "cold_wall_s": round(walls[0], 2),
         "video_s": duration,
         "text_nodes": result["text_nodes"],
         "image_nodes": result["image_nodes"],
@@ -2317,6 +2339,9 @@ def _compact_real_weights(rw):
         if not isinstance(entry, dict):
             out[fam] = entry
             continue
+        if entry.get("ok") is None and "truncated" in entry:
+            out[fam] = "truncated"  # never validated — not a failure
+            continue
         primary = next(
             (entry[k] for k in primary_keys if k in entry), None)
         out[fam] = primary if entry.get("ok") else "FAIL"
@@ -2454,6 +2479,8 @@ def emit_record(r: dict, partial: bool, *, backend: str,
                     "serving_warm_rps": serving_warm.get("rps"),
                     "serving_compiles_in_window": serving_warm.get(
                         "compiles_in_window"),
+                    "serving_compile_secs_in_window": serving_warm.get(
+                        "compile_secs_in_window"),
                     "serving_coalesce_mean": serving.get("coalesce_mean"),
                     "whisper_base_asr_x_realtime": rnd(asr_rtf, 1),
                     "whisper_small_asr_x_realtime": rnd(asr_small_rtf, 1),
@@ -2519,6 +2546,7 @@ def emit_record(r: dict, partial: bool, *, backend: str,
         "srv_warm_p95_ms": serving_warm.get("p95_ms"),
         "srv_warm_rps": serving_warm.get("rps"),
         "srv_warm_compiles": serving_warm.get("compiles_in_window"),
+        "srv_warm_compile_s": serving_warm.get("compile_secs_in_window"),
         "asr_base_x": rnd(asr_rtf, 1),
         "asr_small_x": rnd(asr_small_rtf, 1),
         "frames_x": rnd(frames_pipe.get("x_realtime"), 1),

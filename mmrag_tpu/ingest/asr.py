@@ -303,12 +303,16 @@ class WhisperRuntime:
 
     # -- word-level alignment (the WhisperX-align equivalent) ----------------
 
-    def _align_fn(self, n_tokens: int) -> Callable:
-        """One jitted mel->encode->teacher-forced cross-attention capture
-        per padded token length (single ``max_tokens`` bucket in practice);
-        see :mod:`mmrag_tpu.models.align`."""
+    def _aligned_transcribe_fn(self, prefix: tuple) -> Callable:
+        """One jitted program per decode prefix for the aligned path:
+        mel -> encode ONCE -> KV-cached greedy decode -> teacher-forced
+        cross-attention capture over the same encoder states — a single
+        dispatch per window (the review found the first cut encoding twice:
+        once in the decode program, again in a separate capture program).
+        Batch is 1: alignment is an enrichment API, not the ingest hot
+        path; see :mod:`mmrag_tpu.models.align`."""
 
-        key = ("align", n_tokens)
+        key = ("aligned", prefix)
         with self._lock:
             if key not in self._fns:
                 import jax
@@ -318,13 +322,16 @@ class WhisperRuntime:
                 mcfg = self._model_cfg
                 compute = self._compute_dtype()
 
-                def fn(params, audio, toks):
+                def fn(params, audio):
                     mel = whisper.log_mel_spectrogram(audio, mcfg.num_mel_bins)
                     enc = whisper.whisper_encode(
                         params, mel, mcfg, compute_dtype=compute)
+                    tokens, lengths = whisper.whisper_greedy_decode(
+                        params, enc, mcfg, forced_prefix=prefix,
+                        max_len=self.max_tokens, compute_dtype=compute)
                     _, cross = jalign.decoder_cross_attention(
-                        params, toks, enc, mcfg, compute_dtype=compute)
-                    return cross
+                        params, tokens, enc, mcfg, compute_dtype=compute)
+                    return tokens, lengths, cross
 
                 self._fns[key] = jax.jit(fn)
             return self._fns[key]
@@ -362,26 +369,22 @@ class WhisperRuntime:
         prefix = self._resolve_prefix(first)
 
         out: List[Dict] = []
+        fn = self._aligned_transcribe_fn(prefix)
         for idx in range(n_chunks):
             window = np.zeros(chunk_samples, np.float32)
             part = audio[idx * chunk_samples: (idx + 1) * chunk_samples]
             window[: len(part)] = part
             start = idx * chunk_samples / SAMPLE_RATE
             covered = min(total - idx * chunk_samples, chunk_samples) / SAMPLE_RATE
-            tokens, lengths = self._transcribe_fn(1, prefix)(
-                self._params, window[None])
-            toks = np.asarray(tokens)[0, : int(np.asarray(lengths)[0])]
+            tokens, lengths, cross = fn(self._params, jnp.asarray(window[None]))
+            n_tok = int(np.asarray(lengths)[0])
+            toks = np.asarray(tokens)[0, :n_tok]
             segs = self._window_segments(toks, start, covered)
             if not segs:
                 continue
-            padded = np.full(self.max_tokens, mcfg.eot_id, np.int32)
-            padded[: len(toks)] = toks
-            cross = np.asarray(self._align_fn(self.max_tokens)(
-                self._params, jnp.asarray(window[None]),
-                jnp.asarray(padded[None])))
             words = jalign.words_from_cross(
-                cross[:, 0][:, :, : len(toks), :], toks, self._decoder,
-                mcfg, time_offset=start)
+                np.asarray(cross)[:, 0][:, :, :n_tok, :], toks,
+                self._decoder, mcfg, time_offset=start)
             # assign each word to the segment containing its midpoint
             # (fallback: the nearest segment start)
             segments = [

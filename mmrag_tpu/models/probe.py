@@ -75,9 +75,19 @@ def find_real_checkpoints() -> Dict[str, str]:
         snap_root = os.path.join(
             hub, "models--" + model_id.replace("/", "--"), "snapshots")
         if os.path.isdir(snap_root):
+            def safe_mtime(p: str) -> float:
+                try:
+                    return os.path.getmtime(p)
+                except OSError:  # dangling entry in a partially-GC'd cache
+                    return 0.0
+
+            try:
+                entries = os.listdir(snap_root)
+            except OSError:
+                entries = []
             candidates += sorted(
-                (os.path.join(snap_root, s) for s in os.listdir(snap_root)),
-                key=os.path.getmtime, reverse=True)
+                (os.path.join(snap_root, s) for s in entries),
+                key=safe_mtime, reverse=True)
         for cand in candidates:
             if os.path.isdir(cand) and _has_weights(cand):
                 found[fam] = cand

@@ -28,21 +28,6 @@ from ..storage.metadata import MetadataStore
 from ..storage.notes import NoteStore
 
 
-def _warm_buckets(max_coalesce: int) -> list:
-    """The distinct padding buckets the index can produce for any coalesce
-    size <= ``max_coalesce`` — derived from the store's bucket table (not a
-    re-typed literal, so the tables can't drift): the named buckets, then
-    multiples of the top bucket for ``TPU_MICROBATCH_MAX`` > 32."""
-
-    from ..index.store import _QUERY_BUCKETS, _query_bucket
-
-    top = _query_bucket(max(max_coalesce, 1))
-    buckets = [b for b in _QUERY_BUCKETS if b <= top]
-    step = _QUERY_BUCKETS[-1]
-    buckets += list(range(step * 2, top + 1, step))
-    return buckets
-
-
 class RagEngine:
     def __init__(
         self,
@@ -151,31 +136,38 @@ class RagEngine:
         while a warmup dispatch is inside XLA (which aborts the process the
         same way an orphaned ivf-build thread did, index/store.py)."""
 
-        import numpy as np
-
         max_coalesce = max_coalesce or self.cfg.tpu.microbatch_max
-        buckets = _warm_buckets(max_coalesce)
         cfgr = self.cfg.retrieval
         # a mid-length passage so the rerank warms a realistic seq bucket
         passage = "warmup passage text for the cross encoder. " * 8
         count = 0
-        for b in buckets:
+        # EVERY coalesce length 1..max, through the LIVE serving pipeline
+        # (embed_queries_device -> async device-padded searches -> rerank).
+        # Two lessons from the r4 warm-window compile guard are baked in:
+        # (1) partial-length result slices and the device-side jnp.pad are
+        # shape-specialized per EXACT length, so warming only the bucket
+        # boundaries leaves every odd coalesce paying 50-400 ms of
+        # implicit-jit compiles mid-request; (2) the live path hands DEVICE
+        # arrays to the index (store._pad_queries pads on device), so a
+        # numpy-array warmup compiles the wrong executable and warms
+        # nothing. The big bucket executables still compile once each —
+        # the per-length sweep only adds the tiny pad/slice jits.
+        for n in range(1, max_coalesce + 1):
             if stop is not None and stop.is_set():
                 return count
-            qs = [f"warmup query {i} for bucket {b}" for i in range(b)]
-            self.runtime.embed_text_batch(qs)
-            self.runtime.embed_queries_for_images(qs)
-            count += 2
-            for index, k in (
-                (self.text_index, cfgr.index_topk_text),
-                (self.image_index, cfgr.index_topk_image),
+            qs = [f"warmup query {i} of {n}" for i in range(n)]
+            tdev, idev = self.runtime.embed_queries_device(qs)
+            count += 1
+            users = ["\x00warmup"] * n
+            for index, k, qdev in (
+                (self.text_index, cfgr.index_topk_text, tdev),
+                (self.image_index, cfgr.index_topk_image, idev),
             ):
                 if index._size > 0:  # empty index never dispatches
-                    qv = np.zeros((b, index.dim), np.float32)
-                    index.search_batch_multi(qv, ["\x00warmup"] * b, k)
+                    index.search_batch_multi_async(qdev, users, k)()
                     count += 1
             if cfgr.use_rerank:
-                n_pairs = b * cfgr.rerank_topk
+                n_pairs = n * cfgr.rerank_topk
                 self.runtime.rerank_pairs(
                     ["warmup query"] * n_pairs, [passage] * n_pairs
                 )

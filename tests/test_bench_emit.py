@@ -45,7 +45,8 @@ def _worstcase_record():
                     "batch_run.retrieval", "chat.retrieve", "chat.generate",
                     "chat")},
         "warm": {"p50_ms": 5099.86, "p95_ms": 24399.84, "rps": 410.9,
-                 "compiles_in_window": 999},
+                 "compiles_in_window": 999,
+                 "compile_secs_in_window": 1099.27},
     }
     return {
         "minilm": 1104327.9, "minilm_seq256": 441530.1,
@@ -109,6 +110,7 @@ def test_compact_line_is_last_and_under_1500_bytes():
     assert compact["extra"]["minilm512"] == 222171.5
     assert compact["extra"]["rerank_ps"] == 18486.5
     assert compact["extra"]["srv_warm_compiles"] == 999
+    assert compact["extra"]["srv_warm_compile_s"] == 1099.27
     assert compact["extra"]["e2e_video_x"] == 142.7
     assert compact["extra"]["pq_50m_q1_ms"] == 13.972
     assert compact["extra"]["real_weights"]["minilm"] == 0.99999
@@ -319,3 +321,34 @@ def test_default_step_list_covers_round4_steps():
     # capacity steps are NOT in the default list (they ride promotion)
     for step in ("topk_10m", "ivf_int8_10m", "pq_10m", "pq_50m", "asr_small"):
         assert step not in skipped, step
+
+
+def test_dryrun_survives_reranker_only_provisioning(monkeypatch, tmp_path):
+    """The 'day weights appear' scenario with ONLY a reranker checkpoint:
+    EncoderRuntime shares one BERT config between text encoder and
+    cross-encoder trunk, so converted real reranker params against the tiny
+    dryrun config must be dropped (seeded fallback), not loaded into
+    mismatched shapes (review finding)."""
+
+    import torch
+    import transformers
+
+    torch.manual_seed(2)
+    cfg = transformers.BertConfig(
+        vocab_size=211, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=96, type_vocab_size=2, num_labels=1)
+    src = tmp_path / "real" / "ms-marco-MiniLM-L-6-v2"
+    transformers.BertForSequenceClassification(cfg).eval().save_pretrained(src)
+    monkeypatch.setenv("TPU_REAL_WEIGHTS_DIR", str(tmp_path / "real"))
+    monkeypatch.setenv("HF_HOME", str(tmp_path / "no_hf"))
+
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", os.path.join(_REPO, "__graft_entry__.py"))
+    graft = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(graft)
+    import jax
+
+    graft.dryrun_multichip(len(jax.devices()))  # must not shape-crash

@@ -459,18 +459,42 @@ def test_query_batch_bucketing_pads_and_slices():
             assert hits[0][0] == f"c{i % 8}"
 
 
-def test_warm_buckets_cover_all_coalesce_sizes():
-    """Every coalesce size <= max produces a padding bucket warmup warms —
-    including the multiples-of-32 rungs past the named table (review
-    finding: TPU_MICROBATCH_MAX=64's bucket was silently skipped)."""
+def test_warmup_sweeps_every_coalesce_length(tmp_path, monkeypatch):
+    """warmup_serving must drive the LIVE pipeline at EVERY coalesce length
+    1..max (r4 warm-window compile guard: partial-length slices and the
+    device-side pad are shape-specialized per exact length, so warming only
+    bucket boundaries leaves odd coalesces paying mid-request compiles) —
+    and the search warm must hand a DEVICE array (store._pad_queries pads
+    on device only for jax.Array inputs; a numpy warmup compiles the wrong
+    executable)."""
 
-    from mmrag_tpu.index.store import _query_bucket
-    from mmrag_tpu.rag.engine import _warm_buckets
+    import jax
 
-    for max_coalesce in (1, 3, 16, 32, 64, 100):
-        warmed = set(_warm_buckets(max_coalesce))
-        for c in range(1, max_coalesce + 1):
-            assert _query_bucket(c) in warmed, (max_coalesce, c)
+    from tiny import tiny_engine
+
+    engine = tiny_engine(tmp_path, extra_env={"TPU_COMPILE_CACHE_DIR": ""})
+    from mmrag_tpu.rag import index_build as ib
+    from mmrag_tpu.storage import Document
+
+    engine.metadata.upsert_document(
+        Document(document_id="d", user_id="u1", doc_type="pdf", title="T"))
+    ib.index_text_nodes(
+        "u1", [{"id": "c0", "text": "alpha beta " * 30,
+                "metadata": {"document_id": "d", "page": 1}}], engine)
+
+    seen_lengths = []
+    orig = type(engine.text_index).search_batch_multi_async
+
+    def spy(self, queries, users, k, docs=None):
+        seen_lengths.append(len(users))
+        assert isinstance(queries, jax.Array), type(queries)
+        return orig(self, queries, users, k, docs)
+
+    monkeypatch.setattr(type(engine.text_index),
+                        "search_batch_multi_async", spy)
+    engine.warmup_serving(max_coalesce=5)
+    assert sorted(seen_lengths) == [1, 2, 3, 4, 5]
+    engine.close()
 
 
 def test_capped_batch_respects_dispatch_token_cap():
