@@ -1407,7 +1407,6 @@ def bench_serving_load(quick: bool):
     """
 
     import json as _json
-    import statistics as stats
     import tempfile
     import threading
     import urllib.request
@@ -1893,19 +1892,26 @@ def bench_e2e_video_ingest(quick: bool):
     server = make_server("127.0.0.1", 0, cfg, engine)
     port = server.server_address[1]
     threading.Thread(target=server.serve_forever, daemon=True).start()
-    req = urllib.request.Request(
-        f"http://127.0.0.1:{port}/chat_pro", method="POST",
-        data=_json.dumps({"query": "what does the video show",
-                          "video_id": video_id}).encode(),
-        headers={"X-API-Key": "bench-key", "Content-Type": "application/json"})
-    t1 = time.perf_counter()
-    with urllib.request.urlopen(req, timeout=600) as resp:
-        body = _json.loads(resp.read())
-    chat_s = time.perf_counter() - t1
+    def chat_once(q: str) -> float:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/chat_pro", method="POST",
+            data=_json.dumps({"query": q, "video_id": video_id}).encode(),
+            headers={"X-API-Key": "bench-key",
+                     "Content-Type": "application/json"})
+        t1 = time.perf_counter()
+        with urllib.request.urlopen(req, timeout=600) as resp:
+            body = _json.loads(resp.read())
+        assert "response" in body, body
+        return time.perf_counter() - t1
+
+    chat_cold_s = chat_once("what does the video show")
+    # second, distinct query: the first pays this fresh engine's
+    # query-path compiles (no warmup_serving in this step); the second is
+    # the steady-state chat a production deployment serves
+    chat_s = chat_once("describe the scenes in the video")
     server.shutdown()
     engine.close()
     assert result["text_nodes"] > 0, result
-    assert "response" in body, body
     return {
         "x_realtime": round(duration / wall, 2),
         "x_realtime_cold": round(duration / walls[0], 2),
@@ -1915,6 +1921,7 @@ def bench_e2e_video_ingest(quick: bool):
         "text_nodes": result["text_nodes"],
         "image_nodes": result["image_nodes"],
         "chat_ms": round(chat_s * 1e3, 1),
+        "chat_cold_ms": round(chat_cold_s * 1e3, 1),
         "audio_rung": "ffmpeg" if have_ffmpeg else "stubbed_wav",
         "stages": stages[:12],
     }
@@ -2246,8 +2253,11 @@ def main() -> None:
             ("topk_10m", 240.0),
             ("asr_small", 180.0),
             ("clip_images_pipelined", 120.0),
-            # the 50M capacity experiment: only when >20 min remain
-            ("pq_50m", 1100.0),
+            # the 50M capacity experiment last: r3 measured 467 s build +
+            # ~180 s timing/recall; estimate 700 s -> fires when ~16 min
+            # remain (the r4 default run + 5 promotions used 1017 s of
+            # 2100, leaving 1083 s — enough)
+            ("pq_50m", 700.0),
         ]
         if os.environ.get("BENCH_PROMOTE_COSTS"):
             # test/debug seam: JSON {step: est_seconds}, ordered
@@ -2261,9 +2271,18 @@ def main() -> None:
                     continue
                 remaining = deadline - time.perf_counter()
                 if remaining < est * 1.3 + 60.0:
+                    print(f"promotion: {step} needs ~{est:.0f}s "
+                          f"(+30% slack), only {remaining:.0f}s remain; "
+                          "skipping", file=sys.stderr)
                     continue  # a cheaper later candidate may still fit
+                # x2 timeout headroom: the 50M experiment measured 467 s
+                # on an idle host (r3, three runs) but 1112 s with a
+                # colocated CPU job stealing the single host core — give a
+                # contended run room; the global budget deadline still
+                # bounds the wait, and pq_50m is the last candidate so an
+                # overrun can only eat otherwise-unused budget
                 completed, _ = run_child(
-                    [step], timeout_s=max(step_timeout_s, est * 1.3))
+                    [step], timeout_s=max(step_timeout_s, est * 2.0))
                 if completed:
                     results.setdefault("_promoted_steps", []).append(step)
                     emit_partial(results)
