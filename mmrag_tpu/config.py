@@ -47,6 +47,11 @@ class ModelDefaults:
     # [ts:a-b] citations from ASR-ingested videos are fine-grained like the
     # reference's torch whisper segmentation (app/ingest/youtube.py:178-209)
     asr_timestamps: bool = True
+    # opt-in word-level timestamps through the ingest ladder (the
+    # reference's WhisperX-align capability, youtube.py:156-157) — segments
+    # gain per-word spans via the cross-attention DTW aligner
+    # (models/align.py); off by default: one extra capture dispatch/window
+    asr_word_align: bool = False
 
 
 @dataclass(frozen=True)

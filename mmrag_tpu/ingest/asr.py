@@ -291,15 +291,38 @@ class WhisperRuntime:
         return [(start, covered, text)] if text else []
 
     def transcribe_wav(self, wav_path: str):
-        """wav file -> List[TranscriptSegment] (the ladder contract)."""
+        """wav file -> List[TranscriptSegment] (the ladder contract).
+
+        With ``MODEL_ASR_WORD_ALIGN`` on (and the detokenizer present),
+        each segment also carries word-level spans from the
+        cross-attention DTW aligner — the reference's WhisperX-align
+        capability surfaced through the production ingest path."""
 
         from .youtube import TranscriptSegment
 
         audio = read_wav_mono16k(wav_path)
+        if self.cfg.models.asr_word_align and self._resolve_decoder():
+            return [
+                TranscriptSegment(
+                    text=seg["text"], start=seg["start"],
+                    duration=seg["duration"],
+                    words=tuple(
+                        (w.word, round(w.start, 3), round(w.end, 3))
+                        for w in seg["words"]),
+                )
+                for seg in self.transcribe_array_aligned(audio)
+            ]
         return [
             TranscriptSegment(text=text, start=start, duration=dur)
             for start, dur, text in self.transcribe_array(audio)
         ]
+
+    def _resolve_decoder(self) -> bool:
+        """True when the vocab.json detokenizer loaded (alignment needs
+        per-token vocab strings; without it fall back to plain segments)."""
+
+        self._ensure()
+        return self._decoder is not None
 
     # -- word-level alignment (the WhisperX-align equivalent) ----------------
 
@@ -427,6 +450,7 @@ def get_asr_runtime(cfg: Optional[Settings] = None) -> Optional[WhisperRuntime]:
             or _runtime.cfg.paths.weights_dir != wanted.paths.weights_dir
             or _runtime.cfg.models.asr_language != wanted.models.asr_language
             or _runtime.cfg.models.asr_timestamps != wanted.models.asr_timestamps
+            or _runtime.cfg.models.asr_word_align != wanted.models.asr_word_align
         ):
             _runtime = None
         if _runtime is None:

@@ -46,6 +46,11 @@ class TranscriptSegment:
     text: str
     start: float
     duration: float
+    # optional word-level spans ((word, start_s, end_s), ...) — populated
+    # when MODEL_ASR_WORD_ALIGN is on and the JAX ASR rung ran (the
+    # reference's WhisperX-align capability, models/align.py); None on the
+    # caption-API rung and by default
+    words: Optional[tuple] = None
 
     @property
     def end(self) -> float:
@@ -289,15 +294,20 @@ def segments_to_nodes(
     for i, seg in enumerate(segments):
         if not seg.text.strip():
             continue
+        meta = {
+            "document_id": document_id,
+            "ts_start": seg.start,
+            "ts_end": seg.end,
+        }
+        if seg.words:
+            # word-level spans ride the node metadata so retrieval hits
+            # can cite sub-segment positions (MODEL_ASR_WORD_ALIGN)
+            meta["words"] = [list(w) for w in seg.words]
         nodes.append(
             {
                 "id": f"{document_id}-s{i}",
                 "text": seg.text.strip(),
-                "metadata": {
-                    "document_id": document_id,
-                    "ts_start": seg.start,
-                    "ts_end": seg.end,
-                },
+                "metadata": meta,
             }
         )
     return nodes

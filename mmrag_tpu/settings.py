@@ -127,6 +127,7 @@ class ModelSettings:
     asr: str
     asr_language: str
     asr_timestamps: bool
+    asr_word_align: bool
 
 
 @dataclass(frozen=True)
@@ -295,6 +296,8 @@ def load_settings(env: Optional[Mapping[str, str]] = None) -> Settings:
             asr=_read_env(env, "MODEL_ASR", d.models.asr),
             asr_language=_read_env(env, "MODEL_ASR_LANGUAGE", d.models.asr_language),
             asr_timestamps=_read_bool(env, "MODEL_ASR_TIMESTAMPS", d.models.asr_timestamps),
+            asr_word_align=_read_bool(
+                env, "MODEL_ASR_WORD_ALIGN", d.models.asr_word_align),
         ),
         gemini=GeminiSettings(
             api_key=env.get("GEMINI_API_KEY") or None,

@@ -202,3 +202,64 @@ def test_runtime_transcribe_aligned_end_to_end(tmp_path):
         joined = " ".join(w.word for w in seg["words"])
         for piece in joined.split()[:3]:
             assert piece.startswith("tok")
+
+
+def test_word_align_knob_flows_through_ladder(tmp_path):
+    """MODEL_ASR_WORD_ALIGN=1: transcribe_wav returns TranscriptSegments
+    carrying word spans, and segments_to_nodes surfaces them in node
+    metadata — the WhisperX-align capability wired through the production
+    ingest path, not just the enrichment API."""
+
+    import wave
+
+    from mmrag_tpu import settings as settings_mod
+    from mmrag_tpu.ingest import asr, youtube as yt
+    from mmrag_tpu.models import convert
+
+    params = jwhisper.init_whisper_params(jax.random.PRNGKey(9), TINY)
+    model_id = "openai/whisper-aligntest"
+    wdir = tmp_path / "weights" / model_id.replace("/", "__")
+    convert.save_params(
+        params, str(wdir), "model",
+        meta={"arch": "whisper", "config": dataclasses.asdict(TINY)})
+    b2u = jtok._bytes_to_unicode()
+    vocab = {"".join(b2u[b] for b in f" tok{i}".encode()): i
+             for i in range(TINY.vocab_size)}
+    (wdir / "vocab.json").write_text(json.dumps(vocab))
+
+    sr = 16000
+    t = np.arange(int(sr * 2.0)) / sr
+    pcm = (np.sin(2 * np.pi * 220 * t) * 0.3 * 32767).astype(np.int16)
+    wav = tmp_path / "a.wav"
+    with wave.open(str(wav), "wb") as fh:
+        fh.setnchannels(1)
+        fh.setsampwidth(2)
+        fh.setframerate(sr)
+        fh.writeframes(pcm.tobytes())
+
+    cfg = settings_mod.load_settings({
+        "WEIGHTS_DIR": str(tmp_path / "weights"), "MODEL_ASR": model_id,
+        "MODEL_ASR_WORD_ALIGN": "1"})
+    runtime = asr.WhisperRuntime(cfg, max_tokens=8)
+    segments = runtime.transcribe_wav(str(wav))
+    assert segments and all(isinstance(s, yt.TranscriptSegment)
+                            for s in segments)
+    segs_with_words = [s for s in segments if s.words]
+    assert segs_with_words, "aligned rung must attach word spans"
+    for s in segs_with_words:
+        for word, start, end in s.words:
+            assert word and end > start >= 0.0
+
+    nodes = yt.segments_to_nodes("vid1", segments)
+    assert any("words" in n["metadata"] for n in nodes)
+    wmeta = next(n["metadata"]["words"] for n in nodes
+                 if "words" in n["metadata"])
+    assert wmeta[0][0].startswith("tok")
+
+    # knob off (default): plain segments, no metadata key
+    cfg_off = settings_mod.load_settings({
+        "WEIGHTS_DIR": str(tmp_path / "weights"), "MODEL_ASR": model_id})
+    plain = asr.WhisperRuntime(cfg_off, max_tokens=8).transcribe_wav(str(wav))
+    assert all(s.words is None for s in plain)
+    assert all("words" not in n["metadata"]
+               for n in yt.segments_to_nodes("vid2", plain))
