@@ -2179,6 +2179,16 @@ def main() -> None:
                 elif line.startswith("RESULT "):
                     _, name, payload = line.split(" ", 2)
                     results[name] = json.loads(payload)
+                    # per-step wall attribution (child respawn overhead
+                    # lands on the first step after a boundary): lets a
+                    # slow driver run be diagnosed from the record — the
+                    # r4 dress rehearsals measured the same default list
+                    # at 1017 s and 1445 s with no way to say which steps
+                    # stretched
+                    now = time.perf_counter()
+                    results.setdefault("_step_wall", {})[name] = round(
+                        now - step_t0[0], 1)
+                    step_t0[0] = now
                     if name in pending:
                         pending.remove(name)
                     emit_partial(results)
@@ -2195,6 +2205,7 @@ def main() -> None:
             return not pending, budget_hit
 
         results: dict = {}
+        step_t0 = [time.perf_counter()]
         start = 0
         first_step_failures = 0
         while start < len(steps):
@@ -2523,6 +2534,9 @@ def emit_record(r: dict, partial: bool, *, backend: str,
                     "degraded_steps": sorted(set(degraded_steps)),
                     # steps skipped because BENCH_BUDGET_S ran out
                     "skipped_budget": r.get("_skipped_budget", []),
+                    # parent-measured wall seconds per step (child respawn
+                    # overhead lands on the step after a boundary)
+                    "step_wall_s": r.get("_step_wall"),
                     "elapsed_s": round(time.perf_counter() - _T0, 1),
                     "budget_s": budget_s,
                     # True while steps are still running: the driver's
