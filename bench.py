@@ -2179,8 +2179,9 @@ def main() -> None:
                 elif line.startswith("RESULT "):
                     _, name, payload = line.split(" ", 2)
                     results[name] = json.loads(payload)
-                    # per-step wall attribution (child respawn overhead
-                    # lands on the first step after a boundary): lets a
+                    # per-step wall attribution (child respawn overhead —
+                    # and a failed promotion's whole timeout — lands on
+                    # the next completed step): lets a
                     # slow driver run be diagnosed from the record — the
                     # r4 dress rehearsals measured the same default list
                     # at 1017 s and 1445 s with no way to say which steps
@@ -2286,14 +2287,15 @@ def main() -> None:
                           f"(+30% slack), only {remaining:.0f}s remain; "
                           "skipping", file=sys.stderr)
                     continue  # a cheaper later candidate may still fit
-                # x2 timeout headroom: the 50M experiment measured 467 s
-                # on an idle host (r3, three runs) but 1112 s with a
-                # colocated CPU job stealing the single host core — give a
-                # contended run room; the global budget deadline still
-                # bounds the wait, and pq_50m is the last candidate so an
-                # overrun can only eat otherwise-unused budget
+                # x3 timeout headroom: the capacity builds have high
+                # wall variance over the tunnel (pq_10m measured ~300 s on
+                # one run and >720 s on another — RTT jitter compounds
+                # over the build's sequential dispatches; the 50M
+                # experiment measured 467 s idle vs 1112 s contended).
+                # The global budget deadline still bounds the wait, and
+                # promotions only ever spend otherwise-unused budget.
                 completed, _ = run_child(
-                    [step], timeout_s=max(step_timeout_s, est * 2.0))
+                    [step], timeout_s=max(step_timeout_s, est * 3.0))
                 if completed:
                     results.setdefault("_promoted_steps", []).append(step)
                     emit_partial(results)
