@@ -2597,25 +2597,24 @@ def emit_record(r: dict, partial: bool, *, backend: str,
     }
     if r.get("_device_wedged"):
         compact["device_wedged"] = True
-    line = json.dumps({
-        "metric": "minilm_embeds_per_sec_per_chip",
-        "value": rnd(minilm, 1),
-        "unit": "embeds/s",
-        "vs_baseline": rnd(minilm / 50_000.0 if minilm else None),
-        "extra": compact,
-    })
+
+    def wrap() -> str:
+        return json.dumps({
+            "metric": "minilm_embeds_per_sec_per_chip",
+            "value": rnd(minilm, 1),
+            "unit": "embeds/s",
+            "vs_baseline": rnd(minilm / 50_000.0 if minilm else None),
+            "extra": compact,
+        })
+
+    line = wrap()
     # belt-and-braces: the driver window is 2000 chars; stay <=1500 so
     # a partial preceding line can never push the final line's head out
     for drop in ("real_weights", "mfu_pct", "skipped", "degraded"):
         if len(line) <= 1500:
             break
         compact[drop] = "trimmed"
-        line = json.dumps({
-            "metric": "minilm_embeds_per_sec_per_chip",
-            "value": rnd(minilm, 1), "unit": "embeds/s",
-            "vs_baseline": rnd(minilm / 50_000.0 if minilm else None),
-            "extra": compact,
-        })
+        line = wrap()
     print(line, flush=True)
 
 

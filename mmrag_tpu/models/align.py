@@ -268,32 +268,3 @@ def words_from_cross(
                        time_offset=time_offset)
 
 
-def align_words(
-    params,
-    cfg: WhisperConfig,
-    decoder,  # ByteLevelBPEDecoder (tokenizer.load_whisper_decoder)
-    tokens: Sequence[int],  # one window's consumed tokens, prefix included
-    enc_states,  # (1, frames, d) from whisper_encode on that window
-    time_offset: float = 0.0,
-    compute_dtype=None,
-) -> List[WordSpan]:
-    """Word-level timestamps for one decoded 30 s window.
-
-    Runs the teacher-forced cross-attention capture on device, DTWs the
-    text-token rows against encoder frames on the host, and groups tokens
-    into words. Frames beyond the window's audio are included (whisper
-    attends into padding for trailing silence) — callers clamp to segment
-    bounds if needed.
-    """
-
-    import jax.numpy as jnp
-
-    toks = np.asarray(list(tokens), np.int64)
-    if toks.size == 0:
-        return []
-    ids = jnp.asarray(toks[None, :], jnp.int32)
-    _, cross = decoder_cross_attention(params, ids, enc_states, cfg,
-                                       compute_dtype=compute_dtype)
-    cross_np = np.asarray(cross)[:, 0]  # (layers, heads, s, frames)
-    return words_from_cross(cross_np, toks, decoder, cfg,
-                            time_offset=time_offset)

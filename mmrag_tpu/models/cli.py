@@ -20,15 +20,14 @@ from __future__ import annotations
 
 import argparse
 import os
-import shutil
 import sys
 
 from ..settings import settings
 from . import bert as jbert
 from . import clip as jclip
 from . import convert
-
-
+from .probe import TOKENIZER_FILES as _TOKENIZER_FILES
+from .probe import copy_tokenizer_files as _copy_tokenizer_files
 from .runtime import _sanitize  # single shared definition
 
 
@@ -41,13 +40,6 @@ def _out_dir(args, model_id: str) -> str:
     out = os.path.join(base, _sanitize(model_id))
     os.makedirs(out, exist_ok=True)
     return out
-
-
-def _copy_tokenizer_files(src_dir: str, out: str, names) -> None:
-    for name in names:
-        path = os.path.join(src_dir, name)
-        if os.path.exists(path):
-            shutil.copy(path, os.path.join(out, name))
 
 
 def convert_minilm(args) -> None:
@@ -129,11 +121,6 @@ _VALIDATE_MODEL_IDS = {
     "reranker": "cross-encoder/ms-marco-MiniLM-L-6-v2",
     "whisper": "openai/whisper-base",
 }
-
-_TOKENIZER_FILES = (
-    "vocab.txt", "vocab.json", "merges.txt", "tokenizer.json",
-    "special_tokens_map.json", "tokenizer_config.json",
-)
 
 
 def validate_checkpoints(args) -> None:

@@ -30,11 +30,24 @@ REAL_WEIGHT_FAMILIES = {
     "whisper": "openai/whisper-base",
 }
 
-_TOKENIZER_FILES = (
+TOKENIZER_FILES = (
     "vocab.txt", "vocab.json", "merges.txt", "tokenizer.json",
     "tokenizer_config.json", "special_tokens_map.json",
     "preprocessor_config.json",
 )
+
+
+def copy_tokenizer_files(src_dir: str, out: str,
+                         names=TOKENIZER_FILES) -> None:
+    """Copy whatever tokenizer files the checkpoint ships into the
+    converted-weights dir (shared by the convert CLI and the probe)."""
+
+    import shutil
+
+    for name in names:
+        path = os.path.join(src_dir, name)
+        if os.path.isfile(path):
+            shutil.copy2(path, os.path.join(out, name))
 
 
 def _has_weights(d: str) -> bool:
@@ -109,8 +122,6 @@ def convert_found_into(weights_dir: str,
     loader (:mod:`mmrag_tpu.ingest.asr`).
     """
 
-    import shutil
-
     import transformers
 
     from . import convert
@@ -123,12 +134,6 @@ def convert_found_into(weights_dir: str,
 
     def out_dir(fam: str) -> str:
         return os.path.join(weights_dir, _sanitize(REAL_WEIGHT_FAMILIES[fam]))
-
-    def copy_tokenizer(src: str, out: str) -> None:
-        for name in _TOKENIZER_FILES:
-            p = os.path.join(src, name)
-            if os.path.isfile(p):
-                shutil.copy2(p, os.path.join(out, name))
 
     converted: Dict[str, object] = {}
     for fam in families or ("minilm", "clip", "reranker"):
@@ -153,6 +158,6 @@ def convert_found_into(weights_dir: str,
         os.makedirs(out, exist_ok=True)
         convert.save_params(params, out, "model",
                             meta={"arch": fam, "source": src})
-        copy_tokenizer(src, out)
+        copy_tokenizer_files(src, out)
         converted[fam] = cfg
     return converted
