@@ -74,31 +74,45 @@ def _worstcase_record():
         "rerank": 18486.5, "rerank64": 18423.4, "chat_path": 12.463,
         "serving_load": serving,
         "asr": 15102.3, "asr_small": 11962.8,
+        "asr_align": {"x_plain": 15102.3, "x_aligned": 11102.9,
+                      "overhead_x": 11.36, "words": 99999},
         "frames_pipeline": {"x_realtime": 1170.0, "frames_per_sec": 134.0},
         "e2e_video_ingest": {"x_realtime": 142.7, "wall_s": 19.4,
                              "video_s": 160.0},
         "real_weights": {"minilm": 0.99999, "clip": 0.99999,
                          "reranker": 0.99999, "whisper": 0.99999},
         "_skipped_budget": [],
+        "_timed_out_steps": ["topk", "topk_int8"],
+        "_step_compile_s": {s: [99, 1099.9] for s in (
+            "minilm", "ivf", "pq", "serving_load", "e2e_video_ingest",
+            "topk", "rerank", "asr", "asr_align", "frames_pipeline")},
         "_promoted_steps": ["clip_images_pipelined", "topk_10m",
                             "ivf_int8_10m", "pq_10m", "asr_small",
                             "pq_50m"],
     }
 
 
-def _emit(record, degraded=()):
+def _worstcase_diag():
+    probe = {"backend": "axon", "init_s": 1099.92, "first_dispatch_s": 999.25,
+             "rtt_ms_p50": 10999.9, "rtt_ms_max": 99999.9, "at_s": 1799.9}
+    return {"probes": [dict(probe) for _ in range(6)],
+            "device_slow": True, "slow_factor": 4.0}
+
+
+def _emit(record, degraded=(), diag=None):
     buf = io.StringIO()
     with redirect_stdout(buf):
         bench.emit_record(record, partial=False, backend="axon",
                           degraded_steps=list(degraded), budget_s=2100.0,
-                          quick=False, full=False)
+                          quick=False, full=False, diag=diag)
     lines = [l for l in buf.getvalue().splitlines() if l.strip()]
     return lines
 
 
 def test_compact_line_is_last_and_under_1500_bytes():
     lines = _emit(_worstcase_record(),
-                  degraded=["asr", "frames_pipeline", "serving_load"])
+                  degraded=["asr", "frames_pipeline", "serving_load"],
+                  diag=_worstcase_diag())
     assert len(lines) == 2
     full = json.loads(lines[0])
     compact = json.loads(lines[1])
@@ -117,6 +131,21 @@ def test_compact_line_is_last_and_under_1500_bytes():
     assert compact["extra"]["promoted"] == [
         "clip_images_pipelined", "topk_10m", "ivf_int8_10m", "pq_10m",
         "asr_small", "pq_50m"]
+    # r5 diagnostics: device probe, slow flag, compile attribution,
+    # timed-out steps, host topology (VERDICT r4 items 1b/2 + weak #2/#4)
+    assert compact["extra"]["probe_ms"] == 10999.9
+    assert compact["extra"]["dev_slow"] is True
+    assert compact["extra"]["timeouts"] == ["topk", "topk_int8"]
+    assert compact["extra"]["asr_align_x"] == 11102.9
+    assert compact["extra"]["compile_s"] == round(10 * 1099.9, 1)
+    assert compact["extra"]["cores"] == os.cpu_count()
+    assert full["extra"]["device_probes"][0]["rtt_ms_p50"] == 10999.9
+    assert full["extra"]["device_slow"] is True
+    assert full["extra"]["timeout_slow_factor"] == 4.0
+    assert full["extra"]["step_compile_s"]["minilm"] == [99, 1099.9]
+    assert full["extra"]["timed_out_steps"] == ["topk", "topk_int8"]
+    assert full["extra"]["asr_align"]["words"] == 99999
+    assert full["extra"]["host_cores"] == os.cpu_count()
     # the full record is intact on the penultimate line (judge-facing)
     assert full["extra"]["serving_stages"]
     assert full["extra"]["mfu_clip_pct_peak"] is not None
@@ -316,11 +345,17 @@ def test_default_step_list_covers_round4_steps():
     assert skipped[0] == "real_weights"
     for step in ("minilm", "minilm_seq512", "clip_images", "topk", "ivf",
                  "pq", "rerank", "serving_load", "frames_pipeline", "asr",
-                 "e2e_video_ingest"):
+                 "asr_align", "e2e_video_ingest"):
         assert step in skipped, step
     # capacity steps are NOT in the default list (they ride promotion)
     for step in ("topk_10m", "ivf_int8_10m", "pq_10m", "pq_50m", "asr_small"):
         assert step not in skipped, step
+    # the never-driver-verified tail runs BEFORE the dense topk hazard
+    # pair, which goes LAST (VERDICT r4 item 1d)
+    for step in ("ivf", "pq", "rerank", "serving_load", "asr",
+                 "e2e_video_ingest"):
+        assert skipped.index(step) < skipped.index("topk"), step
+    assert skipped[-2:] == ["topk", "topk_int8"]
 
 
 def test_dryrun_survives_reranker_only_provisioning(monkeypatch, tmp_path):
