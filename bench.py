@@ -388,10 +388,19 @@ def bench_topk(quick: bool) -> float:
 
     n, d, k = (100_000 if quick else 1_000_000), 384, 50
     # generate on device — shipping a 1.5 GB corpus through the axon tunnel
-    # would dominate the run
+    # would dominate the run. Chunked materialization + a tiny pre-touch
+    # readback (VERDICT r4 item 4): the recorded INVALID_ARGUMENT/wedge
+    # hazard fires at this step's FIRST readback after a large-transient
+    # materialization, so the f32 normalize transient is kept to 1/8 scale
+    # and the first readback the child ever issues is a single scalar.
+    chunk = min(n, 131_072)
     make = jax.jit(lambda key: l2_normalize(
-        jax.random.normal(key, (n, d), jnp.float32)).astype(jnp.bfloat16))
-    corpus = make(jax.random.PRNGKey(0))
+        jax.random.normal(key, (chunk, d), jnp.float32)).astype(jnp.bfloat16))
+    _plog(f"topk: materializing corpus in {-(-n // chunk)} chunks")
+    corpus = jnp.concatenate(
+        [make(jax.random.PRNGKey(i)) for i in range(-(-n // chunk))])[:n]
+    _ = np.asarray(corpus[0, 0])  # pre-touch: settle allocation, tiny shape
+    _plog("topk: corpus live; timing")
     queries = l2_normalize(jax.random.normal(jax.random.PRNGKey(1), (1, d), jnp.float32))
     mask = jnp.ones((n,), bool)
 
@@ -417,9 +426,16 @@ def bench_topk_int8(quick: bool) -> float:
     from mmrag_tpu.ops.topk import _cosine_topk_int8, l2_normalize, quantize_rows_int8
 
     n, d, k = (100_000 if quick else 1_000_000), 384, 50
+    # chunked generation + scalar pre-touch, same hazard defusal as
+    # bench_topk (VERDICT r4 item 4)
+    chunk = min(n, 131_072)
     make = jax.jit(lambda key: quantize_rows_int8(
-        l2_normalize(jax.random.normal(key, (n, d), jnp.float32))))
-    corpus_q, corpus_s = make(jax.random.PRNGKey(0))
+        l2_normalize(jax.random.normal(key, (chunk, d), jnp.float32))))
+    parts = [make(jax.random.PRNGKey(i)) for i in range(-(-n // chunk))]
+    corpus_q = jnp.concatenate([p[0] for p in parts])[:n]
+    corpus_s = jnp.concatenate([p[1] for p in parts])[:n]
+    del parts
+    _ = np.asarray(corpus_q[0, 0])
     queries = l2_normalize(jax.random.normal(jax.random.PRNGKey(1), (1, d), jnp.float32))
     mask = jnp.ones((n,), bool)
 
