@@ -24,6 +24,7 @@ window (start = window offset, duration = audio covered).
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import threading
 import wave
@@ -408,6 +409,24 @@ class WhisperRuntime:
             words = jalign.words_from_cross(
                 np.asarray(cross)[:, 0][:, :, :n_tok, :], toks,
                 self._decoder, mcfg, time_offset=start)
+            # the aligner sees all 1500 encoder frames including the
+            # zero-padded tail, so a word span can land past the window's
+            # covered audio — clamp to [start, start + covered] the same
+            # way _window_segments clamps segment ends. A word whose whole
+            # span fell into the padding keeps a minimal sliver at the
+            # window end (it is real decoded text; only its alignment
+            # overflowed).
+            hi = start + covered
+            clamped = []
+            for w in words:
+                lo_w = min(max(w.start, start), hi)
+                hi_w = min(max(w.end, start), hi)
+                if hi_w <= lo_w:
+                    lo_w = max(start, hi - 0.02)
+                    hi_w = hi
+                clamped.append(
+                    dataclasses.replace(w, start=lo_w, end=hi_w))
+            words = clamped
             # assign each word to the segment containing its midpoint
             # (fallback: the nearest segment start)
             segments = [

@@ -547,6 +547,22 @@ class EncoderRuntime:
 
         return self.rerank_pairs([query] * len(passages), passages)
 
+    def rerank_bucket_sizes(self, n_pairs: int) -> tuple:
+        """The padded batch sizes a ``rerank_pairs`` call over ``n_pairs``
+        pairs would dispatch (one per max-batch chunk, mirroring the chunk
+        loop below) — lets the serving warmup sweep skip coalesce lengths
+        whose cross-encoder executables are already compiled instead of
+        re-running O(max^2 x rerank_topk) redundant pair inferences."""
+
+        tpu = self.cfg.tpu
+        max_batch = _capped_batch(tpu.text_batch_buckets, tpu.rerank_seq_len)
+        sizes = []
+        for start in range(0, max(n_pairs, 1), max_batch):
+            chunk = min(max_batch, n_pairs - start) if n_pairs else 1
+            sizes.append(
+                self._round_batch(_bucket(chunk, tpu.text_batch_buckets)))
+        return tuple(sizes)
+
     def rerank_pairs(
         self, queries: Sequence[str], passages: Sequence[str]
     ) -> np.ndarray:

@@ -152,6 +152,7 @@ class RagEngine:
         # numpy-array warmup compiles the wrong executable and warms
         # nothing. The big bucket executables still compile once each —
         # the per-length sweep only adds the tiny pad/slice jits.
+        warmed_rerank: set = set()
         for n in range(1, max_coalesce + 1):
             if stop is not None and stop.is_set():
                 return count
@@ -167,11 +168,18 @@ class RagEngine:
                     index.search_batch_multi_async(qdev, users, k)()
                     count += 1
             if cfgr.use_rerank:
+                # rerank_pairs buckets pair counts internally, so most
+                # lengths re-hit an already-compiled executable — only run
+                # the cross-encoder when this length's bucket decomposition
+                # introduces a new padded batch size (advisor r4)
                 n_pairs = n * cfgr.rerank_topk
-                self.runtime.rerank_pairs(
-                    ["warmup query"] * n_pairs, [passage] * n_pairs
-                )
-                count += 1
+                buckets = set(self.runtime.rerank_bucket_sizes(n_pairs))
+                if not buckets <= warmed_rerank:
+                    self.runtime.rerank_pairs(
+                        ["warmup query"] * n_pairs, [passage] * n_pairs
+                    )
+                    warmed_rerank |= buckets
+                    count += 1
         return count
 
     def persist_indexes(self) -> None:

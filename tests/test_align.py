@@ -198,6 +198,10 @@ def test_runtime_transcribe_aligned_end_to_end(tmp_path):
             assert w.end > w.start >= 0.0
             # a word's frames stay inside its window (offset applied)
             assert w.start >= seg["start"] - window
+            # and never past the window's COVERED audio (the encoder's
+            # zero-padded tail is clamped away — advisor r4): this wav is
+            # 2.5 s inside a longer window, so the bound is the audio end
+            assert w.end <= 2.5 + 1e-6
         # every word's text appears in the window text stream
         joined = " ".join(w.word for w in seg["words"])
         for piece in joined.split()[:3]:
