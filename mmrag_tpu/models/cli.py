@@ -79,40 +79,12 @@ def convert_clip(args) -> None:
 
 
 def convert_whisper(args) -> None:
-    from transformers import AutoTokenizer, WhisperForConditionalGeneration
-
-    from . import whisper as jwhisper
+    from .probe import convert_whisper_checkpoint
 
     model_id = args.model_id or "openai/whisper-base"
-    model = WhisperForConditionalGeneration.from_pretrained(args.source)
-    # derive the architecture from the checkpoint itself — a preset guessed
-    # from the name would silently read a layer-prefix of a bigger model
-    hf = model.config
-    if hf.decoder_ffn_dim != hf.encoder_ffn_dim:
-        raise ValueError("asymmetric encoder/decoder ffn dims are unsupported")
-    cfg = jwhisper.WhisperConfig(
-        num_mel_bins=hf.num_mel_bins,
-        d_model=hf.d_model,
-        encoder_layers=hf.encoder_layers,
-        encoder_heads=hf.encoder_attention_heads,
-        decoder_layers=hf.decoder_layers,
-        decoder_heads=hf.decoder_attention_heads,
-        ffn_dim=hf.encoder_ffn_dim,
-        vocab_size=hf.vocab_size,
-        max_source_positions=hf.max_source_positions,
-        max_target_positions=hf.max_target_positions,
-    )
-    params = convert.convert_whisper(_state_dict(model), cfg)
-    out = _out_dir(args, model_id)
-    import dataclasses
-
-    convert.save_params(
-        params, out, "model",
-        meta={"arch": "whisper", "config": dataclasses.asdict(cfg)},
-    )
-    tok = AutoTokenizer.from_pretrained(args.source)
-    tok.save_vocabulary(out)  # vocab.json drives ByteLevelBPEDecoder
-    print(f"wrote {out}/model.npz")
+    base = args.out or settings.paths.weights_dir
+    convert_whisper_checkpoint(args.source, base, model_id)
+    print(f"wrote {os.path.join(base, _sanitize(model_id))}/model.npz")
 
 
 _VALIDATE_MODEL_IDS = {

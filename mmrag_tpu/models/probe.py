@@ -108,18 +108,72 @@ def find_real_checkpoints() -> Dict[str, str]:
     return found
 
 
+def convert_whisper_checkpoint(src: str, weights_dir: str,
+                               model_id: str = "openai/whisper-base"):
+    """Convert a provisioned torch whisper checkpoint into the production
+    ``WEIGHTS_DIR`` layout the ASR runtime loads
+    (``<weights_dir>/<id with '/'->'__'>/model.npz`` + arch meta +
+    vocab.json, the byte-level BPE detokenizer the aligner rung needs).
+    The architecture is derived FROM the checkpoint — a preset guessed
+    from the name would silently read a layer-prefix of a bigger model.
+    Returns the derived :class:`WhisperConfig`. Shared by the
+    ``convert-whisper`` CLI and :func:`convert_found_into` (the reference
+    loads whisper on the ASR ladder rungs,
+    ``app/ingest/youtube.py:150-166``)."""
+
+    import dataclasses
+
+    import transformers
+
+    from . import convert, whisper as jwhisper
+    from .runtime import _sanitize
+
+    model = transformers.WhisperForConditionalGeneration.from_pretrained(src)
+    hf = model.config
+    if hf.decoder_ffn_dim != hf.encoder_ffn_dim:
+        raise ValueError("asymmetric encoder/decoder ffn dims are unsupported")
+    cfg = jwhisper.WhisperConfig(
+        num_mel_bins=hf.num_mel_bins,
+        d_model=hf.d_model,
+        encoder_layers=hf.encoder_layers,
+        encoder_heads=hf.encoder_attention_heads,
+        decoder_layers=hf.decoder_layers,
+        decoder_heads=hf.decoder_attention_heads,
+        ffn_dim=hf.encoder_ffn_dim,
+        vocab_size=hf.vocab_size,
+        max_source_positions=hf.max_source_positions,
+        max_target_positions=hf.max_target_positions,
+    )
+    params = convert.convert_whisper(
+        {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()},
+        cfg)
+    out = os.path.join(weights_dir, _sanitize(model_id))
+    os.makedirs(out, exist_ok=True)
+    convert.save_params(
+        params, out, "model",
+        meta={"arch": "whisper", "config": dataclasses.asdict(cfg),
+              "source": src})
+    try:
+        # vocab.json drives the ByteLevelBPEDecoder (word alignment)
+        transformers.AutoTokenizer.from_pretrained(src).save_vocabulary(out)
+    except Exception:  # raw checkpoint without tokenizer config
+        copy_tokenizer_files(src, out)
+    return cfg
+
+
 def convert_found_into(weights_dir: str,
                        found: Dict[str, str],
                        families: Optional[tuple] = None) -> Dict[str, object]:
-    """Convert provisioned encoder checkpoints into ``weights_dir`` in the
+    """Convert provisioned checkpoints into ``weights_dir`` in the
     production layout (``<weights_dir>/<model_id with '/'->'__'>/model.npz``
     plus tokenizer files), deriving each architecture from its checkpoint.
 
     Returns {family: derived_config} for the converted families so callers
     (e.g. the multichip dryrun) can hand the real configs to
-    :class:`EncoderRuntime` instead of seeded-init presets. Only the three
-    encoder families are converted here — whisper has its own runtime-side
-    loader (:mod:`mmrag_tpu.ingest.asr`).
+    :class:`EncoderRuntime` instead of seeded-init presets; the whisper
+    family converts into the layout :mod:`mmrag_tpu.ingest.asr` loads.
+    A family whose conversion fails is skipped (logged), never fatal —
+    one bad checkpoint must not take down the probe's upgrade path.
     """
 
     import transformers
@@ -136,24 +190,33 @@ def convert_found_into(weights_dir: str,
         return os.path.join(weights_dir, _sanitize(REAL_WEIGHT_FAMILIES[fam]))
 
     converted: Dict[str, object] = {}
-    for fam in families or ("minilm", "clip", "reranker"):
+    for fam in families or ("minilm", "clip", "reranker", "whisper"):
         src = found.get(fam)
         if not src:
             continue
         logger.info("converting real %s checkpoint from %s", fam, src)
-        if fam == "minilm":
-            model = transformers.BertModel.from_pretrained(src).eval()
-            cfg = val.bert_config_from_hf(model.config)
-            params = convert.convert_bert(state(model), cfg)
-        elif fam == "reranker":
-            model = transformers.BertForSequenceClassification.from_pretrained(
-                src).eval()
-            cfg = val.bert_config_from_hf(model.config)
-            params = convert.convert_cross_encoder(state(model), cfg)
-        else:  # clip
-            model = transformers.CLIPModel.from_pretrained(src).eval()
-            cfg = val.clip_config_from_hf(model.config)
-            params = convert.convert_clip(state(model), cfg)
+        try:
+            if fam == "whisper":
+                converted[fam] = convert_whisper_checkpoint(
+                    src, weights_dir, REAL_WEIGHT_FAMILIES[fam])
+                continue
+            if fam == "minilm":
+                model = transformers.BertModel.from_pretrained(src).eval()
+                cfg = val.bert_config_from_hf(model.config)
+                params = convert.convert_bert(state(model), cfg)
+            elif fam == "reranker":
+                model = (transformers.BertForSequenceClassification
+                         .from_pretrained(src).eval())
+                cfg = val.bert_config_from_hf(model.config)
+                params = convert.convert_cross_encoder(state(model), cfg)
+            else:  # clip
+                model = transformers.CLIPModel.from_pretrained(src).eval()
+                cfg = val.clip_config_from_hf(model.config)
+                params = convert.convert_clip(state(model), cfg)
+        except Exception:
+            logger.exception("conversion of %s checkpoint failed; skipping",
+                             fam)
+            continue
         out = out_dir(fam)
         os.makedirs(out, exist_ok=True)
         convert.save_params(params, out, "model",
