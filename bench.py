@@ -2117,10 +2117,15 @@ HIST_WALL_S = {
 _DEFAULT_HIST_S = 60.0  # unknown step -> 240 s timeout (VERDICT r4 item 1a)
 
 # nominal tiny-readback RTT over the axon tunnel on a healthy day (~30-45 ms
-# observed across rounds); the start probe's measured p50 / this nominal is
-# the run's slow-factor, so a degraded tunnel day (r4: minilm 444.8 s vs a
-# ~35 s healthy wall) stretches every timeout instead of nulling steps.
+# observed across rounds) and nominal probe-process init seconds (jax import
+# + backend init + first h2d on an idle 1-core host). The run's slow-factor
+# is the worse of the two ratios: RTT catches tunnel degradation, init
+# catches host contention (the r4 driver run's tokenizer throughput was 5x
+# under the builder's — a purely host-side slowdown the RTT alone would
+# miss). Either way a degraded day (r4: minilm 444.8 s vs a ~35 s healthy
+# wall) stretches every timeout instead of nulling steps.
 _NOMINAL_RTT_MS = 45.0
+_NOMINAL_INIT_S = 12.0
 
 
 def _step_timeout(step: str, slow_factor: float, cap: float) -> float:
@@ -2321,12 +2326,13 @@ def main() -> None:
 
     # slow-factor from the start probe's measured RTT: timeouts stretch on
     # a degraded day (bounded x4) instead of nulling healthy-but-slow steps
-    if diag["probes"]:
-        rtt = diag["probes"][0].get("rtt_ms_p50") or _NOMINAL_RTT_MS
-        slow_factor = (1.0 if backend == "cpu"
-                       else max(1.0, min(4.0, rtt / _NOMINAL_RTT_MS)))
-        diag["device_slow"] = bool(
-            backend != "cpu" and rtt > 3.0 * _NOMINAL_RTT_MS)
+    if diag["probes"] and backend != "cpu":
+        p0 = diag["probes"][0]
+        rtt = p0.get("rtt_ms_p50") or _NOMINAL_RTT_MS
+        init = p0.get("init_s") or _NOMINAL_INIT_S
+        ratio = max(rtt / _NOMINAL_RTT_MS, init / _NOMINAL_INIT_S)
+        slow_factor = max(1.0, min(4.0, ratio))
+        diag["device_slow"] = bool(ratio > 3.0)
     else:
         slow_factor = 1.0
     diag["slow_factor"] = round(slow_factor, 2)
