@@ -1834,8 +1834,13 @@ def bench_asr_align(quick: bool):
     audio = (0.25 * np.sin(2 * np.pi * 330 * t)
              + 0.05 * rng.standard_normal(t.shape)).astype(np.float32)
 
-    runtime.transcribe_array(audio[: sr * 2])  # compile both paths
-    runtime.transcribe_array_aligned(audio[: sr * 2])
+    # warm BOTH paths at the full-audio shapes: the plain path batches
+    # windows into a chunk bucket (a different executable per bucket), so a
+    # short-audio warmup would leave the timed pass paying the bucket
+    # compile (the r5 dress rehearsal measured exactly that: 91 s of
+    # compile inside the timed region)
+    runtime.transcribe_array(audio)
+    runtime.transcribe_array_aligned(audio)
     t0 = time.perf_counter()
     runtime.transcribe_array(audio)
     plain_s = time.perf_counter() - t0
@@ -2103,18 +2108,25 @@ _CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 # derive from these — (3 x hist + 60 s) x the measured device slow-factor,
 # capped at BENCH_STEP_TIMEOUT_S — instead of the flat 600 s that let the
 # r4 driver run spend 1,200 s on a step whose healthy wall is ~30 s.
-HIST_WALL_S = {
-    "real_weights": 5, "minilm": 45, "ivf": 60, "ivf_int8": 70,
-    "ivf_encoder": 45, "pq": 120, "rerank": 25, "rerank64": 25,
-    "chat_path": 50, "serving_load": 150, "frames_pipeline": 80,
-    "asr": 50, "asr_align": 80, "e2e_video_ingest": 150,
-    "minilm_seq256": 15, "minilm_seq512": 15, "minilm_int8": 60,
-    "ingest_embed": 15, "clip_images": 40, "clip_images_int8": 25,
-    "multitenant": 10, "topk": 35, "topk_int8": 30,
-    "topk_10m": 240, "ivf_int8_10m": 300, "pq_10m": 360,
-    "asr_small": 180, "clip_images_pipelined": 120, "pq_50m": 700,
+HIST_WALL_S = {  # r5 dress rehearsal, warm persistent cache, RTT ~77 ms
+    "real_weights": 5, "minilm": 15, "ivf": 65, "ivf_int8": 35,
+    "ivf_encoder": 55, "pq": 110, "rerank": 25, "rerank64": 25,
+    "chat_path": 45, "serving_load": 130, "frames_pipeline": 35,
+    "asr": 45, "asr_align": 90, "e2e_video_ingest": 90,
+    "minilm_seq256": 30, "minilm_seq512": 10, "minilm_int8": 20,
+    "ingest_embed": 10, "clip_images": 25, "clip_images_int8": 25,
+    "multitenant": 12, "topk": 60, "topk_int8": 15,
+    "topk_10m": 120, "ivf_int8_10m": 150, "pq_10m": 340,
+    "asr_small": 80, "clip_images_pipelined": 60, "pq_50m": 700,
 }
 _DEFAULT_HIST_S = 60.0  # unknown step -> 240 s timeout (VERDICT r4 item 1a)
+
+# extra timeout for a child's FIRST pending step: it absorbs the respawn
+# (~10 s backend init) plus any first-in-process compile storm — the r5
+# dress rehearsal measured a single 180 s-class remote compile killing a
+# fresh child's first step (minilm_seq256) at its bare table timeout, then
+# succeeding instantly on the cached retry. Scaled by the slow-factor.
+_CHILD_STARTUP_S = 90.0
 
 # nominal tiny-readback RTT over the axon tunnel on a healthy day (~30-45 ms
 # observed across rounds) and nominal probe-process init seconds (jax import
@@ -2156,7 +2168,7 @@ def probe_device(platform: str, timeout_s: float = 240.0):
         + (f"jax.config.update('jax_platforms',{platform!r})\n"
            if platform else "")
         + f"jax.config.update('jax_compilation_cache_dir',{_CACHE_DIR!r})\n"
-        "jax.config.update('jax_persistent_cache_min_compile_time_secs',1.0)\n"
+        "jax.config.update('jax_persistent_cache_min_compile_time_secs',0.0)\n"
         "backend=jax.default_backend()\n"
         "x=jnp.ones((128,128),jnp.float32)\n"
         "x.block_until_ready()\n"
@@ -2209,7 +2221,7 @@ def main() -> None:
     # bench child and the liveness probes share it, so respawned children
     # no longer recompile from scratch (VERDICT r4 item 3)
     jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     diag: dict = {"probes": []}
 
@@ -2381,8 +2393,13 @@ def main() -> None:
             def next_timeout() -> float:
                 if timeout_s:
                     return timeout_s
-                return _step_timeout(pending[0], slow_factor,
+                base = _step_timeout(pending[0], slow_factor,
                                      step_timeout_cap)
+                if not got_any[0]:  # child's first step: startup allowance
+                    base += _CHILD_STARTUP_S * slow_factor
+                return base
+
+            got_any = [False]
 
             cmd = [sys.executable, os.path.abspath(__file__),
                    "--steps", ",".join(step_list)]
@@ -2441,6 +2458,7 @@ def main() -> None:
                         int(n), float(secs)]
                 elif line.startswith("RESULT "):
                     _, name, payload = line.split(" ", 2)
+                    got_any[0] = True
                     results[name] = json.loads(payload)
                     # per-step wall attribution (child respawn overhead —
                     # and a failed attempt's whole timeout — lands on the
@@ -2548,16 +2566,16 @@ def main() -> None:
         # step runs in its OWN fresh child: the 10M dense build sits on the
         # recorded INVALID_ARGUMENT hazard boundary (KERNELS.md §3), and a
         # crash must cost one step, not the tail of the list.
-        promo_costs = [  # (step, historical cost estimate, seconds)
-            ("ivf_int8_10m", 300.0),
-            ("pq_10m", 360.0),
-            ("topk_10m", 240.0),
-            ("asr_small", 180.0),
-            ("clip_images_pipelined", 120.0),
+        promo_costs = [  # (step, historical cost estimate, seconds) — r5
+            # dress walls on a warm persistent cache (the cache survives
+            # the workspace between rounds, so the driver sees these too)
+            ("ivf_int8_10m", 150.0),
+            ("pq_10m", 340.0),
+            ("topk_10m", 120.0),
+            ("asr_small", 100.0),
+            ("clip_images_pipelined", 60.0),
             # the 50M capacity experiment last: r3 measured 467 s build +
-            # ~180 s timing/recall; estimate 700 s -> fires when ~16 min
-            # remain (the r4 default run + 5 promotions used 1017 s of
-            # 2100, leaving 1083 s — enough)
+            # ~180 s timing/recall, 1112 s contended; estimate 700 s
             ("pq_50m", 700.0),
         ]
         if os.environ.get("BENCH_PROMOTE_COSTS"):

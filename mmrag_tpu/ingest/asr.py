@@ -355,7 +355,12 @@ class WhisperRuntime:
                         max_len=self.max_tokens, compute_dtype=compute)
                     _, cross = jalign.decoder_cross_attention(
                         params, tokens, enc, mcfg, compute_dtype=compute)
-                    return tokens, lengths, cross
+                    # reduce to the (s_tokens, frames) alignment matrix ON
+                    # DEVICE: the raw cross tensor is ~128 MB/window at
+                    # whisper-base and its readback dominated the aligned
+                    # path's wall clock over the tunnel
+                    matrix = jalign.alignment_matrix_device(cross[:, 0])
+                    return tokens, lengths, matrix
 
                 self._fns[key] = jax.jit(fn)
             return self._fns[key]
@@ -400,14 +405,15 @@ class WhisperRuntime:
             window[: len(part)] = part
             start = idx * chunk_samples / SAMPLE_RATE
             covered = min(total - idx * chunk_samples, chunk_samples) / SAMPLE_RATE
-            tokens, lengths, cross = fn(self._params, jnp.asarray(window[None]))
+            tokens, lengths, matrix = fn(self._params,
+                                         jnp.asarray(window[None]))
             n_tok = int(np.asarray(lengths)[0])
             toks = np.asarray(tokens)[0, :n_tok]
             segs = self._window_segments(toks, start, covered)
             if not segs:
                 continue
-            words = jalign.words_from_cross(
-                np.asarray(cross)[:, 0][:, :, :n_tok, :], toks,
+            words = jalign.words_from_matrix(
+                np.asarray(matrix)[:n_tok], toks,
                 self._decoder, mcfg, time_offset=start)
             # the aligner sees all 1500 encoder frames including the
             # zero-padded tail, so a word span can land past the window's

@@ -143,6 +143,32 @@ def attention_alignment_matrix(
     return w.mean(axis=0)
 
 
+def alignment_matrix_device(cross, layer_slice: Optional[slice] = None):
+    """:func:`attention_alignment_matrix` in jnp, to run INSIDE the capture
+    jit: z-norm per token over frames, median-filter(7) over frames, mean
+    over the selected heads — so only the reduced ``(s_tokens, frames)``
+    matrix crosses the tunnel. The raw ``(layers, heads, s, f)`` cross
+    tensor is ~128 MB per 30 s window at whisper-base (6x8x448x1500 f32);
+    reading it back dominated the aligned path's wall clock (48x the
+    reduced matrix's 2.7 MB)."""
+
+    import jax.numpy as jnp
+
+    n_layers = cross.shape[0]
+    sel = cross[layer_slice if layer_slice is not None
+                else slice(n_layers // 2, n_layers)]
+    w = sel.reshape(-1, sel.shape[-2], sel.shape[-1]).astype(jnp.float32)
+    std = w.std(axis=-1, keepdims=True)
+    w = (w - w.mean(axis=-1, keepdims=True)) / jnp.where(std < 1e-9, 1.0, std)
+    # median filter width 7, edge-padded (matches _median_filter)
+    half = 3
+    xp = jnp.pad(w, ((0, 0), (0, 0), (half, half)), mode="edge")
+    m = w.shape[-1]
+    windows = jnp.stack([xp[..., i:i + m] for i in range(2 * half + 1)], -1)
+    w = jnp.median(windows, axis=-1)
+    return w.mean(axis=0)
+
+
 def dtw_monotonic(cost: np.ndarray) -> List[Tuple[int, int]]:
     """Classic 3-move DTW over ``cost (N, M)``; returns the optimal
     monotonic path [(token_row, frame_col), ...] from (0,0) to (N-1,M-1)."""
@@ -256,14 +282,28 @@ def words_from_cross(
     TEXT-token rows -> word grouping. Used by the runtime, which captures
     ``cross_np`` inside its own jitted program."""
 
+    return words_from_matrix(attention_alignment_matrix(cross_np), tokens,
+                             decoder, cfg, time_offset=time_offset)
+
+
+def words_from_matrix(
+    matrix: np.ndarray,  # (s_tokens, frames) — reduced alignment matrix
+    tokens: Sequence[int],
+    decoder,  # ByteLevelBPEDecoder
+    cfg: WhisperConfig,
+    time_offset: float = 0.0,
+) -> List[WordSpan]:
+    """DTW + word grouping over an already-reduced alignment matrix (the
+    :func:`alignment_matrix_device` output the runtime reads back instead
+    of the raw cross tensor)."""
+
     toks = np.asarray(list(tokens), np.int64)
     if toks.size == 0:
         return []
     text_mask = toks < min(cfg.eot_id, decoder.special_base)
     if not text_mask.any():
         return []
-    matrix = attention_alignment_matrix(cross_np)
-    text_rows = matrix[text_mask]
+    text_rows = np.asarray(matrix)[text_mask]
     spans = token_frame_spans(text_rows)
     return group_words(toks[text_mask].tolist(), spans, decoder,
                        time_offset=time_offset)

@@ -111,7 +111,7 @@ def _apply_compile_cache(cfg: Settings) -> None:
     try:
         _os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception as exc:  # unwritable dir must never block serving
         logger.warning("compile cache disabled (%s): %s", path, exc)
 
@@ -589,7 +589,10 @@ class EncoderRuntime:
             scores = self._cross_fn(
                 params, jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(tt)
             )
-            out.append(np.asarray(scores[: len(ps)], dtype=np.float32))
+            # slice on HOST: a device-side scores[:n] is a per-exact-length
+            # executable (the r4 warm-window lesson) compiled lazily inside
+            # a request; the padded vector is tiny, read it all back
+            out.append(np.asarray(scores, dtype=np.float32)[: len(ps)])
         return np.concatenate(out, axis=0)
 
 

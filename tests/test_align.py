@@ -267,3 +267,31 @@ def test_word_align_knob_flows_through_ladder(tmp_path):
     assert all(s.words is None for s in plain)
     assert all("words" not in n["metadata"]
                for n in yt.segments_to_nodes("vid2", plain))
+
+
+def test_alignment_matrix_device_matches_host():
+    """The in-jit reduction (z-norm + median-7 + head mean on device, so
+    only the (s, f) matrix crosses the tunnel) must match the host
+    attention_alignment_matrix numerically, and produce identical words."""
+
+    rng = np.random.default_rng(11)
+    cross = rng.random((4, 8, 24, 96)).astype(np.float32)
+    host = jalign.attention_alignment_matrix(cross)
+    dev = np.asarray(jax.jit(jalign.alignment_matrix_device)(
+        jnp.asarray(cross)))
+    assert dev.shape == host.shape
+    np.testing.assert_allclose(dev, host.astype(np.float32), atol=2e-4)
+
+    decoder, ids = _make_decoder(["alpha", "beta", "gamma"])
+    toks = [TINY.sot_id] + ids + [TINY.eot_id]
+    cross_t = rng.random(
+        (TINY.decoder_layers, TINY.decoder_heads, len(toks), 60)
+    ).astype(np.float32)
+    via_cross = jalign.words_from_cross(cross_t, toks, decoder, TINY)
+    via_matrix = jalign.words_from_matrix(
+        np.asarray(jax.jit(jalign.alignment_matrix_device)(
+            jnp.asarray(cross_t))),
+        toks, decoder, TINY)
+    assert [w.word for w in via_matrix] == [w.word for w in via_cross]
+    for a, b in zip(via_matrix, via_cross):
+        assert abs(a.start - b.start) < 1e-6 and abs(a.end - b.end) < 1e-6
