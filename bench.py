@@ -2371,11 +2371,11 @@ def main() -> None:
         import sys
         import threading
 
-        def timed_probe():
+        def timed_probe(timeout_s: float = 240.0):
             """Timed liveness probe after any failure; records the result
             so a degraded run is self-diagnosing from the record."""
 
-            p = probe_device(args.platform)
+            p = probe_device(args.platform, timeout_s=timeout_s)
             if p is not None:
                 p["at_s"] = round(time.perf_counter() - _T0, 1)
                 diag["probes"].append(p)
@@ -2489,11 +2489,19 @@ def main() -> None:
 
         def wedge_check() -> bool:
             """Two timed probes; both failing means the accelerator runtime
-            is gone (the chip-wedge class a respawn cannot clear)."""
+            is gone (the chip-wedge class a respawn cannot clear). Probe
+            time is bounded by what remains of budget + reserve: a probe
+            must never be the thing that pushes the run past the driver's
+            kill window and loses the final record."""
 
             if backend == "cpu":
                 return False
-            return timed_probe() is None and timed_probe() is None
+            remaining = (work_deadline + reserve_s - 60.0) - time.perf_counter()
+            if remaining < 30.0:
+                return False  # no time to prove a wedge; just wrap up
+            per = min(240.0, remaining / 2.0)
+            return (timed_probe(per) is None
+                    and timed_probe(per) is None)
 
         results: dict = {}
         step_t0 = [time.perf_counter()]
