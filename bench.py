@@ -2121,12 +2121,13 @@ HIST_WALL_S = {  # r5 dress rehearsal, warm persistent cache, RTT ~77 ms
 }
 _DEFAULT_HIST_S = 60.0  # unknown step -> 240 s timeout (VERDICT r4 item 1a)
 
-# extra timeout for a child's FIRST pending step: it absorbs the respawn
-# (~10 s backend init) plus any first-in-process compile storm — the r5
-# dress rehearsal measured a single 180 s-class remote compile killing a
-# fresh child's first step (minilm_seq256) at its bare table timeout, then
-# succeeding instantly on the cached retry. Scaled by the slow-factor.
-_CHILD_STARTUP_S = 90.0
+# extra timeout for a fresh child's early steps (decays with child age):
+# absorbs the respawn (~10 s backend init) plus any first-dispatch stall —
+# the tunnel shows sporadic 180-190 s first-dispatch stalls (compile-class
+# wall even on a warm persistent cache), measured killing a fresh child's
+# first step at its bare table timeout and then succeeding instantly on
+# the retry. Scaled by the slow-factor.
+_CHILD_STARTUP_S = 120.0
 
 # nominal tiny-readback RTT over the axon tunnel on a healthy day (~30-45 ms
 # observed across rounds) and nominal probe-process init seconds (jax import
@@ -2148,14 +2149,23 @@ def _step_timeout(step: str, slow_factor: float, cap: float) -> float:
 def probe_device(platform: str, timeout_s: float = 240.0):
     """Timed liveness probe in a FRESH process (VERDICT r4 item 2).
 
-    Measures backend-init seconds, first tiny-matmul dispatch seconds
-    (compile — near-zero when the persistent compile cache is warm), and
-    the p50/max of 5 scalar-readback round-trips. Returns the parsed dict,
-    or None when the probe hangs or fails — the chip-wedge signal (the
-    large-transient failure mode, tools/repro_invalid_argument.py, hangs
-    even backend init). Replaces r4's pass/fail ``device_alive``: a
-    degraded-but-alive run (r4's unexplained 444.8 s minilm) is now
-    self-diagnosing from the record."""
+    Measures backend-init seconds, first tiny-matmul dispatch seconds, and
+    the p50/max of 5 scalar-readback round-trips. The tunnel shows two
+    distinct failure modes and the probe separates them:
+
+    * chip WEDGE (the large-transient failure mode,
+      tools/repro_invalid_argument.py): backend init itself blocks forever
+      -> no output at all -> returns None;
+    * first-dispatch STALL phase (measured 90-190 s for a cache-warm tiny
+      matmul while init stays ~10 s): the INIT line lands but the PROBE
+      line doesn't within the timeout -> returns
+      ``{'init_only': True, ...}`` — alive but badly degraded, so callers
+      escalate timeouts instead of declaring a wedge (a false wedge
+      verdict nulled an entire dress-rehearsal run).
+
+    Replaces r4's pass/fail ``device_alive``: a degraded-but-alive run
+    (r4's unexplained 444.8 s minilm) is self-diagnosing from the record.
+    """
 
     import subprocess
     import sys as _sys
@@ -2173,6 +2183,7 @@ def probe_device(platform: str, timeout_s: float = 240.0):
         "x=jnp.ones((128,128),jnp.float32)\n"
         "x.block_until_ready()\n"
         "init=time.perf_counter()-t0\n"
+        "print(f'INIT {backend} {init:.2f}',flush=True)\n"
         "t0=time.perf_counter()\n"
         "f=jax.jit(lambda a:(a@a)[0,0])\n"
         "_=np.asarray(f(x))\n"
@@ -2187,15 +2198,28 @@ def probe_device(platform: str, timeout_s: float = 240.0):
         "'rtt_ms_p50':round(r[2]*1e3,1),'rtt_ms_max':round(r[-1]*1e3,1)}),"
         "flush=True)\n"
     )
+    out_text = ""
     try:
         proc = subprocess.run([_sys.executable, "-c", src],
                               capture_output=True, text=True,
                               timeout=timeout_s)
-        for line in proc.stdout.splitlines():
-            if line.startswith("PROBE "):
+        out_text = proc.stdout or ""
+    except subprocess.TimeoutExpired as exc:
+        out_text = exc.stdout or ""
+        if isinstance(out_text, bytes):
+            out_text = out_text.decode(errors="replace")
+    init_line = None
+    for line in out_text.splitlines():
+        if line.startswith("PROBE "):
+            try:
                 return json.loads(line.split(" ", 1)[1])
-    except (subprocess.TimeoutExpired, json.JSONDecodeError):
-        pass
+            except json.JSONDecodeError:
+                return None
+        if line.startswith("INIT "):
+            init_line = line.split()
+    if init_line and len(init_line) == 3:
+        return {"backend": init_line[1], "init_s": float(init_line[2]),
+                "init_only": True}
     return None
 
 
@@ -2336,18 +2360,29 @@ def main() -> None:
     work_deadline = _T0 + max(0.0, budget_s - reserve_s)
     degraded_steps: list = []
 
-    # slow-factor from the start probe's measured RTT: timeouts stretch on
-    # a degraded day (bounded x4) instead of nulling healthy-but-slow steps
+    # slow-factor from the start probe (live-escalated by later probes):
+    # timeouts stretch on a degraded day (bounded x4) instead of nulling
+    # healthy-but-slow steps. A one-element list so run_all's closures can
+    # escalate it when a post-failure probe measures a stall.
+    slow = [1.0]
+
+    def probe_ratio(p: dict) -> float:
+        """How degraded a probe says the topology is, vs nominal. Covers
+        the three observed modes: slow tunnel (rtt), contended host
+        (init), and the first-dispatch stall phase (first_dispatch on a
+        warm cache ~0.5-3 s nominal; 90-190 s when stalling)."""
+
+        if p.get("init_only"):
+            return 4.0  # backend up, dispatch stalled past the timeout
+        return max((p.get("rtt_ms_p50") or 0.0) / _NOMINAL_RTT_MS,
+                   (p.get("init_s") or 0.0) / _NOMINAL_INIT_S,
+                   (p.get("first_dispatch_s") or 0.0) / 30.0)
+
     if diag["probes"] and backend != "cpu":
-        p0 = diag["probes"][0]
-        rtt = p0.get("rtt_ms_p50") or _NOMINAL_RTT_MS
-        init = p0.get("init_s") or _NOMINAL_INIT_S
-        ratio = max(rtt / _NOMINAL_RTT_MS, init / _NOMINAL_INIT_S)
-        slow_factor = max(1.0, min(4.0, ratio))
+        ratio = probe_ratio(diag["probes"][0])
+        slow[0] = max(1.0, min(4.0, ratio))
         diag["device_slow"] = bool(ratio > 3.0)
-    else:
-        slow_factor = 1.0
-    diag["slow_factor"] = round(slow_factor, 2)
+    diag["slow_factor"] = round(slow[0], 2)
 
     def run_all(emit_partial):
         """The tunnel chip sporadically throws an opaque TPU InvalidArgument
@@ -2373,13 +2408,24 @@ def main() -> None:
 
         def timed_probe(timeout_s: float = 240.0):
             """Timed liveness probe after any failure; records the result
-            so a degraded run is self-diagnosing from the record."""
+            so a degraded run is self-diagnosing from the record, and
+            escalates the live slow-factor when it measures degradation
+            (an init-only probe — backend up, dispatch stalled — jumps
+            straight to the x4 cap so later steps get room)."""
 
             p = probe_device(args.platform, timeout_s=timeout_s)
             if p is not None:
                 p["at_s"] = round(time.perf_counter() - _T0, 1)
                 diag["probes"].append(p)
                 print(f"device probe: {p}", file=sys.stderr)
+                ratio = probe_ratio(p)
+                if ratio > 3.0:
+                    diag["device_slow"] = True
+                if ratio > slow[0]:
+                    slow[0] = min(4.0, ratio)
+                    diag["slow_factor"] = round(slow[0], 2)
+                    print(f"slow-factor escalated to {slow[0]:.2f}",
+                          file=sys.stderr)
             return p
 
         def run_child(step_list, timeout_s=None):
@@ -2393,13 +2439,19 @@ def main() -> None:
             def next_timeout() -> float:
                 if timeout_s:
                     return timeout_s
-                base = _step_timeout(pending[0], slow_factor,
+                base = _step_timeout(pending[0], slow[0],
                                      step_timeout_cap)
-                if not got_any[0]:  # child's first step: startup allowance
-                    base += _CHILD_STARTUP_S * slow_factor
-                return base
+                # startup allowance, decaying with child age: the child's
+                # first DEVICE-touching step absorbs backend init + any
+                # first-dispatch stall (the tunnel shows sporadic 180 s
+                # first-dispatch stalls even on a warm compile cache), and
+                # that step is not necessarily the literal first in the
+                # list (real_weights does no device work)
+                spent = time.perf_counter() - child_t0
+                return base + max(0.0,
+                                  _CHILD_STARTUP_S * slow[0] - spent)
 
-            got_any = [False]
+            child_t0 = time.perf_counter()
 
             cmd = [sys.executable, os.path.abspath(__file__),
                    "--steps", ",".join(step_list)]
@@ -2458,7 +2510,6 @@ def main() -> None:
                         int(n), float(secs)]
                 elif line.startswith("RESULT "):
                     _, name, payload = line.split(" ", 2)
-                    got_any[0] = True
                     results[name] = json.loads(payload)
                     # per-step wall attribution (child respawn overhead —
                     # and a failed attempt's whole timeout — lands on the
@@ -2488,11 +2539,15 @@ def main() -> None:
             return not pending, reason
 
         def wedge_check() -> bool:
-            """Two timed probes; both failing means the accelerator runtime
-            is gone (the chip-wedge class a respawn cannot clear). Probe
-            time is bounded by what remains of budget + reserve: a probe
-            must never be the thing that pushes the run past the driver's
-            kill window and loses the final record."""
+            """Two timed probes; both returning NOTHING (not even the INIT
+            line) means the accelerator runtime is gone — the chip-wedge
+            class blocks backend init itself, while the first-dispatch
+            stall phase still inits in ~10 s (an init-only result is
+            'degraded, not wedged' and escalates timeouts instead; a
+            false wedge verdict nulled a whole dress-rehearsal run).
+            Probe time is bounded by what remains of budget + reserve: a
+            probe must never be the thing that pushes the run past the
+            driver's kill window and loses the final record."""
 
             if backend == "cpu":
                 return False
