@@ -20,24 +20,42 @@ Headline metric = MiniLM embeds/sec; the rest ride in "extra".
 ``vs_baseline`` = value / 50_000 (north-star target; the reference itself
 publishes no numbers — BASELINE.md).
 
-Driver-survivability contract (VERDICT r2 item 1 — BENCH_r02 was an rc=124
-timeout that erased every completed step):
+Driver-survivability contract (r2 item 1, rebuilt in r5 after one wedged
+step erased 15 of 24 captured steps in the r4 driver record):
 
   * After EVERY completed step the parent prints the full current record as
     a fresh flushed JSON line — a driver kill at any point still tail-parses
     the latest partial record (``"partial": true`` until the final line).
-  * A global wall-clock budget (``BENCH_BUDGET_S`` env, default 2100 s)
-    bounds the whole run: when exceeded, remaining steps are recorded under
-    ``extra.skipped_budget`` and the final record is emitted immediately.
-  * Per-STEP timeout (``BENCH_STEP_TIMEOUT_S``, default 600 s): a step that
-    produces no result within it is treated as crashed and retried once in
-    a fresh child, then recorded null.
-  * The default step list covers the north-star metrics + one row per
-    feature; the 10M-row capacity builds, whisper-small, and the pipelined
-    CLIP variant run with ``--full`` — and are ALSO auto-promoted after a
-    clean default run while the remaining budget covers each step's
-    historical cost (VERDICT r3 item 2), so the driver record carries the
-    capacity numbers without ever risking the headline list.
+  * A global wall-clock budget (``BENCH_BUDGET_S`` env, default 1500 s)
+    with a hard reserve (``BENCH_RESERVE_S``, 120 s) bounds the run: work
+    stops at budget - reserve, remaining steps land in
+    ``extra.skipped_budget``, and the final ``partial: false`` record
+    always emits inside the driver's ~1800 s kill window.
+  * Per-STEP timeouts come from the measured-wall table (``HIST_WALL_S``,
+    (3 x hist + 60 s) x the probed slow-factor, capped by
+    ``BENCH_STEP_TIMEOUT_S`` = 600 s). A step that times out with a
+    passing liveness probe retries ONCE at the same reduced timeout, then
+    records null (``extra.timed_out_steps``) and the run moves on.
+  * Timed liveness probes (fresh process: backend-init s, first-dispatch
+    s, tiny-readback RTT p50) run at start and after any failure
+    (``extra.device_probes``). They separate three topology states: a true
+    chip WEDGE (backend init itself blocks -> remaining steps null +
+    ``device_wedged``), the first-dispatch STALL phase (init ~10 s but the
+    first cache-warm dispatch costs 90-190 s -> timeouts escalate to the
+    x4 slow-factor cap), and plain slow-tunnel/contended-host days
+    (slow-factor from RTT/init ratios). Children stream per-step XLA
+    compile seconds (``extra.step_compile_s``) so a slow step splits into
+    compile vs tunnel vs host causes from the record alone.
+  * The never-driver-verified steps run FIRST and the dense ``topk``
+    hazard pair LAST (r4 died there twice); fresh-child boundaries shield
+    the recorded crash classes, and a persistent XLA compile cache
+    (``.jax_cache``, min-compile-time gate 0.0 — the backend reports <1 s
+    for programs whose tunnel wall cost is minutes) keeps respawns cheap.
+  * The 10M-row capacity builds, whisper-small, and the pipelined CLIP
+    variant run with ``--full`` — and are ALSO auto-promoted after a clean
+    default run while the remaining budget covers each step's historical
+    cost, so the driver record carries capacity numbers without risking
+    the headline list.
   * A ``_per_iter_seconds`` fallback to the ``t1/k1`` upper bound (persistent
     tunnel-jitter inversion) tags the step in ``extra.degraded_steps`` so a
     jittered number cannot masquerade as a differenced measurement
