@@ -387,3 +387,29 @@ def test_dryrun_survives_reranker_only_provisioning(monkeypatch, tmp_path):
     import jax
 
     graft.dryrun_multichip(len(jax.devices()))  # must not shape-crash
+
+
+def test_crashing_step_is_nulled_and_run_continues(tmp_path):
+    """The crash path (a child that dies at a step): two fresh-child
+    attempts, then the step records null and the rest of the list still
+    captures — one bad step must never erase the tail (VERDICT r4)."""
+
+    import subprocess
+
+    env = dict(os.environ)
+    env.update({
+        # 'explodes' has no bench_ function: the child crashes on it
+        "BENCH_STEPS": "explodes,topk_int8",
+        "BENCH_PROMOTE_COSTS": "{}",
+        "BENCH_BUDGET_S": "400",
+    })
+    proc = subprocess.run(
+        [sys.executable, os.path.join(_REPO, "bench.py"),
+         "--platform", "cpu", "--quick"],
+        capture_output=True, text=True, timeout=480, env=env)
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    rec = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert rec["extra"]["partial"] is False
+    assert rec["extra"]["skipped"] == []
+    # the crashed step nulled, the step after it still measured
+    assert rec["extra"]["topk_i8_ms"] is not None
