@@ -1672,8 +1672,11 @@ def bench_serving_load(quick: bool):
                                    if have_compile_counter else None),
             # total seconds spent compiling inside the window: a multi-
             # second warm stall with compile_secs ~0 is a host convoy
-            # (1-core bench topology, BASELINE.md forensics), not a compile
-            "compile_secs_in_window": round(compile_secs[0], 2),
+            # (1-core bench topology, BASELINE.md forensics), not a
+            # compile. null (not 0.0) when the counter is unavailable —
+            # a definite 'no compiling' claim must come from a counter
+            "compile_secs_in_window": (round(compile_secs[0], 2)
+                                       if have_compile_counter else None),
         },
         "coalesce_mean": round(coalesce_mean, 2),
         "coalesce_hist": {str(k): v for k, v in sorted(hist.items())},
@@ -1802,7 +1805,12 @@ def _provision_whisper_weights(weights_dir: str, quick: bool) -> str:
         if proc.returncode != 0:
             _plog(f"real whisper convert failed, falling back to seeded: "
                   f"{proc.stderr[-300:]}")
-    if not os.path.isfile(os.path.join(wdir, "model.npz")):
+    # the seeded fallback must also fire when a real checkpoint converted
+    # WITHOUT a detokenizer (no vocab.json shipped): the aligned rung and
+    # the asr_align step need vocab.json, and a convert that succeeded
+    # weights-only would otherwise shadow the fallback and null the step
+    if not (os.path.isfile(os.path.join(wdir, "model.npz"))
+            and os.path.isfile(os.path.join(wdir, "vocab.json"))):
         wcfg = jwhisper.WHISPER_BASE if not quick else dataclasses.replace(
             jwhisper.WHISPER_BASE, d_model=64, encoder_layers=2,
             encoder_heads=4, decoder_layers=2, decoder_heads=4, ffn_dim=128,
@@ -2338,7 +2346,8 @@ def main() -> None:
         import sys
 
         comp = {"n": 0, "s": 0.0}
-        try:  # private monitoring API — degrade to zeros if it moves
+        have_counter = False
+        try:  # private monitoring API — omit the COMPILES lines if it moves
             from jax._src import monitoring as _jmon
 
             def _on_compile(name, duration=0.0, **kw):
@@ -2350,6 +2359,7 @@ def main() -> None:
                         pass
 
             _jmon.register_event_duration_secs_listener(_on_compile)
+            have_counter = True
         except Exception:
             pass
 
@@ -2362,8 +2372,9 @@ def main() -> None:
             _plog(f"step {step} done")
             if _DEGRADED:
                 print(f"DEGRADED {step}", flush=True)
-            print(f"COMPILES {step} {comp['n']} {round(comp['s'], 1)}",
-                  flush=True)
+            if have_counter:  # absent line -> null in the record, not 0.0
+                print(f"COMPILES {step} {comp['n']} {round(comp['s'], 1)}",
+                      flush=True)
             print(f"RESULT {step} " + json.dumps(value), flush=True)
         return
 

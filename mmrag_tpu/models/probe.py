@@ -108,6 +108,14 @@ def find_real_checkpoints() -> Dict[str, str]:
     return found
 
 
+def _state_numpy(model) -> Dict[str, object]:
+    """torch state dict -> numpy arrays (the conversion layer's input
+    contract; one definition shared by every converter in this module)."""
+
+    return {k: v.detach().cpu().numpy()
+            for k, v in model.state_dict().items()}
+
+
 def convert_whisper_checkpoint(src: str, weights_dir: str,
                                model_id: str = "openai/whisper-base"):
     """Convert a provisioned torch whisper checkpoint into the production
@@ -144,9 +152,7 @@ def convert_whisper_checkpoint(src: str, weights_dir: str,
         max_source_positions=hf.max_source_positions,
         max_target_positions=hf.max_target_positions,
     )
-    params = convert.convert_whisper(
-        {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()},
-        cfg)
+    params = convert.convert_whisper(_state_numpy(model), cfg)
     out = os.path.join(weights_dir, _sanitize(model_id))
     os.makedirs(out, exist_ok=True)
     convert.save_params(
@@ -182,10 +188,6 @@ def convert_found_into(weights_dir: str,
     from . import validate as val
     from .runtime import _sanitize
 
-    def state(model):
-        return {k: v.detach().cpu().numpy()
-                for k, v in model.state_dict().items()}
-
     def out_dir(fam: str) -> str:
         return os.path.join(weights_dir, _sanitize(REAL_WEIGHT_FAMILIES[fam]))
 
@@ -203,24 +205,28 @@ def convert_found_into(weights_dir: str,
             if fam == "minilm":
                 model = transformers.BertModel.from_pretrained(src).eval()
                 cfg = val.bert_config_from_hf(model.config)
-                params = convert.convert_bert(state(model), cfg)
+                params = convert.convert_bert(_state_numpy(model), cfg)
             elif fam == "reranker":
                 model = (transformers.BertForSequenceClassification
                          .from_pretrained(src).eval())
                 cfg = val.bert_config_from_hf(model.config)
-                params = convert.convert_cross_encoder(state(model), cfg)
+                params = convert.convert_cross_encoder(
+                    _state_numpy(model), cfg)
             else:  # clip
                 model = transformers.CLIPModel.from_pretrained(src).eval()
                 cfg = val.clip_config_from_hf(model.config)
-                params = convert.convert_clip(state(model), cfg)
+                params = convert.convert_clip(_state_numpy(model), cfg)
+            out = out_dir(fam)
+            os.makedirs(out, exist_ok=True)
+            convert.save_params(params, out, "model",
+                                meta={"arch": fam, "source": src})
+            copy_tokenizer_files(src, out)
         except Exception:
+            # the skip-never-fatal invariant covers the WRITE side too
+            # (disk full, unwritable weights_dir): one bad family must not
+            # take down the probe's whole upgrade path
             logger.exception("conversion of %s checkpoint failed; skipping",
                              fam)
             continue
-        out = out_dir(fam)
-        os.makedirs(out, exist_ok=True)
-        convert.save_params(params, out, "model",
-                            meta={"arch": fam, "source": src})
-        copy_tokenizer_files(src, out)
         converted[fam] = cfg
     return converted

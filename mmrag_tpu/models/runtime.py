@@ -547,21 +547,30 @@ class EncoderRuntime:
 
         return self.rerank_pairs([query] * len(passages), passages)
 
-    def rerank_bucket_sizes(self, n_pairs: int) -> tuple:
-        """The padded batch sizes a ``rerank_pairs`` call over ``n_pairs``
-        pairs would dispatch (one per max-batch chunk, mirroring the chunk
-        loop below) — lets the serving warmup sweep skip coalesce lengths
-        whose cross-encoder executables are already compiled instead of
-        re-running O(max^2 x rerank_topk) redundant pair inferences."""
+    def _rerank_chunks(self, n_pairs: int) -> list:
+        """The (start, length, padded_batch) decomposition a rerank call
+        over ``n_pairs`` pairs dispatches — THE single definition of the
+        chunking, shared by ``rerank_pairs`` (which executes it) and
+        ``rerank_bucket_sizes`` (which predicts it for the serving warmup),
+        so the two can never desynchronize."""
 
         tpu = self.cfg.tpu
         max_batch = _capped_batch(tpu.text_batch_buckets, tpu.rerank_seq_len)
-        sizes = []
+        chunks = []
         for start in range(0, max(n_pairs, 1), max_batch):
-            chunk = min(max_batch, n_pairs - start) if n_pairs else 1
-            sizes.append(
-                self._round_batch(_bucket(chunk, tpu.text_batch_buckets)))
-        return tuple(sizes)
+            length = min(max_batch, n_pairs - start) if n_pairs else 1
+            chunks.append((start, length, self._round_batch(
+                _bucket(length, tpu.text_batch_buckets))))
+        return chunks
+
+    def rerank_bucket_sizes(self, n_pairs: int) -> tuple:
+        """The padded batch sizes a ``rerank_pairs`` call over ``n_pairs``
+        pairs would dispatch — lets the serving warmup sweep skip coalesce
+        lengths whose cross-encoder executables are already compiled
+        instead of re-running O(max^2 x rerank_topk) redundant pair
+        inferences."""
+
+        return tuple(bsz for _, _, bsz in self._rerank_chunks(n_pairs))
 
     def rerank_pairs(
         self, queries: Sequence[str], passages: Sequence[str]
@@ -576,15 +585,12 @@ class EncoderRuntime:
         if len(queries) != len(passages):
             raise ValueError(f"{len(queries)} queries for {len(passages)} passages")
         params = self._ensure_cross()
-        tpu = self.cfg.tpu
-        seq = tpu.rerank_seq_len
+        seq = self.cfg.tpu.rerank_seq_len
         out = []
-        max_batch = _capped_batch(tpu.text_batch_buckets, seq)
-        for start in range(0, len(passages), max_batch):
-            qs = list(queries[start : start + max_batch])
-            ps = list(passages[start : start + max_batch])
+        for start, length, bsz in self._rerank_chunks(len(passages)):
+            qs = list(queries[start : start + length])
+            ps = list(passages[start : start + length])
             ids, mask, tt = self._bert_tok.encode_pairs(qs, ps, seq)
-            bsz = self._round_batch(_bucket(len(ps), tpu.text_batch_buckets))
             ids, mask, tt = _pad_rows(ids, bsz), _pad_rows(mask, bsz), _pad_rows(tt, bsz)
             scores = self._cross_fn(
                 params, jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(tt)
