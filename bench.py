@@ -2285,10 +2285,11 @@ def main() -> None:
         # means the chip is gone — emit the all-null record immediately.
         import sys as _sys
 
-        start_probe = probe_device(args.platform, timeout_s=300.0)
+        start_probe = (probe_device(args.platform, timeout_s=300.0)
+                       or probe_device(args.platform, timeout_s=300.0))
         if start_probe is None:
-            print("timed device probe hung/failed — device runtime wedged "
-                  "before any step ran", file=_sys.stderr)
+            print("timed device probe hung/failed twice — device runtime "
+                  "wedged before any step ran", file=_sys.stderr)
             backend = "wedged"
         else:
             backend = start_probe["backend"]
