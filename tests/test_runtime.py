@@ -118,3 +118,26 @@ def test_text_embed_truncates_at_st_max_seq_length(tmp_path):
     )
     full_u = uncapped.embed_text_batch([long_text])
     assert np.abs(full_u - full).max() > 1e-3  # genuinely longer input
+
+
+def test_rerank_chunk_decomposition_invariants(enc):
+    """The single-definition (start, length, padded) decomposition behind
+    rerank_pairs and the serving warmup's rerank_bucket_sizes: chunks must
+    tile [0, n) contiguously, pad each chunk up to its bucket, and the
+    bucket-size prediction must be exactly the padded sizes the executor
+    dispatches (they share _rerank_chunks, so a drift here means the
+    warmup would compile the wrong executables again — the advisor-r4
+    O(max^2 x topk) sweep regression)."""
+
+    buckets = enc.cfg.tpu.text_batch_buckets
+    for n in (1, 2, 7, 8, 31, max(buckets), max(buckets) + 3,
+              2 * max(buckets) + 1):
+        chunks = enc._rerank_chunks(n)
+        assert chunks[0][0] == 0
+        covered = 0
+        for start, length, padded in chunks:
+            assert start == covered and length >= 1
+            assert padded >= length
+            covered += length
+        assert covered == n
+        assert enc.rerank_bucket_sizes(n) == tuple(p for _, _, p in chunks)
